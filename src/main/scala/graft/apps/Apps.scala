@@ -1,0 +1,78 @@
+package graft.apps
+
+import graft._
+import graft.corpus.CorpusGen
+import graft.index.{Index, IndexConfig}
+import graft.search.{QueryEngine, ReferenceQueries}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry points (SURVEY.md §7.1 app/ module). In the sandbox
+  * they run via `sbt runMain` on local[N]; on a real cluster the same mains
+  * run unchanged under spark-submit (BASELINE.json north_rule).
+  */
+object SparkEnv {
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder().appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // master only when not provided by spark-submit
+    val withMaster =
+      if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Generate the deterministic corpus + build (or resume) the index.
+  * args: <corpusDir> <indexDir> [numDocs] [increments]
+  */
+object BuildIndexApp {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args(0)
+    val indexDir = args(1)
+    val numDocs = if (args.length > 2) args(2).toLong else 5000L
+    val increments = if (args.length > 3) args(3).toInt else 1
+    val spark = SparkEnv.session("graft-build")
+    import spark.implicits._
+    CorpusGen.ensure(spark, corpusDir, numDocs)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    val t0 = System.nanoTime()
+    val snaps = Index.build(corpus, indexDir, IndexConfig(), increments)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val docs = snaps.map(_.docCount).sum
+    println(f"[graft] built ${snaps.size} snapshot(s), $docs docs in $secs%.2f s " +
+      f"(${docs / secs}%.0f files/sec) -> $indexDir")
+    spark.stop()
+  }
+}
+
+/** Run queries against a built index.
+  * args: <indexDir> [qid or 'all' or free terms...]
+  */
+object QueryApp {
+  def main(args: Array[String]): Unit = {
+    val indexDir = args(0)
+    val spark = SparkEnv.session("graft-query")
+    val reader = Index.reader(spark, indexDir)
+    val queries: Seq[QuerySpec] = args.drop(1) match {
+      case Array() | Array("all") => ReferenceQueries.all
+      case Array(qid) if qid.matches("q\\d\\d") =>
+        ReferenceQueries.all.filter(_.qid == qid)
+      case terms => Seq(QuerySpec("adhoc", should = terms.toSeq))
+    }
+    val t0 = System.nanoTime()
+    val out = QueryEngine.searchWithMeta(reader, queries)
+      .orderBy(org.apache.spark.sql.functions.asc("qid"),
+        org.apache.spark.sql.functions.desc("score"),
+        org.apache.spark.sql.functions.asc("docId"))
+    out.show(100, truncate = false)
+    println(f"[graft] ${queries.size} queries in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      f"over ${reader.stats.docCount} docs (avgdl=${reader.stats.avgdl}%.1f)")
+    spark.stop()
+  }
+}

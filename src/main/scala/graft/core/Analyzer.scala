@@ -1,0 +1,74 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Lucene-StandardAnalyzer-equivalent analysis chain for the ASCII
+  * identifier domain: tokenize -> lowercase -> (optional) stop filter
+  * [B lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java].
+  *
+  * Tokens are maximal runs of [A-Za-z0-9_]. Within that domain this matches
+  * StandardTokenizer's UAX#29 segmentation (letters/digits form words,
+  * underscore is WordBreak=ExtendNumLet and joins), which is the documented
+  * fidelity boundary for the source-code corpus (SURVEY.md §7.4-4).
+  * maxTokenLength=255 mirrors StandardTokenizer's default: longer runs are
+  * split at 255 chars, exactly like the JFlex scanner's buffer cap.
+  *
+  * Implemented as one fused pure function applied via typed flatMap /
+  * mapPartitions — "Lucene-style analysis as a Catalyst-friendly flatMap"
+  * (BASELINE.json north_star). No UDF-registry indirection in the hot path.
+  */
+object Analyzer {
+
+  val MaxTokenLength = 255
+
+  /** Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (33 words)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java].
+    */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with")
+
+  @inline private def isTokenChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Tokenize + lowercase (no stop filtering). */
+  def tokenize(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !isTokenChar(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && isTokenChar(text.charAt(i)) && i - start < MaxTokenLength) i += 1
+      if (i > start) out += text.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+    }
+    out.toArray
+  }
+
+  /** Full chain: tokenize -> lowercase -> stop filter. */
+  def analyze(text: String, stopWords: Set[String] = EnglishStopWords): Array[String] =
+    tokenize(text).filterNot(stopWords.contains)
+
+  /** Analyzed per-doc term frequencies, terms in sorted order (the per-doc
+    * slice of the DWPT-style in-memory inverted index, SURVEY.md §2.3).
+    * Returns (sortedTerms, tfs, totalTokenCount-after-stop).
+    */
+  def termFreqs(text: String, stopWords: Set[String] = EnglishStopWords)
+      : (Array[String], Array[Int], Int) = {
+    val terms = analyze(text, stopWords)
+    if (terms.isEmpty) return (Array.empty, Array.empty, 0)
+    val m = mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i < terms.length) {
+      m.updateWith(terms(i)) { c => Some(c.getOrElse(0) + 1) }
+      i += 1
+    }
+    val sorted = m.keysIterator.toArray
+    java.util.Arrays.sort(sorted.asInstanceOf[Array[AnyRef]])
+    (sorted, sorted.map(m), terms.length)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.core
+
+/** BM25 with Lucene 8.11 semantics
+  * [B lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java]:
+  *
+  *   idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   score    = boost * idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+  *
+  * Lucene >= 8.0 dropped the classic (k1+1) numerator (rank-preserving,
+  * LUCENE-8563 line of work), and dl is the LOSSY SmallFloat-quantized
+  * doc length decoded from the norm byte; the k1*(1-b+b*dl/avgdl) factor is
+  * precomputed per possible norm byte (the 256-entry cache below), exactly
+  * as Lucene's BM25Scorer does. avgdl = sumTotalTermFreq / docCount.
+  *
+  * Deliberate deviation, documented for the rank-identity contract
+  * (SURVEY.md §7.4-1): arithmetic is IEEE double end-to-end rather than
+  * Lucene's float. Double is strictly more precise and keeps the engine,
+  * the independent naive oracle, and the DuckDB SQL oracle bit-comparable;
+  * ranks can differ from float-Lucene only on last-ulp near-ties, and all
+  * exact ties break deterministically (score desc, docId asc).
+  */
+final case class Bm25(k1: Double = 1.2, b: Double = 0.75) {
+  require(k1 >= 0 && b >= 0 && b <= 1, s"invalid BM25 params k1=$k1 b=$b")
+
+  def idf(df: Long, docCount: Long): Double =
+    math.log(1.0 + (docCount - df + 0.5) / (df + 0.5))
+
+  /** Per-norm-byte denominator cache: k1 * (1 - b + b * dl / avgdl). */
+  def normCache(avgdl: Double): Array[Double] =
+    Array.tabulate(256) { i =>
+      val dl = SmallFloatUtil.LengthTable(i).toDouble
+      k1 * (1.0 - b + b * dl / avgdl)
+    }
+
+  /** Direct (uncached) score — cache path must equal this exactly. */
+  def scoreDirect(tf: Int, normByte: Byte, df: Long, docCount: Long,
+      avgdl: Double, boost: Double = 1.0): Double = {
+    val dl = SmallFloatUtil.byte4ToInt(normByte).toDouble
+    val norm = k1 * (1.0 - b + b * dl / avgdl)
+    boost * idf(df, docCount) * tf / (tf + norm)
+  }
+
+  /** Hot-path score given a prebuilt weight = boost*idf and norm cache. */
+  @inline def score(weight: Double, tf: Int, normByte: Byte,
+      cache: Array[Double]): Double =
+    weight * tf / (tf + cache(normByte & 0xff))
+
+  /** Upper bound of score over a posting block, for block-max WAND: score is
+    * increasing in tf and decreasing in the cache term, so max over the
+    * block's actual (tf, norm) pairs is exact (we store the bound itself;
+    * simpler than Lucene's similarity-agnostic impact pairs — SURVEY.md §2.4).
+    */
+  def blockMaxImpact(tfs: Array[Int], norms: Array[Byte], df: Long,
+      docCount: Long, avgdl: Double): Double = {
+    val cache = normCache(avgdl)
+    val w = idf(df, docCount)
+    var best = 0.0
+    var i = 0
+    while (i < tfs.length) {
+      val s = score(w, tfs(i), norms(i), cache)
+      if (s > best) best = s
+      i += 1
+    }
+    best
+  }
+}

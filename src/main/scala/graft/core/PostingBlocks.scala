@@ -1,0 +1,126 @@
+package graft.core
+
+import graft.PostingBlock
+
+/** Builds/decodes 128-doc compressed posting blocks (SURVEY.md §2.4).
+  *
+  * Layout per block (vs Lucene's Lucene84 .doc format
+  * [B lucene/core/src/java/org/apache/lucene/codecs/lucene84/Lucene84PostingsFormat.java]):
+  * docIds as delta gaps (FOR/VByte), tfs, and — a deliberate Spark-native
+  * addition — the posting's norm byte, so the scorer is self-contained and
+  * the query path needs no per-doc norms join (Lucene keeps norms in a
+  * separate .nvd file; at 10^12 docs the extra packed ~byte/posting is
+  * cheaper than a docId-range shuffle of norms at query time).
+  * `firstDocId`/`lastDocId` per block form the flattened 1-level skip list;
+  * the competitive (tf, norm) skyline feeds the block-max WAND bound.
+  *
+  * Blocks never span corpus partitions: the builder is called once per
+  * (term, docPartition) partial, so every block's docs share one docId
+  * bucket (docId >> CorpusIds.PartitionShift).
+  */
+object PostingBlocks {
+
+  val BlockSize = 128
+
+  /** Competitive-impact skyline: pairs (tf, normByte) such that no other
+    * posting in the block has both tf' >= tf and unsigned(norm') <=
+    * unsigned(norm). BM25 score rises with tf and falls with doc length (the
+    * norm byte encoding is monotone in length), so the max score over the
+    * block for ANY (k1, b, idf, avgdl) is attained on this skyline.
+    * Returned sorted by tf ascending / norm ascending.
+    */
+  def competitiveSkyline(tfs: Array[Int], norms: Array[Byte]): (Array[Int], Array[Int]) = {
+    val minNormPerTf = scala.collection.mutable.TreeMap.empty[Int, Int]
+    var i = 0
+    while (i < tfs.length) {
+      val n = norms(i) & 0xff
+      minNormPerTf.updateWith(tfs(i)) {
+        case Some(prev) => Some(math.min(prev, n))
+        case None => Some(n)
+      }
+      i += 1
+    }
+    // scan tf descending; keep pairs whose norm strictly improves (shrinks)
+    val outTf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val outNorm = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var best = Int.MaxValue
+    minNormPerTf.toSeq.reverseIterator.foreach { case (tf, n) =>
+      if (n < best) { outTf += tf; outNorm += n; best = n }
+    }
+    (outTf.reverseIterator.toArray, outNorm.reverseIterator.toArray)
+  }
+
+  /** Encode one partial posting list (docIds ascending, same partition). */
+  def build(docIds: Array[Long], tfs: Array[Int], norms: Array[Byte],
+      blockSize: Int = BlockSize): Seq[PostingBlock] = {
+    require(docIds.length == tfs.length && tfs.length == norms.length)
+    val out = Vector.newBuilder[PostingBlock]
+    var start = 0
+    while (start < docIds.length) {
+      val n = math.min(blockSize, docIds.length - start)
+      val gaps = new Array[Int](n)
+      val btf = new Array[Int](n)
+      val bnorm = new Array[Int](n)
+      val bnormBytes = new Array[Byte](n)
+      var i = 0
+      var prev = docIds(start)
+      while (i < n) {
+        val d = docIds(start + i)
+        val gap = d - prev
+        require(gap >= 0 && gap <= Int.MaxValue, s"docId gap overflow: $gap")
+        require(i == 0 || gap > 0, "docIds must be strictly increasing")
+        gaps(i) = gap.toInt
+        btf(i) = tfs(start + i)
+        bnorm(i) = norms(start + i) & 0xff
+        bnormBytes(i) = norms(start + i)
+        prev = d
+        i += 1
+      }
+      val (skyTf, skyNorm) = competitiveSkyline(btf, bnormBytes)
+      out += PostingBlock(
+        firstDocId = docIds(start),
+        lastDocId = docIds(start + n - 1),
+        count = n,
+        impactCount = skyTf.length,
+        impactTfBytes = IntCodec.encode(skyTf),
+        impactNormBytes = IntCodec.encode(skyNorm),
+        docIdBytes = IntCodec.encode(gaps),
+        tfBytes = IntCodec.encode(btf),
+        normBytes = IntCodec.encode(bnorm))
+      start += n
+    }
+    out.result()
+  }
+
+  /** Decode a block to (docIds, tfs, normBytes). */
+  def decode(b: PostingBlock): (Array[Long], Array[Int], Array[Byte]) = {
+    val gaps = IntCodec.decode(b.docIdBytes, b.count)
+    val tfs = IntCodec.decode(b.tfBytes, b.count)
+    val normsI = IntCodec.decode(b.normBytes, b.count)
+    val docIds = new Array[Long](b.count)
+    var acc = b.firstDocId
+    var i = 0
+    while (i < b.count) {
+      acc += gaps(i)
+      docIds(i) = acc
+      i += 1
+    }
+    (docIds, tfs, normsI.map(_.toByte))
+  }
+
+  /** Block-max bound: max BM25 over the block's competitive skyline with
+    * the CURRENT weight (boost * idf) and norm cache.
+    */
+  def blockBound(b: PostingBlock, weight: Double, cache: Array[Double]): Double = {
+    val tfs = IntCodec.decode(b.impactTfBytes, b.impactCount)
+    val norms = IntCodec.decode(b.impactNormBytes, b.impactCount)
+    var best = 0.0
+    var i = 0
+    while (i < b.impactCount) {
+      val s = weight * tfs(i) / (tfs(i) + cache(norms(i)))
+      if (s > best) best = s
+      i += 1
+    }
+    best
+  }
+}

@@ -1,0 +1,212 @@
+package graft.index
+
+import graft._
+import graft.core.{Analyzer, IntCodec, PostingBlocks, SmallFloatUtil}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+import scala.collection.mutable
+
+/** Build configuration (SURVEY.md §7.3 decision table). */
+case class IndexConfig(
+    blockSize: Int = PostingBlocks.BlockSize,
+    /** df above which a term's merge group is salted across slices. */
+    hotTermDf: Long = 100000L,
+    /** target postings per salted slice of a hot term. */
+    targetPostingsPerSlice: Long = 100000L,
+    /** reduce-side parallelism of the segment-merge shuffle; 0 = session default. */
+    mergePartitions: Int = 0,
+    stopWords: Set[String] = Analyzer.EnglishStopWords)
+
+/** Union row of the flush ("segment") output: one tokenize pass emits both
+  * per-doc metadata (kind=0) and per-(term, partition) partial postings
+  * (kind=1), exactly like a Lucene DWPT flush writes .nvd + .doc together
+  * [B lucene/core/src/java/org/apache/lucene/index/DocumentsWriterPerThread.java].
+  */
+case class SegRow(kind: Int, meta: Option[DocMeta], partial: Option[PartialPostings])
+
+/** The index write path (SURVEY.md §3.1):
+  *
+  *   corpus --mapPartitions--> SegRow segments        (flush; shared-nothing,
+  *                                                     DWPT == Spark task)
+  *   partials --repartition(term,salt)
+  *            --sortWithinPartitions(term,salt,docPartition)
+  *            --mapPartitions streaming merge-->      (the segment-merge
+  *              TermPostings + lineage                 shuffle, BASELINE.json)
+  *
+  * Skew: terms whose corpus-wide df exceeds `hotTermDf` are salted across
+  * docId-disjoint CONTIGUOUS docPartition ranges (salt = docPartition/span),
+  * so no reduce task ever materializes a full hot-term posting list and the
+  * slices concatenate in salt order into a valid single list. This is the
+  * Spark-native answer to `the`/`if`/`return` at 10^12-file scale — Lucene
+  * never faces it because its merges are single-node (SURVEY.md §2.3).
+  */
+object IndexBuilder {
+
+  /** One tokenize pass over a corpus partition; docIds are
+    * (partitionId << 40 | row), stable across resume because the parquet
+    * scan's partition ids are deterministic for a fixed file set.
+    */
+  def flushSegments(corpus: Dataset[SourceDoc], cfg: IndexConfig): Dataset[SegRow] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val stop = cfg.stopWords
+    corpus.mapPartitions { docs =>
+      val pid = TaskContext.get().partitionId()
+      var row = 0L
+      val metas = mutable.ArrayBuffer.empty[SegRow]
+      // DWPT-style in-memory inverted index for this partition
+      val inv = mutable.HashMap.empty[String, (mutable.ArrayBuffer[Long],
+        mutable.ArrayBuffer[Int], mutable.ArrayBuffer[Byte])]
+      docs.foreach { d =>
+        val docId = CorpusIds.docId(pid, row)
+        row += 1
+        val (terms, tfs, total) = Analyzer.termFreqs(d.content, stop)
+        val normByte = SmallFloatUtil.intToByte4(total)
+        metas += SegRow(0, Some(DocMeta(docId, d.repo, d.path, d.commit, d.lang,
+          graft.corpus.CorpusGen.sha256Hex(d.content), total, normByte)), None)
+        var i = 0
+        while (i < terms.length) {
+          val e = inv.getOrElseUpdate(terms(i),
+            (mutable.ArrayBuffer.empty[Long], mutable.ArrayBuffer.empty[Int],
+              mutable.ArrayBuffer.empty[Byte]))
+          e._1 += docId
+          e._2 += tfs(i)
+          e._3 += normByte
+          i += 1
+        }
+      }
+      val partials = inv.iterator.map { case (term, (ids, tfs, norms)) =>
+        val idArr = ids.toArray // ascending by construction (ingest order)
+        val gaps = new Array[Int](idArr.length)
+        var i = 1
+        while (i < idArr.length) { gaps(i) = (idArr(i) - idArr(i - 1)).toInt; i += 1 }
+        SegRow(1, None, Some(PartialPostings(
+          term = term,
+          docPartition = pid,
+          count = idArr.length,
+          totalTf = tfs.foldLeft(0L)(_ + _),
+          firstDocId = if (idArr.isEmpty) 0L else idArr(0),
+          docIdBytes = IntCodec.encode(gaps),
+          tfBytes = IntCodec.encode(tfs.toArray),
+          normBytes = IntCodec.encode(norms.map(_ & 0xff).toArray))))
+      }
+      metas.iterator ++ partials
+    }
+  }
+
+  def decodePartial(p: PartialPostings): (Array[Long], Array[Int], Array[Byte]) = {
+    val gaps = IntCodec.decode(p.docIdBytes, p.count)
+    val docIds = new Array[Long](p.count)
+    var acc = p.firstDocId
+    var i = 0
+    while (i < p.count) { acc += gaps(i); docIds(i) = acc; i += 1 }
+    (docIds, IntCodec.decode(p.tfBytes, p.count),
+      IntCodec.decode(p.normBytes, p.count).map(_.toByte))
+  }
+
+  /** Number of salted slices for a term with corpus-wide doc frequency df. */
+  def slicesFor(df: Long, cfg: IndexConfig): Int =
+    if (df <= cfg.hotTermDf) 1
+    else math.min(4096L, (df + cfg.targetPostingsPerSlice - 1) / cfg.targetPostingsPerSlice).toInt
+
+  /** The segment-merge shuffle. `snapshotId` tags lineage rows. */
+  def mergePostings(partials: Dataset[PartialPostings], cfg: IndexConfig,
+      snapshotId: Long,
+      lineage: CollectionAccumulator[PartitionLineage]): Dataset[TermPostings] = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+
+    // Pass 1 (small-row shuffle): corpus-wide df per term -> hot-term set.
+    // Rows here are (term, count) pairs, NOT postings — cheap even for a
+    // billion-term vocabulary; only the Zipf head survives the filter.
+    val hotTerms: Map[String, Long] = partials
+      .groupBy($"term").agg(sum($"count").as("df"))
+      .where($"df" > cfg.hotTermDf)
+      .as[(String, Long)].collect().toMap
+    val hotB = spark.sparkContext.broadcast(hotTerms)
+
+    val numPartitions = partials.select(max($"docPartition")).as[Int].head() + 1
+    val mergeParts =
+      if (cfg.mergePartitions > 0) cfg.mergePartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val salted = partials.map { p =>
+      val slices = hotB.value.get(p.term).map(slicesFor(_, cfg)).getOrElse(1)
+      val span = math.max(1, (numPartitions + slices - 1) / slices)
+      (p.term, p.docPartition / span, p)
+    }.toDF("term", "salt", "p")
+
+    // Sort-based shuffle does the k-way merge: within each reduce partition,
+    // partials of a (term, salt) group arrive contiguous and in docPartition
+    // order (== docId order), so the merge is a single streaming pass.
+    val blockSize = cfg.blockSize
+    salted
+      .repartition(mergeParts, $"term", $"salt")
+      .sortWithinPartitions($"term", $"salt", $"p.docPartition")
+      .as[(String, Int, PartialPostings)]
+      .mapPartitions { it =>
+        val t0 = System.nanoTime()
+        val pid = TaskContext.get().partitionId()
+        var termLo: String = null
+        var termHi: String = null
+        var bytes = 0L
+        var docCount = 0L
+        var termCount = 0L
+
+        val mergedIt = new Iterator[TermPostings] {
+          private var cur: (String, Int, PartialPostings) = null
+          private def emit(key: (String, Int),
+              buf: mutable.ArrayBuffer[PartialPostings]): TermPostings = {
+            val blocks = buf.iterator.flatMap { p =>
+              val (ids, tfs, norms) = decodePartial(p)
+              PostingBlocks.build(ids, tfs, norms, blockSize)
+            }.toVector
+            val df = buf.iterator.map(_.count.toLong).sum
+            val ttf = buf.iterator.map(_.totalTf).sum
+            if (termLo == null || key._1 < termLo) termLo = key._1
+            if (termHi == null || key._1 > termHi) termHi = key._1
+            bytes += blocks.iterator.map(b => b.docIdBytes.length.toLong +
+              b.tfBytes.length + b.normBytes.length + b.impactTfBytes.length +
+              b.impactNormBytes.length).sum
+            docCount += df
+            termCount += 1
+            TermPostings(key._1, key._2, df, ttf, blocks)
+          }
+          def hasNext: Boolean = cur != null || it.hasNext
+          def next(): TermPostings = {
+            if (cur == null) cur = it.next()
+            val key = (cur._1, cur._2)
+            val buf = mutable.ArrayBuffer(cur._3)
+            cur = null
+            var done = false
+            while (!done && it.hasNext) {
+              val n = it.next()
+              if ((n._1, n._2) == key) buf += n._3
+              else { cur = n; done = true }
+            }
+            emit(key, buf)
+          }
+        }
+
+        // wrap to add the lineage row after the partition drains
+        new Iterator[TermPostings] {
+          private var finished = false
+          def hasNext: Boolean = {
+            val h = mergedIt.hasNext
+            if (!h && !finished) {
+              finished = true
+              lineage.add(PartitionLineage(snapshotId, "merge", pid,
+                if (termLo == null) "" else termLo,
+                if (termHi == null) "" else termHi,
+                bytes, docCount, termCount,
+                (System.nanoTime() - t0) / 1000000L))
+            }
+            h
+          }
+          def next(): TermPostings = mergedIt.next()
+        }
+      }
+  }
+}

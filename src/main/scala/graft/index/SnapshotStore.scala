@@ -1,0 +1,245 @@
+package graft.index
+
+import graft._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** One committed increment of the index (== a Lucene commit point /
+  * `segments_N` generation, emulating an Iceberg snapshot — no Iceberg jar
+  * ships in this sandbox, SURVEY.md §0/§7.4-5; the JSON shape mirrors
+  * Iceberg's snapshot list so a real catalog can be swapped in).
+  */
+case class SnapshotMeta(
+    snapshotId: Long,
+    parentId: Long,
+    incrementId: Int,
+    docCount: Long,
+    sumTotalTermFreq: Long,
+    postingsDir: String,
+    docMetaDir: String,
+    lineage: Seq[PartitionLineage])
+
+/** Layout under indexDir:
+  *   inc=K/segments/   flush output (SegRow parquet)   + _SEG_DONE marker
+  *   inc=K/postings/   merged TermPostings parquet
+  *   inc=K/docmeta/    DocMeta parquet
+  *   snapshots.json    committed snapshot list (atomic rename publish)
+  *
+  * Two-phase commit mirror of IndexWriter.prepareCommit/commit
+  * [B lucene/core/src/java/org/apache/lucene/index/SegmentInfos.java]:
+  * all parquet lands first, then the JSON manifest is written to a temp
+  * file and atomically renamed. Resume: committed increments are skipped
+  * entirely; a flushed-but-uncommitted increment skips re-tokenization and
+  * redoes only the merge (idempotent overwrite).
+  */
+object SnapshotStore {
+
+  // -- tiny hand-rolled JSON (no extra deps in the sandbox) --
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def lineageJson(l: PartitionLineage): String =
+    s"""{"snapshotId":${l.snapshotId},"stage":${jstr(l.stage)},"partitionId":${l.partitionId},""" +
+      s""""termLo":${jstr(l.termLo)},"termHi":${jstr(l.termHi)},"postingsBytes":${l.postingsBytes},""" +
+      s""""docCount":${l.docCount},"termCount":${l.termCount},"wallMillis":${l.wallMillis}}"""
+
+  private def snapshotJson(s: SnapshotMeta): String =
+    s"""{"snapshotId":${s.snapshotId},"parentId":${s.parentId},"incrementId":${s.incrementId},""" +
+      s""""docCount":${s.docCount},"sumTotalTermFreq":${s.sumTotalTermFreq},""" +
+      s""""postingsDir":${jstr(s.postingsDir)},"docMetaDir":${jstr(s.docMetaDir)},""" +
+      s""""lineage":[${s.lineage.map(lineageJson).mkString(",")}]}"""
+
+  def write(indexDir: String, snapshots: Seq[SnapshotMeta]): Unit = {
+    val dir = Paths.get(indexDir)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve("snapshots.json.tmp")
+    val dst = dir.resolve("snapshots.json")
+    Files.writeString(tmp, snapshots.map(snapshotJson).mkString("[", ",\n", "]"))
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // minimal JSON reader for exactly the shape we write
+  def read(indexDir: String): Seq[SnapshotMeta] = {
+    val p = Paths.get(indexDir, "snapshots.json")
+    if (!Files.exists(p)) return Nil
+    val txt = Files.readString(p)
+    parseSnapshots(txt)
+  }
+
+  private[index] def parseSnapshots(txt: String): Seq[SnapshotMeta] = {
+    // split into top-level snapshot objects
+    val objs = splitObjects(txt)
+    objs.map { o =>
+      SnapshotMeta(
+        snapshotId = longField(o, "snapshotId"),
+        parentId = longField(o, "parentId"),
+        incrementId = longField(o, "incrementId").toInt,
+        docCount = longField(o, "docCount"),
+        sumTotalTermFreq = longField(o, "sumTotalTermFreq"),
+        postingsDir = strField(o, "postingsDir"),
+        docMetaDir = strField(o, "docMetaDir"),
+        lineage = splitObjects(arrField(o, "lineage")).map { l =>
+          PartitionLineage(longField(l, "snapshotId"), strField(l, "stage"),
+            longField(l, "partitionId").toInt, strField(l, "termLo"),
+            strField(l, "termHi"), longField(l, "postingsBytes"),
+            longField(l, "docCount"), longField(l, "termCount"),
+            longField(l, "wallMillis"))
+        })
+    }
+  }
+
+  /** Top-level {...} object slices of a JSON array/string (strings in our
+    * documents never contain unescaped braces — terms are tokenizer output).
+    */
+  private def splitObjects(txt: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = -1
+    var inStr = false
+    var esc = false
+    var i = 0
+    while (i < txt.length) {
+      val c = txt.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) { out += txt.substring(start, i + 1); start = -1 }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def longField(o: String, name: String): Long = {
+    val m = ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(o)
+    m.map(_.group(1).toLong).getOrElse(
+      throw new IllegalArgumentException(s"missing $name in $o"))
+  }
+
+  private def strField(o: String, name: String): String = {
+    val m = ("\"" + name + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(o)
+    val raw = m.map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(s"missing $name"))
+    raw.replace("\\\"", "\"").replace("\\\\", "\\")
+      .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
+  }
+
+  private def arrField(o: String, name: String): String = {
+    val idx = o.indexOf("\"" + name + "\":[")
+    if (idx < 0) return ""
+    val start = o.indexOf('[', idx)
+    // lineage is the last field; find matching bracket naively by depth
+    var depth = 0
+    var i = start
+    while (i < o.length) {
+      val c = o.charAt(i)
+      if (c == '[') depth += 1
+      else if (c == ']') { depth -= 1; if (depth == 0) return o.substring(start + 1, i) }
+      i += 1
+    }
+    ""
+  }
+}
+
+/** Orchestrates resumable incremental builds and exposes the read side. */
+object Index {
+
+  /** Build (or resume building) an index over `corpus` in `increments`
+    * docId-disjoint slices. Each increment: flush -> merge -> commit.
+    * Returns the snapshot list. Deterministic: rerunning after a partial
+    * failure yields byte-identical postings (resume test, SURVEY.md §5.2-7).
+    */
+  def build(corpus: Dataset[SourceDoc], indexDir: String,
+      cfg: IndexConfig = IndexConfig(), increments: Int = 1): Seq[SnapshotMeta] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val numParts = corpus.rdd.getNumPartitions // metadata only, no RDD compute
+    val perInc = math.max(1, (numParts + increments - 1) / increments)
+    var snaps = SnapshotStore.read(indexDir).toBuffer
+
+    var inc = 0
+    while (inc * perInc < numParts) {
+      if (!snaps.exists(_.incrementId == inc)) {
+        val lo = inc * perInc
+        val hi = math.min(numParts, lo + perInc)
+        val slice = corpus.where(spark_partition_id() >= lo && spark_partition_id() < hi)
+        val incDir = s"$indexDir/inc=$inc"
+        val segDir = s"$incDir/segments"
+        val segDone = Paths.get(incDir, "_SEG_DONE")
+
+        if (!Files.exists(segDone)) {
+          IndexBuilder.flushSegments(slice.as[SourceDoc], cfg)
+            .write.mode("overwrite").parquet(segDir)
+          Files.createDirectories(Paths.get(incDir))
+          Files.write(segDone, Array.emptyByteArray)
+        }
+
+        val seg = spark.read.parquet(segDir)
+        val docMeta = seg.where($"kind" === 0).select($"meta.*").as[DocMeta]
+        docMeta.write.mode("overwrite").parquet(s"$incDir/docmeta")
+
+        val partials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
+        val snapshotId = snaps.size.toLong + 1L
+        val lineageAcc = spark.sparkContext.collectionAccumulator[PartitionLineage](
+          s"lineage-inc$inc")
+        val merged = IndexBuilder.mergePostings(partials, cfg, snapshotId, lineageAcc)
+        merged.write.mode("overwrite").parquet(s"$incDir/postings")
+
+        val statsRow = spark.read.parquet(s"$incDir/docmeta")
+          .agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
+          .as[(Long, Long)].head()
+        // dedupe accumulator rows (task retries) keeping one per partition
+        val lin = lineageAcc.value.asScala.toSeq
+          .groupBy(l => (l.stage, l.partitionId)).map(_._2.head).toSeq
+          .sortBy(_.partitionId)
+        snaps += SnapshotMeta(snapshotId, snaps.lastOption.map(_.snapshotId).getOrElse(0L),
+          inc, statsRow._1, statsRow._2, s"$incDir/postings", s"$incDir/docmeta", lin)
+        SnapshotStore.write(indexDir, snaps.toSeq)
+      }
+      inc += 1
+    }
+    snaps.toSeq
+  }
+
+  /** Read side of a committed index. */
+  final class Reader(val spark: SparkSession, val indexDir: String) {
+    val snapshots: Seq[SnapshotMeta] = SnapshotStore.read(indexDir)
+    require(snapshots.nonEmpty, s"no committed snapshots in $indexDir")
+
+    val stats: IndexStats = IndexStats(
+      snapshots.map(_.docCount).sum,
+      snapshots.map(_.sumTotalTermFreq).sum)
+
+    def postings: Dataset[TermPostings] = {
+      import spark.implicits._
+      spark.read.parquet(snapshots.map(_.postingsDir): _*).as[TermPostings]
+    }
+
+    def docMeta: Dataset[DocMeta] = {
+      import spark.implicits._
+      spark.read.parquet(snapshots.map(_.docMetaDir): _*).as[DocMeta]
+    }
+  }
+
+  def reader(spark: SparkSession, indexDir: String): Reader =
+    new Reader(spark, indexDir)
+}

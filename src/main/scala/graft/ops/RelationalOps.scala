@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Solr's OLAP / streaming-expression operator surface re-expressed as
+  * Catalyst plans (SURVEY.md §2.7 facets, §2.8 stream ops). Every function
+  * returns a fully-ordered, deterministic DataFrame whose ANSI-SQL
+  * equivalent lives in SparkEntry.oracleSql (DuckDB-checked by the driver).
+  *
+  * Spark-first notes: facet refinement (Solr's distributed two-phase
+  * protocol) disappears — Spark shuffles are exact; every groupBy below is
+  * a hash aggregate with map-side partials; joins pick BroadcastHashJoin
+  * automatically for the small dims (verified via explain in OpsSpec).
+  */
+object RelationalOps {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Terms facet: count per field value, top-N, deterministic tiebreak
+    * [B solr/core/src/java/org/apache/solr/search/facet/FacetField.java].
+    */
+  def facetTerms(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("lang"))
+      .limit(5)
+
+  /** Range facet: fixed-gap numeric buckets [B .../facet/FacetRange.java]. */
+  def facetRange(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(floor(col("l_quantity") / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(asc("bucket"))
+
+  /** Query facet: counts per arbitrary sub-query == conditional aggregation
+    * [B .../facet/FacetQuery.java].
+    */
+  def facetQuery(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt_all"),
+        sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("cnt_big"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("cnt_urgent"))
+      .orderBy(asc("o_orderstatus"))
+
+  /** Nested facets == multi-level rollup [B .../facet/FacetModule.java]. */
+  def facetNested(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+
+  /** Stats facet: sum/avg/min/max/stddev per bucket
+    * [B solr/core/src/java/org/apache/solr/handler/component/StatsComponent.java].
+    */
+  def facetStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_disc"))
+      .orderBy(asc("l_returnflag"))
+
+  /** unique/hll facet: exact distinct (Spark's exact shuffle replaces Solr's
+    * HLL refinement; approx_count_distinct is the HLL++ drop-in, asserted
+    * separately in tests) [B .../facet/HLLAgg.java].
+    */
+  def facetUnique(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc("event_type"))
+
+  /** Percentiles facet (Solr: t-digest; ours: exact interpolated). */
+  def facetPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+      .orderBy(asc("l_linestatus"))
+
+  // ---- Solr streaming-expression operators (SURVEY.md §2.8) ----
+
+  /** innerJoin(search(...), search(...)) -> sort-merge/broadcast equi-join. */
+  def streamInnerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(asc("c_mktsegment"))
+  }
+
+  /** hashJoin == broadcast hash join of the small side. */
+  def streamHashJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val p = t(spark, sfDir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(asc("p_brand"))
+  }
+
+  /** intersect(a, b, on=key) == left_semi join. */
+  def streamIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(asc("c_custkey"))
+  }
+
+  /** complement(a, b, on=key) == left_anti join. */
+  def streamComplement(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(asc("c_custkey"))
+  }
+
+  /** rollup(stream, over=f, sum/avg/count) == groupBy agg. */
+  def streamRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(asc("event_type"))
+
+  /** top(n, stream, sort) == TakeOrderedAndProject. */
+  def streamTop(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+
+  /** unique(stream, over=cols) == sorted distinct. */
+  def streamUnique(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(asc("l_returnflag"), asc("l_linestatus"))
+
+  /** select(+computed fields) then having(post-agg filter). */
+  def streamSelectHaving(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
+      .where(col("total") > 300000)
+      .orderBy(asc("o_custkey"))
+
+  /** Solr collapse (top-1 per group) == window row_number
+    * [B solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java].
+    */
+  def collapseTop1(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc("value"), asc("event_id"))
+    t(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .orderBy(asc("event_type"))
+  }
+
+  /** Solr query-time join {!join from=c_custkey to=o_custkey} == semi-join
+    * domain change [B solr/core/src/java/org/apache/solr/search/JoinQParserPlugin.java].
+    */
+  def solrJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer").where(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(c.select(col("c_custkey"))),
+        o("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(asc("o_orderkey"))
+  }
+
+  /** timeseries(...) == tumbling daily window agg
+    * [B solr/solrj/.../io/stream/TimeSeriesStream.java].
+    */
+  def timeseriesDaily(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(asc("day"), asc("event_type"))
+
+  /** Sessionization: gap > 30 min starts a new session (the batch-SQL
+    * equivalent of session_window; the streaming variant is exercised in
+    * StreamingSpec with flatMapGroupsWithState semantics).
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+    t(spark, sfDir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(asc("user_id"), asc("session_id"))
+  }
+
+}

@@ -1,0 +1,187 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.Props.{forAll, forAll3}
+import java.nio.ByteBuffer
+
+/** M1 property tests: SmallFloat golden vectors, codec roundtrips, BM25
+  * formula checks (SURVEY.md §5.2 items 1-3).
+  */
+class CoreCodecSpec extends AnyFunSuite {
+
+  // ---- SmallFloat ----------------------------------------------------------
+
+  test("SmallFloat golden vectors (FIXTURES.md §4)") {
+    val golden = Seq(
+      0 -> 0, 1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 7 -> 7,
+      8 -> 8, 16 -> 16, 255 -> 240, 256 -> 256, 10000 -> 9216)
+    for ((len, quantized) <- golden) {
+      assert(SmallFloatUtil.quantize(len) == quantized, s"len=$len")
+    }
+  }
+
+  test("SmallFloat monotone, lossy-below, idempotent") {
+    forAll(Gen.chooseNum(0, Int.MaxValue)) { i =>
+      val q = SmallFloatUtil.quantize(i)
+      assert(q <= i)
+      assert(SmallFloatUtil.quantize(q) == q) // idempotent
+    }
+    // monotone over a dense small range + exponential spine
+    val probes = (0 to 5000) ++ (0 to 30).map(1 << _)
+    probes.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(
+          java.lang.Byte.toUnsignedInt(SmallFloatUtil.intToByte4(a)) <=
+            java.lang.Byte.toUnsignedInt(SmallFloatUtil.intToByte4(b)))
+      case _ =>
+    }
+  }
+
+  // ---- VByte / FOR ---------------------------------------------------------
+
+  private val intArrayGen: Gen[Array[Int]] =
+    Gen.chooseNum(0, 600).flatMap { n =>
+      Gen.containerOfN[Array, Int](n, Gen.chooseNum(0, Int.MaxValue))
+    }
+
+  test("VByte roundtrip") {
+    forAll(intArrayGen) { arr =>
+      val buf = ByteBuffer.allocate(arr.length * 5 + 1)
+      IntCodec.vbyteEncode(arr, buf)
+      buf.flip()
+      val out = new Array[Int](arr.length)
+      IntCodec.vbyteDecode(buf, arr.length, out)
+      assert(out.sameElements(arr))
+    }
+  }
+
+  test("FOR roundtrip at every bit width") {
+    for (bits <- 1 to 32) {
+      val max = if (bits == 32) Int.MaxValue else (1 << bits) - 1
+      forAll(Gen.chooseNum(1, 300).flatMap(n =>
+        Gen.containerOfN[Array, Int](n, Gen.chooseNum(0, max)))) { arr =>
+        val buf = ByteBuffer.allocate(8 * ((arr.length * bits + 63) / 64) + 8)
+        IntCodec.forEncode(arr, bits, buf)
+        buf.flip()
+        val out = new Array[Int](arr.length)
+        IntCodec.forDecode(buf, bits, arr.length, out)
+        assert(out.sameElements(arr), s"bits=$bits")
+      }
+    }
+  }
+
+  test("self-describing encode/decode roundtrip") {
+    forAll(intArrayGen) { arr =>
+      assert(IntCodec.decode(IntCodec.encode(arr), arr.length).sameElements(arr))
+    }
+  }
+
+  // ---- Posting blocks ------------------------------------------------------
+
+  private val postingsGen: Gen[(Array[Long], Array[Int], Array[Byte])] =
+    for {
+      n <- Gen.chooseNum(1, 1000)
+      gaps <- Gen.containerOfN[Array, Long](n, Gen.chooseNum(1L, 5000L))
+      tfs <- Gen.containerOfN[Array, Int](n, Gen.chooseNum(1, 500))
+      lens <- Gen.containerOfN[Array, Int](n, Gen.chooseNum(1, 100000))
+    } yield {
+      val docIds = gaps.scanLeft(41L)(_ + _).tail
+      (docIds, tfs, lens.map(SmallFloatUtil.intToByte4))
+    }
+
+  test("posting block roundtrip + skip metadata + impact bound") {
+    val bm25 = Bm25()
+    forAll(postingsGen) { case (docIds, tfs, norms) =>
+      val df = docIds.length.toLong
+      val docCount = 1000000L
+      val avgdl = 120.0
+      val blocks = PostingBlocks.build(docIds, tfs, norms, blockSize = 128)
+      assert(blocks.map(_.count).sum == docIds.length)
+      val decoded = blocks.flatMap { b =>
+        val (d, t, nb) = PostingBlocks.decode(b)
+        assert(d.head == b.firstDocId && d.last == b.lastDocId)
+        d.lazyZip(t).lazyZip(nb).toSeq
+      }
+      assert(decoded.map(_._1) == docIds.toSeq)
+      assert(decoded.map(_._2) == tfs.toSeq)
+      assert(decoded.map(_._3) == norms.toSeq)
+      // impact-skyline bound is a true upper bound, and tight (achieved by
+      // some posting), for several (k1, b, avgdl) settings
+      for (params <- Seq((1.2, 0.75, avgdl), (0.9, 0.4, 30.0), (2.0, 1.0, 500.0))) {
+        val sim = Bm25(params._1, params._2)
+        val cache = sim.normCache(params._3)
+        val w = sim.idf(df, docCount)
+        for (b <- blocks) {
+          val bound = PostingBlocks.blockBound(b, w, cache)
+          val (_, t, nb) = PostingBlocks.decode(b)
+          val scores = t.lazyZip(nb).map((tf, n) => sim.score(w, tf, n, cache))
+          assert(scores.forall(_ <= bound))
+          assert(scores.max == bound) // skyline contains the argmax pair
+        }
+      }
+    }
+  }
+
+  test("competitive skyline: no pair dominated, covers all tf classes") {
+    forAll(postingsGen) { case (_, tfs, norms) =>
+      val (skyTf, skyNorm) = PostingBlocks.competitiveSkyline(tfs, norms)
+      assert(skyTf.length == skyNorm.length && skyTf.nonEmpty)
+      // strictly increasing in both coordinates (tf asc, norm asc)
+      skyTf.toSeq.sliding(2).foreach { case Seq(a, b) => assert(a < b); case _ => }
+      skyNorm.toSeq.sliding(2).foreach { case Seq(a, b) => assert(a < b); case _ => }
+      // every posting is dominated by (or equals) a skyline pair
+      tfs.lazyZip(norms).foreach { (tf, n) =>
+        assert(skyTf.lazyZip(skyNorm).exists((st, sn) => st >= tf && sn <= (n & 0xff)))
+      }
+    }
+  }
+
+  // ---- BM25 ----------------------------------------------------------------
+
+  test("BM25 idf formula and monotonicity") {
+    val bm25 = Bm25()
+    assert(math.abs(bm25.idf(1, 1) - math.log(1 + 0.5 / 1.5)) < 1e-12)
+    val n = 10000L
+    val idfs = (1L to n).map(df => bm25.idf(df, n))
+    assert(idfs.sliding(2).forall { case Seq(a, b) => a > b; case _ => true })
+    assert(idfs.forall(_ > 0))
+  }
+
+  test("BM25 norm-cache path equals direct compute") {
+    val bm25 = Bm25()
+    val avgdl = 57.3
+    val cache = bm25.normCache(avgdl)
+    forAll3(Gen.chooseNum(1, 300), Gen.chooseNum(0, 200000),
+      Gen.chooseNum(1L, 1000L)) { (tf, len, df) =>
+      val nb = SmallFloatUtil.intToByte4(len)
+      val docCount = 2000L
+      val dfc = math.min(df, docCount)
+      val w = bm25.idf(dfc, docCount)
+      val viaCache = bm25.score(w, tf, nb, cache)
+      val direct = bm25.scoreDirect(tf, nb, dfc, docCount, avgdl)
+      assert(viaCache == direct)
+    }
+  }
+
+  // ---- Analyzer ------------------------------------------------------------
+
+  test("analyzer: identifier-domain tokenization, lowercase, stop") {
+    assert(Analyzer.tokenize("def Foo_bar(x1, y) { return x1; }").toSeq ==
+      Seq("def", "foo_bar", "x1", "y", "return", "x1"))
+    assert(Analyzer.analyze("The parser IS in the house").toSeq ==
+      Seq("parser", "house"))
+    assert(Analyzer.analyze("the of and to").isEmpty)
+    assert(Analyzer.tokenize("").isEmpty && Analyzer.tokenize(null).isEmpty)
+    val (terms, tfs, total) = Analyzer.termFreqs("b a b c a b")
+    assert(terms.toSeq == Seq("b", "c")) // "a" is a stopword
+    assert(tfs.toSeq == Seq(3, 1) && total == 4)
+    assert(terms.toSeq == terms.sorted.toSeq)
+  }
+
+  test("analyzer: 255-char max token length splits") {
+    val long = "x" * 600
+    val toks = Analyzer.tokenize(long)
+    assert(toks.toSeq == Seq("x" * 255, "x" * 255, "x" * 90))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.index
+
+import graft._
+import graft.core.{Analyzer, SmallFloatUtil}
+import graft.corpus.CorpusGen
+import graft.search.{NaiveSearch, QueryEngine, ReferenceQueries}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.reflect.io.Directory
+
+/** End-to-end suite (SURVEY.md §5.2 items 4-9): build a real index over the
+  * deterministic synthetic corpus, then
+  *   - rank-identity of the BMW engine vs the independent naive oracle on
+  *     the full 20-query reference set (scores within 1e-9),
+  *   - CheckIndex-style structural audit,
+  *   - sha256 ingest invariant vs the generator manifest,
+  *   - resume (kill-after-partial-snapshot) determinism,
+  *   - hot-term skew salting correctness.
+  */
+class IndexEndToEndSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-e2e")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val workDir = Files.createTempDirectory("graft_e2e").toString
+  private val NumDocs = 1200L
+
+  private lazy val corpusDir = {
+    CorpusGen.ensure(spark, s"$workDir/corpus", NumDocs, numPartitions = 6)
+    s"$workDir/corpus"
+  }
+
+  private lazy val indexDir: String = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    Index.build(corpus, s"$workDir/index",
+      IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300), increments = 2)
+    s"$workDir/index"
+  }
+
+  test("flagship: rank-identity vs naive oracle on the 20-query set") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+
+    // naive oracle over the corpus with the engine's docIds as keys
+    // (join by identity columns; scoring stays fully independent)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+    val tokens = NaiveSearch.tokenTable(keyed, "docId", "content").cache()
+    val stats = reader.stats
+
+    // engine: all 20 queries in one pass
+    val got = QueryEngine.search(reader, ReferenceQueries.all)
+      .collect().groupBy(_.qid)
+      .map { case (q, hits) =>
+        q -> hits.sortBy(h => (-h.score, h.docId)).toSeq
+      }
+
+    val langByDoc = reader.docMeta.select($"docId", $"lang")
+      .as[(Long, String)].collect().toMap
+
+    for (q <- ReferenceQueries.all) {
+      val naive: Seq[(Long, Double)] = q.langFilter match {
+        case None =>
+          NaiveSearch.scoreQuery(tokens, q, stats).as[(Long, Double)]
+            .collect().toSeq
+        case Some(lang) =>
+          // oracle for filtered search: score then filter by lang, re-limit
+          NaiveSearch.scoreQuery(tokens, q.copy(k = Int.MaxValue), stats)
+            .as[(Long, Double)].collect().toSeq
+            .filter(d => langByDoc(d._1) == lang).take(q.k)
+      }
+      val engine = got.getOrElse(q.qid, Seq.empty)
+      assert(engine.map(_.docId) == naive.map(_._1),
+        s"${q.qid}: rank mismatch\n engine=${engine.take(12)}\n naive=${naive.take(12)}")
+      engine.zip(naive).foreach { case (e, (_, s)) =>
+        assert(math.abs(e.score - s) < 1e-9, s"${q.qid}: score drift ${e.score} vs $s")
+      }
+    }
+
+    // needle semantics: q02 hits exactly the planted rows
+    val needleHits = got("q02")
+    assert(needleHits.nonEmpty && needleHits.size <= 10)
+    // q19/q20 empty
+    assert(!got.contains("q19") || got("q19").isEmpty)
+    assert(!got.contains("q20") || got("q20").isEmpty)
+  }
+
+  test("CheckIndex-style audit: df/posting-length/ordering/dict invariants") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+    val postings = reader.postings.collect()
+
+    postings.foreach { tp =>
+      val decoded = tp.blocks.flatMap { b =>
+        val (ids, tfs, _) = graft.core.PostingBlocks.decode(b)
+        assert(b.count == ids.length)
+        assert(ids.head == b.firstDocId && ids.last == b.lastDocId)
+        ids.zip(tfs)
+      }
+      assert(decoded.size.toLong == tp.df, s"df != postings length for ${tp.term}")
+      assert(decoded.map(_._2.toLong).sum == tp.totalTf)
+      // strictly increasing docIds across the row's blocks
+      decoded.map(_._1).sliding(2).foreach {
+        case Seq(a, b) => assert(a < b, s"docIds not increasing for ${tp.term}")
+        case _ =>
+      }
+      assert(tp.blocks.forall(_.impactCount > 0))
+    }
+
+    // sum(tf) over postings == sum(tokenCount) over docmeta
+    val ttfPostings = postings.map(_.totalTf).sum
+    val ttfDocs = reader.docMeta.agg(sum($"tokenCount")).as[Long].head()
+    assert(ttfPostings == ttfDocs)
+    assert(reader.stats.docCount == NumDocs)
+  }
+
+  test("ingest invariant: sha256(content) matches generator manifest") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+    val manifest = spark.read.parquet(s"$corpusDir/manifest.parquet")
+    val mismatched = reader.docMeta
+      .join(manifest.withColumnRenamed("sha256", "expected"), Seq("repo", "path"))
+      .where($"sha256" =!= $"expected")
+      .count()
+    assert(mismatched == 0)
+    assert(manifest.count() == NumDocs)
+  }
+
+  test("resume: partial build + rerun == identical committed postings") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    val cfg = IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300)
+
+    val fullDir = s"$workDir/index_full"
+    Index.build(corpus, fullDir, cfg, increments = 3)
+
+    // simulate a crash: build only increment 0, then "restart"
+    val resumeDir = s"$workDir/index_resume"
+    val firstIncOnly = corpus.where(spark_partition_id() < 2) // 6 parts / 3 incs
+    Index.build(firstIncOnly, resumeDir, cfg, increments = 1)
+    // rewrite manifest to mark it as increment 0 of the resumed build
+    val snaps = SnapshotStore.read(resumeDir)
+    SnapshotStore.write(resumeDir, snaps.map(_.copy(incrementId = 0)))
+    Index.build(corpus, resumeDir, cfg, increments = 3) // resumes at inc 1
+
+    def canonical(dir: String): Seq[(String, Int, Long, Long, Seq[Long])] = {
+      Index.reader(spark, dir).postings.collect().toSeq
+        .map(tp => (tp.term, tp.salt, tp.df, tp.totalTf,
+          tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1).toSeq))
+        .sortBy(t => (t._1, t._5.headOption.getOrElse(0L)))
+    }
+    val a = canonical(fullDir)
+    val b = canonical(resumeDir)
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+
+    val rs = SnapshotStore.read(resumeDir)
+    assert(rs.size == 3 && rs.forall(_.lineage.nonEmpty))
+  }
+
+  test("skew: salted merge splits hot terms, bounded slices, correct union") {
+    import spark.implicits._
+    // every doc contains `return` (Keywords pool) -> df == NumDocs > hotTermDf
+    val reader = Index.reader(spark, indexDir)
+    val hot = reader.postings.where($"term" === "return").collect()
+    assert(hot.length > 1, "hot term should be salted into multiple slices")
+    // slices are docId-disjoint and their union is every doc containing it
+    val ranges = hot.map { tp =>
+      val ids = tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1)
+      (ids.min, ids.max, ids)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, "slices overlap")
+      case _ =>
+    }
+    // no slice materializes more than ~targetPostingsPerSlice * 2 postings
+    assert(hot.forall(_.df <= 600 * 2))
+    val unionDf = hot.map(_.df).sum
+    val naiveDf = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .where($"content".contains("return")).count()
+    assert(unionDf == naiveDf)
+  }
+}
