@@ -1,13 +1,336 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract (see /root/repo/SURVEY.md §7 + the builder prompt):
+  * `queries` = one entry per implemented operator; `oracleSql` = the ANSI
+  * SQL DuckDB equivalent over the same parquet tables (omitted only for
+  * ops whose semantics SQL can't express — those get rows-only checks and
+  * stronger ScalaTest assertions instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: disjunctive BM25 top-10 through the full inverted-index +
+    * block-max-WAND read path over the documents table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DocSearchOps.searchOr(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- the search engine itself (SURVEY.md §2.5/§2.6) --
+    "search_term_bm25" -> (DocSearchOps.searchTerm(_, _)),
+    "search_or_bm25" -> (DocSearchOps.searchOr(_, _)),
+    "search_and_bm25" -> (DocSearchOps.searchAnd(_, _)),
+    "search_not_bm25" -> (DocSearchOps.searchNot(_, _)),
+    "search_filtered_bm25" -> (DocSearchOps.searchFiltered(_, _)),
+    "search_prefix" -> (DocSearchOps.searchPrefix(_, _)),
+    "index_term_stats" -> (DocSearchOps.indexTermStats(_, _)),
+    // -- facets / OLAP (SURVEY.md §2.7) --
+    "facet_terms" -> (RelationalOps.facetTerms(_, _)),
+    "facet_range" -> (RelationalOps.facetRange(_, _)),
+    "facet_query" -> (RelationalOps.facetQuery(_, _)),
+    "facet_nested" -> (RelationalOps.facetNested(_, _)),
+    "facet_stats" -> (RelationalOps.facetStats(_, _)),
+    "facet_unique" -> (RelationalOps.facetUnique(_, _)),
+    "facet_percentile" -> (RelationalOps.facetPercentile(_, _)),
+    // -- Solr streaming expressions (SURVEY.md §2.8) --
+    "stream_innerjoin" -> (RelationalOps.streamInnerJoin(_, _)),
+    "stream_hashjoin" -> (RelationalOps.streamHashJoin(_, _)),
+    "stream_intersect" -> (RelationalOps.streamIntersect(_, _)),
+    "stream_complement" -> (RelationalOps.streamComplement(_, _)),
+    "stream_rollup" -> (RelationalOps.streamRollup(_, _)),
+    "stream_top" -> (RelationalOps.streamTop(_, _)),
+    "stream_unique" -> (RelationalOps.streamUnique(_, _)),
+    "stream_select_having" -> (RelationalOps.streamSelectHaving(_, _)),
+    "collapse_top1" -> (RelationalOps.collapseTop1(_, _)),
+    "solr_join" -> (RelationalOps.solrJoin(_, _)),
+    "timeseries_daily" -> (RelationalOps.timeseriesDaily(_, _)),
+    "sessionize" -> (RelationalOps.sessionize(_, _)),
+    // -- text analysis for training-data pipelines --
+    "text_token_count" -> (TextOps.tokenCount(_, _)),
+    "text_quality" -> (TextOps.qualityScore(_, _)),
+    "text_fingerprint" -> (TextOps.fingerprint(_, _)),
+    "text_langid" -> (TextOps.langId(_, _)),
+    "text_term_stats" -> (TextOps.termStats(_, _)),
+    // -- dedup family --
+    "dedup_exact" -> (DedupOps.dedupExact(_, _)),
+    "dedup_fingerprint" -> (DedupOps.dedupFingerprint(_, _)),
+    "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
+    "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
+    "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
+    // -- similarity search --
+    "ann_brute_force" -> (AnnOps.annBruteForce(_, _)),
+    "ann_ivf_exact" -> (AnnOps.annIvf(_, _)),
+    // -- multimodal plumbing --
+    "multimodal_meta" -> (MultimodalOps.mediaMeta(_, _)),
+    "multimodal_frames" -> (MultimodalOps.frameSample(_, _)),
+    // -- Structured Streaming (real streaming queries, drained via
+    //    Trigger.AvailableNow into a memory sink) --
+    "stream_window_hourly" -> (graft.streaming.StreamingOps.windowedCounts(_, _)),
+    "stream_dedup_events" -> (graft.streaming.StreamingOps.streamDedupEvents(_, _)))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL
+  // ---------------------------------------------------------------------
+
+  private val StopSql: String = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+    .map(w => s"'$w'").mkString(", ")
+
+  /** Tokenizer-equivalent SQL fragment: (doc_id, term) one row per analyzed
+    * token occurrence. Matches graft.core.Analyzer in the ASCII domain.
+    */
+  private val TokCte: String =
+    s"""tok AS (
+       |  SELECT d.doc_id, t.term
+       |  FROM documents d,
+       |       unnest(list_filter(string_split_regex(lower(d.text), '[^a-z0-9_]+'),
+       |              x -> x <> '' AND x NOT IN ($StopSql))) AS t(term)
+       |)""".stripMargin
+
+  /** Full BM25 (Lucene 8 semantics incl. SmallFloat byte4 doc-length
+    * quantization, k1=1.2 b=0.75) in ANSI SQL. Quantization: keep the top
+    * 4 significant bits of dl (values < 8 are exact) — identical to
+    * SmallFloatUtil.byte4ToInt(intToByte4(dl)).
+    */
+  private def bm25Sql(scored: Seq[String], musts: Seq[String],
+      nots: Seq[String] = Nil, lang: Option[String] = None, k: Int = 10): String = {
+    val termsIn = scored.map(t => s"'$t'").mkString(", ")
+    val mustFilter =
+      if (musts.isEmpty) ""
+      else {
+        val mi = musts.map(t => s"'$t'").mkString(", ")
+        s"HAVING count(DISTINCT CASE WHEN tf.term IN ($mi) THEN tf.term END) = ${musts.distinct.size}"
+      }
+    val notFilter =
+      if (nots.isEmpty) ""
+      else {
+        val ni = nots.map(t => s"'$t'").mkString(", ")
+        s"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term IN ($ni))"
+      }
+    val langJoin = lang.map(l =>
+      s"JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = '$l'").getOrElse("")
+    s"""WITH $TokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |qdl AS (SELECT doc_id, CASE WHEN dl < 8 THEN dl
+       |        ELSE (dl >> (length(printf('%b', dl)) - 4)) << (length(printf('%b', dl)) - 4)
+       |        END AS qdl FROM dl),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+       |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termsIn) GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+       |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+       |  FROM tf JOIN dfs ON tf.term = dfs.term
+       |       JOIN qdl ON tf.doc_id = qdl.doc_id
+       |       $langJoin
+       |       CROSS JOIN st
+       |  WHERE 1=1 $notFilter
+       |  GROUP BY tf.doc_id
+       |  $mustFilter
+       |)
+       |SELECT rank, doc_id, score FROM (
+       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       |         doc_id, round(score, 4) AS score
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  private val QualityTokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+
+  private val ProbeTermsIn = TextOps.ProbeTerms.map(t => s"'$t'").mkString(", ")
+
+  private val CosSql =
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) / " +
+      "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
+      "sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))))"
+
+  private val AnnSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |s AS (SELECT q.query_id, e.vec_id, $CosSql AS cos
+       |      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, round(cos, 4) AS cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val LangIdSql: String = {
+    val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
+    val hitCols = markers.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($in))) AS hits_$l"
+    }.mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val g = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN hits_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |  $hitCols
+       |FROM tk),
+       |hg AS (SELECT *, $g AS g FROM h)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+       |FROM hg ORDER BY doc_id""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "search_term_bm25" -> bm25Sql(Seq("merge"), Nil),
+    "search_or_bm25" -> bm25Sql(Seq("merge", "sort", "window"), Nil),
+    "search_and_bm25" -> bm25Sql(Seq("stream", "batch"), Seq("stream", "batch")),
+    "search_not_bm25" -> bm25Sql(Seq("join"), Seq("join"), nots = Seq("error")),
+    "search_filtered_bm25" -> bm25Sql(Seq("scan", "table"), Nil, lang = Some("en")),
+    "search_prefix" ->
+      s"""WITH $TokCte
+         |SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'wind%'
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "index_term_stats" ->
+      s"""WITH $TokCte
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+         |FROM tok WHERE term IN ($ProbeTermsIn)
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    "facet_terms" ->
+      "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 5",
+    "facet_range" ->
+      """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket, count(*) AS cnt,
+        |round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "facet_query" ->
+      """SELECT o_orderstatus, count(*) AS cnt_all,
+        |sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS cnt_big,
+        |sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS cnt_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "facet_nested" ->
+      """SELECT lang, source, count(*) AS cnt FROM documents
+        |GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "facet_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+        |round(avg(l_quantity), 4) AS avg_qty, round(min(l_extendedprice), 2) AS min_price,
+        |round(max(l_extendedprice), 2) AS max_price, round(stddev_samp(l_discount), 6) AS sd_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "facet_unique" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "facet_percentile" ->
+      """SELECT l_linestatus, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "stream_innerjoin" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "stream_hashjoin" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "stream_intersect" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "stream_complement" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "stream_rollup" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        |round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_top" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "stream_unique" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "stream_select_having" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY o_custkey
+        |HAVING round(sum(o_totalprice), 2) > 300000 ORDER BY o_custkey""".stripMargin,
+    "collapse_top1" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "solr_join" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "timeseries_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, value,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "text_token_count" ->
+      s"""SELECT doc_id, len($QualityTokSql) AS n_tokens,
+         |len(list_filter($QualityTokSql, x -> x NOT IN ($StopSql))) AS n_tokens_nostop
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $QualityTokSql AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |round(length(text) * 1.0 / greatest(len(toks), 1), 4) AS avg_token_len,
+         |round(len(list_filter(toks, x -> x IN ($StopSql))) * 1.0 / greatest(len(toks), 1), 4) AS stop_ratio,
+         |round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4) AS uniq_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($QualityTokSql)), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" -> LangIdSql,
+    "text_term_stats" ->
+      s"""WITH t AS (SELECT doc_id, unnest($QualityTokSql) AS term FROM documents)
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+         |FROM t WHERE term IN ($ProbeTermsIn) GROUP BY term ORDER BY term""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT content_hash, n_docs, keep_doc_id FROM (
+        |  SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |  FROM documents GROUP BY 1)
+        |ORDER BY n_docs DESC, content_hash LIMIT 20""".stripMargin,
+    "dedup_fingerprint" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($QualityTokSql)), ' ')) AS fingerprint
+         |FROM documents)
+         |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+         |FROM f GROUP BY fingerprint
+         |ORDER BY count(*) DESC, fingerprint LIMIT 20""".stripMargin,
+
+    "ann_brute_force" -> AnnSql,
+    "ann_ivf_exact" -> AnnSql, // nprobe == nlist -> exact, same oracle
+
+    "stream_window_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "stream_dedup_events" ->
+      """SELECT event_type, count(*) AS cnt FROM (
+        |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, 'GRFT' AS magic, octet_length(encode(text)) AS n_bytes,
+        |64 + octet_length(encode(text)) % 577 AS width,
+        |64 + octet_length(encode(text)) % 433 AS height,
+        |1 + octet_length(encode(text)) % 3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  // no oracle (rows-only + ScalaTest): dedup_minhash_lsh, dedup_simhash,
+  // dedup_ngram_jaccard, multimodal_frames
 }

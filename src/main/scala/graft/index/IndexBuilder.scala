@@ -45,15 +45,18 @@ case class SegRow(kind: Int, meta: Option[DocMeta], partial: Option[PartialPosti
 object IndexBuilder {
 
   /** One tokenize pass over a corpus partition; docIds are
-    * (partitionId << 40 | row), stable across resume because the parquet
-    * scan's partition ids are deterministic for a fixed file set.
+    * ((basePartition + partitionId) << 40 | row), stable across resume
+    * because the parquet scan's partition ids are deterministic for a fixed
+    * file set. `basePartition` keeps docIds disjoint across streaming
+    * micro-batches, whose scans restart partition ids at 0.
     */
-  def flushSegments(corpus: Dataset[SourceDoc], cfg: IndexConfig): Dataset[SegRow] = {
+  def flushSegments(corpus: Dataset[SourceDoc], cfg: IndexConfig,
+      basePartition: Int = 0): Dataset[SegRow] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val stop = cfg.stopWords
     corpus.mapPartitions { docs =>
-      val pid = TaskContext.get().partitionId()
+      val pid = basePartition + TaskContext.get().partitionId()
       var row = 0L
       val metas = mutable.ArrayBuffer.empty[SegRow]
       // DWPT-style in-memory inverted index for this partition
@@ -127,7 +130,8 @@ object IndexBuilder {
       .as[(String, Long)].collect().toMap
     val hotB = spark.sparkContext.broadcast(hotTerms)
 
-    val numPartitions = partials.select(max($"docPartition")).as[Int].head() + 1
+    val numPartitions =
+      partials.select(max($"docPartition")).as[Option[Int]].head().getOrElse(-1) + 1
     val mergeParts =
       if (cfg.mergePartitions > 0) cfg.mergePartitions
       else spark.sessionState.conf.numShufflePartitions

@@ -170,11 +170,9 @@ object Index {
     */
   def build(corpus: Dataset[SourceDoc], indexDir: String,
       cfg: IndexConfig = IndexConfig(), increments: Int = 1): Seq[SnapshotMeta] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val numParts = corpus.rdd.getNumPartitions // metadata only, no RDD compute
     val perInc = math.max(1, (numParts + increments - 1) / increments)
-    var snaps = SnapshotStore.read(indexDir).toBuffer
+    val snaps = SnapshotStore.read(indexDir).toBuffer
 
     var inc = 0
     while (inc * perInc < numParts) {
@@ -182,42 +180,70 @@ object Index {
         val lo = inc * perInc
         val hi = math.min(numParts, lo + perInc)
         val slice = corpus.where(spark_partition_id() >= lo && spark_partition_id() < hi)
-        val incDir = s"$indexDir/inc=$inc"
-        val segDir = s"$incDir/segments"
-        val segDone = Paths.get(incDir, "_SEG_DONE")
-
-        if (!Files.exists(segDone)) {
-          IndexBuilder.flushSegments(slice.as[SourceDoc], cfg)
-            .write.mode("overwrite").parquet(segDir)
-          Files.createDirectories(Paths.get(incDir))
-          Files.write(segDone, Array.emptyByteArray)
-        }
-
-        val seg = spark.read.parquet(segDir)
-        val docMeta = seg.where($"kind" === 0).select($"meta.*").as[DocMeta]
-        docMeta.write.mode("overwrite").parquet(s"$incDir/docmeta")
-
-        val partials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
-        val snapshotId = snaps.size.toLong + 1L
-        val lineageAcc = spark.sparkContext.collectionAccumulator[PartitionLineage](
-          s"lineage-inc$inc")
-        val merged = IndexBuilder.mergePostings(partials, cfg, snapshotId, lineageAcc)
-        merged.write.mode("overwrite").parquet(s"$incDir/postings")
-
-        val statsRow = spark.read.parquet(s"$incDir/docmeta")
-          .agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
-          .as[(Long, Long)].head()
-        // dedupe accumulator rows (task retries) keeping one per partition
-        val lin = lineageAcc.value.asScala.toSeq
-          .groupBy(l => (l.stage, l.partitionId)).map(_._2.head).toSeq
-          .sortBy(_.partitionId)
-        snaps += SnapshotMeta(snapshotId, snaps.lastOption.map(_.snapshotId).getOrElse(0L),
-          inc, statsRow._1, statsRow._2, s"$incDir/postings", s"$incDir/docmeta", lin)
+        snaps += commitIncrement(slice, indexDir, inc, basePartition = 0, cfg,
+          snaps.toSeq)
         SnapshotStore.write(indexDir, snaps.toSeq)
       }
       inc += 1
     }
     snaps.toSeq
+  }
+
+  /** Append one streaming micro-batch as a new committed increment (the NRT
+    * soft-commit analogue, SURVEY.md §2.9: flush -> searchable segment).
+    * Idempotent under Structured Streaming's batch replay-on-restart:
+    * a batchId whose increment is already committed is skipped, giving
+    * exactly-once index contents from at-least-once batch delivery.
+    * docIds of batch K live above basePartition K*4096 (up to 4096 scan
+    * partitions per micro-batch).
+    */
+  def appendBatch(batch: Dataset[SourceDoc], indexDir: String, batchId: Long,
+      cfg: IndexConfig = IndexConfig()): Seq[SnapshotMeta] = {
+    val snaps = SnapshotStore.read(indexDir).toBuffer
+    if (!snaps.exists(_.incrementId == batchId.toInt)) {
+      snaps += commitIncrement(batch, indexDir, batchId.toInt,
+        basePartition = batchId.toInt * 4096, cfg, snaps.toSeq)
+      SnapshotStore.write(indexDir, snaps.toSeq)
+    }
+    snaps.toSeq
+  }
+
+  private def commitIncrement(slice: Dataset[SourceDoc], indexDir: String,
+      inc: Int, basePartition: Int, cfg: IndexConfig,
+      prior: Seq[SnapshotMeta]): SnapshotMeta = {
+    val spark = slice.sparkSession
+    import spark.implicits._
+    val incDir = s"$indexDir/inc=$inc"
+    val segDir = s"$incDir/segments"
+    val segDone = Paths.get(incDir, "_SEG_DONE")
+
+    if (!Files.exists(segDone)) {
+      IndexBuilder.flushSegments(slice, cfg, basePartition)
+        .write.mode("overwrite").parquet(segDir)
+      Files.createDirectories(Paths.get(incDir))
+      Files.write(segDone, Array.emptyByteArray)
+    }
+
+    val seg = spark.read.parquet(segDir)
+    val docMeta = seg.where($"kind" === 0).select($"meta.*").as[DocMeta]
+    docMeta.write.mode("overwrite").parquet(s"$incDir/docmeta")
+
+    val partials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
+    val snapshotId = prior.size.toLong + 1L
+    val lineageAcc = spark.sparkContext.collectionAccumulator[PartitionLineage](
+      s"lineage-inc$inc")
+    val merged = IndexBuilder.mergePostings(partials, cfg, snapshotId, lineageAcc)
+    merged.write.mode("overwrite").parquet(s"$incDir/postings")
+
+    val statsRow = spark.read.parquet(s"$incDir/docmeta")
+      .agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
+      .as[(Long, Long)].head()
+    // dedupe accumulator rows (task retries) keeping one per partition
+    val lin = lineageAcc.value.asScala.toSeq
+      .groupBy(l => (l.stage, l.partitionId)).map(_._2.head).toSeq
+      .sortBy(_.partitionId)
+    SnapshotMeta(snapshotId, prior.lastOption.map(_.snapshotId).getOrElse(0L),
+      inc, statsRow._1, statsRow._2, s"$incDir/postings", s"$incDir/docmeta", lin)
   }
 
   /** Read side of a committed index. */

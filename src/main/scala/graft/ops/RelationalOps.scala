@@ -122,10 +122,13 @@ object RelationalOps {
       .orderBy(asc("c_custkey"))
   }
 
-  /** complement(a, b, on=key) == left_anti join. */
+  /** complement(a, b, on=key) == left_anti join (customers with no
+    * high-value order — the filter keeps the complement non-empty at every
+    * scale factor).
+    */
   def streamComplement(spark: SparkSession, sfDir: String): DataFrame = {
     val c = t(spark, sfDir, "customer")
-    val o = t(spark, sfDir, "orders")
+    val o = t(spark, sfDir, "orders").where(col("o_totalprice") > 300000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(asc("c_custkey"))

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft._
+import graft.index.{Index, IndexConfig, SnapshotMeta}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming surface (SURVEY.md §2.9): NRT index refresh as
+  * foreachBatch snapshot appends, and windowed/deduplicated event streams.
+  * Solr's UpdateLog/tlog replay maps onto the streaming checkpoint dir;
+  * soft-commit visibility maps onto per-micro-batch snapshot commits.
+  */
+object StreamingOps {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** NRT indexing: stream a corpus parquet directory (file-arrival order,
+    * maxFilesPerTrigger per micro-batch) into incremental index snapshots
+    * [B solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java
+    * soft-commit semantics]. Batch replay after restart is a no-op
+    * (Index.appendBatch is idempotent on batchId), so index contents are
+    * exactly-once.
+    */
+  def nrtIndex(spark: SparkSession, corpusParquetDir: String, indexDir: String,
+      checkpointDir: String, cfg: IndexConfig = IndexConfig(),
+      maxFilesPerTrigger: Int = 1): Seq[SnapshotMeta] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(corpusParquetDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(corpusParquetDir)
+      .as[SourceDoc]
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[SourceDoc], batchId: Long) =>
+        Index.appendBatch(batch, indexDir, batchId, cfg): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.index.SnapshotStore.read(indexDir)
+  }
+
+  /** Tumbling-window event counts via a real streaming query (memory sink,
+    * complete mode), returned as a batch DataFrame. Watermark bounds state;
+    * AvailableNow drains the source deterministically.
+    */
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val name = s"graft_windowed_${sinkId.incrementAndGet()}"
+    // the streaming parquet source wants a directory: stream the sf dir
+    // with a glob filter for the events table file
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ for event time
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy(asc("hour"), asc("event_type"))
+    out
+  }
+
+  /** Streaming dedup by key with last-writer-wins versioning (Solr's
+    * uniqueKey + _version_ optimistic concurrency, SURVEY.md §2.9):
+    * watermark + dropDuplicates on the key.
+    */
+  def streamDedupEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val name = s"graft_dedup_${sinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ for event time
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(asc("event_type"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-surface tests over the driver test tables at sf0.001:
+  * semantics that the DuckDB oracle can't express (near-dup detection of
+  * planted pairs, IVF recall vs brute force, plan-shape assertions) plus a
+  * smoke over every SparkEntry query.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-ops")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("every SparkEntry query runs and returns rows") {
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val n = fn(spark, sf).count()
+          if (n > 0) None else Some(s"$name: 0 rows")
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = graft.SparkEntry.oracleSql.keySet -- graft.SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 0L until 5L)
+      assert(pairs.contains((id, id + 1000000L)), s"missing planted pair $id")
+  }
+
+  test("simhash finds planted pairs within hamming 3") {
+    val pairs = DedupOps.dedupSimhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // appending one rare token flips at most a few simhash bits on these docs
+    val found = (0L until 5L).count(id => pairs.contains((id, id + 1000000L)))
+    assert(found >= 4, s"simhash found only $found/5 planted pairs")
+  }
+
+  test("ngram jaccard: planted pairs have jaccard near 1") {
+    val rows = DedupOps.ngramJaccard(spark, sf).collect()
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted.length == 5)
+    planted.foreach(r => assert(r.getDouble(2) > 0.9))
+  }
+
+  test("IVF with nprobe < nlist keeps high recall vs brute force") {
+    val exact = AnnOps.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = AnnOps.annIvf(spark, sf, nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF nprobe=4/8 recall $recall%.2f too low")
+    // and nprobe == nlist is exactly brute force
+    val full = AnnOps.annIvf(spark, sf, nlist = 8, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact)
+  }
+
+  test("plan shapes: broadcast join for small dims, pushdown on postings") {
+    val hj = RelationalOps.streamHashJoin(spark, sf)
+    val plan = hj.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+
+    val reader = DocSearchOps.reader(spark, sf)
+    val filtered = reader.postings.where(col("term") === "merge")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("merge"),
+      s"term filter not pushed to parquet:\n$scan")
+  }
+
+  test("langId predicts a language for docs with markers") {
+    val counts = TextOps.langId(spark, sf)
+      .groupBy("pred_lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.nonEmpty && counts.values.sum == 500)
+  }
+
+  test("multimodal frame sampling: every doc sampled, deterministic sigs") {
+    val a = MultimodalOps.frameSample(spark, sf).collect()
+    val b = MultimodalOps.frameSample(spark, sf).collect()
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    assert(a.map(_.getLong(0)).distinct.length == 500)
+  }
+}

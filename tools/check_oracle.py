@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify's
+parquet dumps against the DuckDB oracle SQL and diff them.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize types: dates/timestamps -> iso strings, floats rounded
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("datetime", "object")):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == "float64":
+            df[c] = df[c].round(9)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = n_rowsonly = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            status = "ROWS-ONLY"
+            ok = len(got) > 0
+            n_rowsonly += 1
+            print(f"{'OK ' if ok else 'ZERO'} {status:10s} {name}: {len(got)} rows")
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL SQL-ERR    {name}: {e}")
+            n_fail += 1
+            continue
+        g, w = norm(got.copy()), norm(want.copy())
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL COLS       {name}: got {list(g.columns)} want {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL ROWS       {name}: got {len(g)} want {len(w)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                          check_exact=False, rtol=1e-7, atol=1e-7)
+            print(f"OK  ORACLE      {name}: {len(g)} rows")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL VALUES     {name}:")
+            diff = (g != w)
+            bad = diff.any(axis=1)
+            print("  got :", g[bad].head(4).to_dict("records"))
+            print("  want:", w[bad].head(4).to_dict("records"))
+            n_fail += 1
+    print(f"\n== {n_pass} oracle-pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
