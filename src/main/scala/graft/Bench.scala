@@ -45,7 +45,7 @@ object Bench {
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lo = math.max(1, hi / 4)
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
-      if (sfDir.contains("0.1")) "20000" else "4000").toLong
+      if (sfDir.contains("0.1")) "60000" else "6000").toLong
     val work = Files.createTempDirectory("graft_bench").toString
 
     // corpus once (generation excluded from build timing)
@@ -58,6 +58,11 @@ object Bench {
     def buildAt(cpus: Int, tag: String): Double = {
       val s = session(cpus)
       import s.implicits._
+      // JIT/codegen warm-up: a small untimed build so the first timed run
+      // doesn't pay one-time compilation that a long-lived cluster never sees
+      CorpusGen.ensure(s, s"$work/warm", 500, numPartitions = cpus)
+      Index.build(s.read.parquet(s"$work/warm/corpus.parquet").as[SourceDoc],
+        s"$work/index_warm_$tag", IndexConfig())
       val corpus = s.read.parquet(s"$work/corpus/corpus.parquet").as[SourceDoc]
       val (_, secs) = time {
         Index.build(corpus, s"$work/index_$tag",

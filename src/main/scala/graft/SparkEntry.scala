@@ -25,6 +25,14 @@ object SparkEntry {
     "search_not_bm25" -> (DocSearchOps.searchNot(_, _)),
     "search_filtered_bm25" -> (DocSearchOps.searchFiltered(_, _)),
     "search_prefix" -> (DocSearchOps.searchPrefix(_, _)),
+    "search_dismax" -> (DocSearchOps.searchDismax(_, _)),
+    "search_boosted" -> (DocSearchOps.searchBoosted(_, _)),
+    "search_phrase" -> ((s, d) => DocSearchOps.searchPhrase(s, d)),
+    "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
+    "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
+    "function_query" -> (DocSearchOps.functionQuery(_, _)),
+    "more_like_this" -> ((s, d) => DocSearchOps.moreLikeThis(s, d)),
+    "search_sql_expr" -> (DocSearchOps.searchSqlExpr(_, _)),
     "index_term_stats" -> (DocSearchOps.indexTermStats(_, _)),
     // -- facets / OLAP (SURVEY.md §2.7) --
     "facet_terms" -> (RelationalOps.facetTerms(_, _)),
@@ -94,7 +102,9 @@ object SparkEntry {
     * SmallFloatUtil.byte4ToInt(intToByte4(dl)).
     */
   private def bm25Sql(scored: Seq[String], musts: Seq[String],
-      nots: Seq[String] = Nil, lang: Option[String] = None, k: Int = 10): String = {
+      nots: Seq[String] = Nil, lang: Option[String] = None, k: Int = 10,
+      boosts: Map[String, Double] = Map.empty,
+      dismaxTb: Option[Double] = None): String = {
     val termsIn = scored.map(t => s"'$t'").mkString(", ")
     val mustFilter =
       if (musts.isEmpty) ""
@@ -110,6 +120,18 @@ object SparkEntry {
       }
     val langJoin = lang.map(l =>
       s"JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = '$l'").getOrElse("")
+    val boostExpr =
+      if (boosts.isEmpty) "1.0"
+      else boosts.map { case (t, b) => s"WHEN tf.term = '$t' THEN $b" }
+        .mkString("CASE ", " ", " ELSE 1.0 END")
+    val termScore =
+      s"""$boostExpr * ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))""".stripMargin
+    val combine = dismaxTb match {
+      case None => s"sum($termScore)"
+      case Some(tb) => // DisjunctionMaxQuery combine
+        s"max($termScore) + $tb * (sum($termScore) - max($termScore))"
+    }
     s"""WITH $TokCte,
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -121,8 +143,7 @@ object SparkEntry {
        |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termsIn) GROUP BY term),
        |sc AS (
        |  SELECT tf.doc_id,
-       |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
-       |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+       |         $combine AS score
        |  FROM tf JOIN dfs ON tf.term = dfs.term
        |       JOIN qdl ON tf.doc_id = qdl.doc_id
        |       $langJoin
@@ -179,6 +200,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "search_term_bm25" -> bm25Sql(Seq("merge"), Nil),
+    "search_sql_expr" -> bm25Sql(Seq("merge"), Nil),
     "search_or_bm25" -> bm25Sql(Seq("merge", "sort", "window"), Nil),
     "search_and_bm25" -> bm25Sql(Seq("stream", "batch"), Seq("stream", "batch")),
     "search_not_bm25" -> bm25Sql(Seq("join"), Seq("join"), nots = Seq("error")),
@@ -187,6 +209,31 @@ object SparkEntry {
       s"""WITH $TokCte
          |SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'wind%'
          |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "search_dismax" -> bm25Sql(Seq("merge", "sort", "window"), Nil,
+      dismaxTb = Some(0.3)),
+    "search_boosted" -> bm25Sql(Seq("merge", "sort"), Nil,
+      boosts = Map("merge" -> 2.5)),
+    "search_phrase" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id, ' ' || array_to_string($QualityTokSql, ' ') || ' ' AS tokstr
+         |  FROM documents)
+         |WHERE contains(tokstr, ' key order ') ORDER BY doc_id""".stripMargin,
+    "search_fuzzy" ->
+      s"""WITH $TokCte
+         |SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |GROUP BY term HAVING levenshtein(term, 'merge') <= 1 ORDER BY term""".stripMargin,
+    "sort_searchafter" ->
+      s"""WITH tc AS (SELECT doc_id,
+         |  len(list_filter($QualityTokSql, x -> x NOT IN ($StopSql))) AS token_count
+         |FROM documents)
+         |SELECT token_count, doc_id FROM tc
+         |ORDER BY token_count DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+    "function_query" ->
+      s"""WITH tc AS (SELECT doc_id, n_chars,
+         |  len(list_filter($QualityTokSql, x -> x NOT IN ($StopSql))) AS token_count
+         |FROM documents)
+         |SELECT doc_id, round(ln(n_chars * 1.0) * 2 + sqrt(token_count * 1.0), 4) AS fscore
+         |FROM tc ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
     "index_term_stats" ->
       s"""WITH $TokCte
          |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf

@@ -22,12 +22,24 @@ object BmwScorer {
 
   val NoMoreDocs: Long = Long.MaxValue
 
-  /** Bounded min-heap of (score, docId), worst = (lowest score, highest docId). */
+  /** Bounded min-heap of (score, docId), worst = (lowest score, highest
+    * docId). Capacity grows lazily toward k, so an "unbounded" collector
+    * (k = Int.MaxValue, e.g. phrase-candidate gathering) costs only what it
+    * actually holds.
+    */
   final class TopKHeap(k: Int) {
     require(k > 0)
-    private val scores = new Array[Double](k)
-    private val docs = new Array[Long](k)
+    private var scores = new Array[Double](math.min(k, 1024))
+    private var docs = new Array[Long](math.min(k, 1024))
     private var n = 0
+
+    private def ensureCapacity(): Unit = {
+      if (n == scores.length && n < k) {
+        val cap = math.min(k.toLong, scores.length.toLong * 2).toInt
+        scores = java.util.Arrays.copyOf(scores, cap)
+        docs = java.util.Arrays.copyOf(docs, cap)
+      }
+    }
 
     def size: Int = n
     def full: Boolean = n == k
@@ -54,6 +66,7 @@ object BmwScorer {
 
     /** Insert; docIds arrive ascending so equal scores never displace. */
     def offer(score: Double, docId: Long): Unit = {
+      ensureCapacity()
       if (!full) {
         scores(n) = score; docs(n) = docId; n += 1
         var i = n - 1
@@ -222,7 +235,11 @@ object BmwScorer {
     * two-phase iteration).
     */
   def wandTopK(terms: Array[TermIterator], k: Int,
-      accept: Long => Boolean, heap: TopKHeap): TopKHeap = {
+      accept: Long => Boolean, heap: TopKHeap,
+      /** < 0: sum combine; in [0,1]: DisMax max + tb*(sum-max). The WAND
+        * bound remains valid because dismax(scores) <= sum(scores).
+        */
+      dismaxTb: Double = -1.0): TopKHeap = {
     val iters = terms.filter(_.nextDoc() != NoMoreDocs)
     val n = iters.length
     if (n == 0) return heap
@@ -299,8 +316,15 @@ object BmwScorer {
           java.util.Arrays.sort(matched, (a: TermIterator, b: TermIterator) =>
             Integer.compare(a.tag, b.tag))
           var s = 0.0
+          var mx = 0.0
           i = 0
-          while (i < nMatch) { s += matched(i).score(); i += 1 }
+          while (i < nMatch) {
+            val cs = matched(i).score()
+            s += cs
+            if (cs > mx) mx = cs
+            i += 1
+          }
+          if (dismaxTb >= 0) s = mx + dismaxTb * (s - mx)
           heap.offer(s, pivotDoc)
         }
         i = 0

@@ -148,11 +148,16 @@ object CorpusGen {
     import spark.implicits._
     val done = new java.io.File(dir, "_corpus_done")
     if (done.exists()) return
-    val ds = generate(spark, numDocs, numPartitions)
-    ds.write.mode("overwrite").parquet(s"$dir/corpus.parquet")
     generate(spark, numDocs, numPartitions)
-      .map(d => (d.repo, d.path, sha256Hex(d.content)))
-      .toDF("repo", "path", "sha256")
+      .write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+    // manifest from the written table (single generation pass); sha2() is
+    // the same lowercase-hex SHA-256 the index's DocMeta computes via
+    // MessageDigest — equality is the ingest invariant (BASELINE.json:15)
+    spark.read.parquet(s"$dir/corpus.parquet")
+      .select(org.apache.spark.sql.functions.col("repo"),
+        org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.col("content"), 256).as("sha256"))
       .write.mode("overwrite").parquet(s"$dir/manifest.parquet")
     done.getParentFile.mkdirs()
     java.nio.file.Files.write(done.toPath, Array.emptyByteArray)

@@ -226,9 +226,17 @@ object Index {
 
     val seg = spark.read.parquet(segDir)
     val docMeta = seg.where($"kind" === 0).select($"meta.*").as[DocMeta]
+    val partials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
+    mergeAndCommit(docMeta, partials, incDir, inc, cfg, prior)
+  }
+
+  private def mergeAndCommit(docMeta: Dataset[DocMeta],
+      partials: Dataset[PartialPostings], incDir: String, inc: Int,
+      cfg: IndexConfig, prior: Seq[SnapshotMeta]): SnapshotMeta = {
+    val spark = docMeta.sparkSession
+    import spark.implicits._
     docMeta.write.mode("overwrite").parquet(s"$incDir/docmeta")
 
-    val partials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
     val snapshotId = prior.size.toLong + 1L
     val lineageAcc = spark.sparkContext.collectionAccumulator[PartitionLineage](
       s"lineage-inc$inc")
@@ -244,6 +252,90 @@ object Index {
       .sortBy(_.partitionId)
     SnapshotMeta(snapshotId, prior.lastOption.map(_.snapshotId).getOrElse(0L),
       inc, statsRow._1, statsRow._2, s"$incDir/postings", s"$incDir/docmeta", lin)
+  }
+
+  /** forceMerge/compaction [B lucene/core/src/java/org/apache/lucene/index/IndexWriter.java#forceMerge]:
+    * re-merge every increment's flush segments into ONE snapshot in
+    * `outDir`, applying delete tombstones (docIds are stable, so unlike
+    * Lucene no docID remap is needed — they just become sparse). Stats
+    * (docCount/avgdl) are recomputed from the surviving docs, which is
+    * where deletes finally affect scoring — same as a Lucene merge.
+    */
+  def compact(spark: SparkSession, indexDir: String, outDir: String,
+      cfg: IndexConfig = IndexConfig()): Seq[SnapshotMeta] = {
+    import spark.implicits._
+    val r = reader(spark, indexDir)
+    val segDirs = r.snapshots.map(s =>
+      s.docMetaDir.stripSuffix("/docmeta") + "/segments")
+    val seg = spark.read.parquet(segDirs: _*)
+    val tombstoned = r.tombstones.collect().toSet
+    val tombB = spark.sparkContext.broadcast(tombstoned)
+
+    val docMeta = seg.where($"kind" === 0).select($"meta.*").as[DocMeta]
+      .filter(m => !tombB.value.contains(m.docId))
+    val partials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
+      .map { p =>
+        if (tombB.value.isEmpty) p
+        else {
+          val (ids, tfs, norms) = IndexBuilder.decodePartial(p)
+          val keep = ids.indices.filter(i => !tombB.value.contains(ids(i)))
+          val kIds = keep.map(ids).toArray
+          val gaps = new Array[Int](kIds.length)
+          var i = 1
+          while (i < kIds.length) { gaps(i) = (kIds(i) - kIds(i - 1)).toInt; i += 1 }
+          p.copy(
+            count = kIds.length,
+            totalTf = keep.map(i => tfs(i).toLong).sum,
+            firstDocId = if (kIds.isEmpty) 0L else kIds(0),
+            docIdBytes = graft.core.IntCodec.encode(gaps),
+            tfBytes = graft.core.IntCodec.encode(keep.map(tfs).toArray),
+            normBytes = graft.core.IntCodec.encode(keep.map(i => norms(i) & 0xff).toArray))
+        }
+      }
+      .filter(_.count > 0)
+
+    val snap = mergeAndCommit(docMeta, partials, s"$outDir/inc=0", 0, cfg, Nil)
+    SnapshotStore.write(outDir, Seq(snap))
+    Seq(snap)
+  }
+
+  /** Mark every doc containing `term` as deleted (Lucene's
+    * IndexWriter.deleteDocuments(Term) analogue
+    * [B lucene/core/src/java/org/apache/lucene/index/IndexWriter.java]):
+    * deletes are TOMBSTONES — postings stay untouched until compaction,
+    * the read path just filters (D10, SURVEY.md §1.1). Appends to the
+    * tombstones parquet atomically-enough for a single writer.
+    */
+  def deleteByTerm(spark: SparkSession, indexDir: String, term: String): Long = {
+    import spark.implicits._
+    val r = reader(spark, indexDir)
+    val hit = r.postings.where(org.apache.spark.sql.functions.col("term") === term)
+      .flatMap(tp => tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
+      .distinct()
+    val staging = s"$indexDir/tombstones_new"
+    hit.toDF("docId").write.mode("overwrite").parquet(staging)
+    val n = spark.read.parquet(staging).count()
+    val dst = Paths.get(indexDir, "tombstones")
+    // merge with existing tombstones, rewrite, swap
+    if (Files.exists(dst)) {
+      val merged = spark.read.parquet(dst.toString)
+        .unionByName(spark.read.parquet(staging)).distinct()
+      val tmp = s"$indexDir/tombstones_merged"
+      merged.write.mode("overwrite").parquet(tmp)
+      deleteRecursively(dst)
+      Files.move(Paths.get(tmp), dst)
+      deleteRecursively(Paths.get(staging))
+    } else {
+      Files.move(Paths.get(staging), dst)
+    }
+    n
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
   }
 
   /** Read side of a committed index. */
@@ -264,6 +356,16 @@ object Index {
       import spark.implicits._
       spark.read.parquet(snapshots.map(_.docMetaDir): _*).as[DocMeta]
     }
+
+    /** Deleted docIds ("live docs" complement), empty if none. */
+    def tombstones: Dataset[Long] = {
+      import spark.implicits._
+      val p = Paths.get(indexDir, "tombstones")
+      if (Files.exists(p)) spark.read.parquet(p.toString).as[Long]
+      else spark.emptyDataset[Long]
+    }
+
+    def hasTombstones: Boolean = Files.exists(Paths.get(indexDir, "tombstones"))
   }
 
   def reader(spark: SparkSession, indexDir: String): Reader =

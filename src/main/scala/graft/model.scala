@@ -99,14 +99,21 @@ case class PartitionLineage(
   */
 case class ScoredDoc(qid: String, docId: Long, score: Double)
 
-/** A parsed query: positive/negative/required clauses over analyzed terms. */
+/** A parsed query: positive/negative/required clauses over analyzed terms.
+  * `boosts` keys are analyzed (lowercased) terms; `dismaxTiebreak` switches
+  * the SHOULD combine from sum to Lucene's DisjunctionMaxQuery
+  * max + tb * (sum - max) [B .../search/DisjunctionMaxQuery.java]
+  * (valid for 0 <= tb <= 1, where the WAND sum-bound still dominates).
+  */
 case class QuerySpec(
     qid: String,
     should: Seq[String] = Nil, // OR clauses (scored)
     must: Seq[String] = Nil, // AND clauses (scored)
     mustNot: Seq[String] = Nil, // exclusions (not scored)
     k: Int = 10,
-    langFilter: Option[String] = None)
+    langFilter: Option[String] = None,
+    boosts: Map[String, Double] = Map.empty,
+    dismaxTiebreak: Option[Double] = None)
 
 /** Global collection statistics needed by BM25 (broadcast at query time). */
 case class IndexStats(docCount: Long, sumTotalTermFreq: Long) {

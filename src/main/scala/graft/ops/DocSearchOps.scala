@@ -100,4 +100,153 @@ object DocSearchOps {
       .agg(sum(col("df")).as("df"), sum(col("totalTf")).as("ttf"))
       .orderBy(asc("term"))
   }
+
+  /** DisjunctionMaxQuery (edismax core): max + tb*(sum-max) combine
+    * [B lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java].
+    */
+  def searchDismax(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("dismax",
+      should = Seq("merge", "sort", "window"), dismaxTiebreak = Some(0.3)))
+
+  /** BoostQuery: per-clause boost scales the clause weight
+    * [B lucene/core/src/java/org/apache/lucene/search/BoostQuery.java].
+    */
+  def searchBoosted(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("boost",
+      should = Seq("merge", "sort"), boosts = Map("merge" -> 2.5)))
+
+  /** PhraseQuery via two-phase evaluation
+    * [B lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java]
+    * [B .../search/TwoPhaseIterator.java]: cheap approximation = conjunction
+    * of the phrase terms through the index; expensive verify = adjacency
+    * check on the analyzed token stream of the candidate docs only.
+    * Constant-score result (docs matching the phrase), like a filter clause.
+    */
+  def searchPhrase(spark: SparkSession, sfDir: String,
+      phrase: Seq[String] = Seq("key", "order")): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    // phase 1: candidates = docs containing ALL phrase terms (index-only)
+    val candidates = QueryEngine.search(r,
+      Seq(QuerySpec("ph", must = phrase, k = Int.MaxValue)))
+      .select(col("docId"))
+    // phase 2: verify adjacency by re-analyzing ONLY candidate docs
+    val cand = r.docMeta.select(col("docId"), col("path").cast("long").as("doc_id"))
+      .join(broadcast(candidates), "docId")
+      .join(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+    val needle = " " + phrase.mkString(" ") + " "
+    cand
+      .withColumn("tokstr",
+        concat(lit(" "), concat_ws(" ", TextOps.tokensCol(col("text"))), lit(" ")))
+      .where(col("tokstr").contains(needle))
+      .select(col("doc_id"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** FuzzyQuery: dictionary expansion by edit distance
+    * [B lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java] —
+    * same semantics as the Levenshtein-automaton intersection, expressed as
+    * a dictionary scan with the built-in levenshtein expression (O(dict)
+    * instead of O(automaton); SURVEY.md §2.5 documents the trade).
+    */
+  def searchFuzzy(spark: SparkSession, sfDir: String,
+      q: String = "merge", maxEdits: Int = 1): DataFrame = {
+    val r = reader(spark, sfDir)
+    r.postings
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .where(levenshtein(col("term"), lit(q)) <= maxEdits)
+      .orderBy(asc("term"))
+  }
+
+  /** Sort-by-field + searchAfter cursor deep paging
+    * [B lucene/core/src/java/org/apache/lucene/search/TopFieldCollector.java]:
+    * page 2 of (tokenCount desc, doc_id asc) after a cursor — the filter
+    * IS the cursor, so deep pages never rescan earlier ones.
+    */
+  def sortSearchAfter(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    val page1 = r.docMeta
+      .select(col("tokenCount").as("token_count"),
+        col("path").cast("long").as("doc_id"))
+      .orderBy(desc("token_count"), asc("doc_id")).limit(10)
+      .collect()
+    val (cTok, cDoc) = (page1.last.getInt(0), page1.last.getLong(1))
+    r.docMeta
+      .select(col("tokenCount").as("token_count"),
+        col("path").cast("long").as("doc_id"))
+      .where(col("token_count") < cTok ||
+        (col("token_count") === cTok && col("doc_id") > cDoc))
+      .orderBy(desc("token_count"), asc("doc_id")).limit(10)
+  }
+
+  /** Solr function queries == plain Column expression scoring
+    * [B lucene/queries/src/java/org/apache/lucene/queries/function/ValueSource.java]:
+    * score = log(n_chars) * 2 + sqrt(tokenCount) ranked top-10.
+    */
+  def functionQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .join(r.docMeta.select(col("path").cast("long").as("doc_id"),
+        col("tokenCount")), "doc_id")
+      .withColumn("fscore",
+        round(log(col("n_chars").cast("double")) * 2 +
+          sqrt(col("tokenCount").cast("double")), 4))
+      // tokenCount is post-stop, matching the SQL oracle's token definition
+      .select(col("doc_id"), col("fscore"))
+      .orderBy(desc("fscore"), asc("doc_id"))
+      .limit(10)
+  }
+
+  /** The SQL text front-end (Solr's Calcite SQL handler is subsumed by
+    * Spark SQL, SURVEY.md §2.8): the same single-term BM25 query expressed
+    * as spark.sql over the registered custom Catalyst expressions
+    * (graft_tokenize / graft_norm_code / graft_bm25 — the latter two fully
+    * codegen'd). Shares the DuckDB oracle with search_term_bm25.
+    */
+  def searchSqlExpr(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val r = reader(spark, sfDir)
+    val stats = r.stats
+    val dfMerge = r.postings.where(col("term") === "merge")
+      .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("graft_docs")
+    spark.sql(
+      s"""WITH tok AS (SELECT doc_id, graft_tokenize(text) AS toks FROM graft_docs),
+         |tf AS (SELECT doc_id,
+         |         size(filter(toks, t -> t = 'merge')) AS tf,
+         |         graft_norm_code(size(toks)) AS nc
+         |       FROM tok),
+         |sc AS (SELECT doc_id,
+         |         graft_bm25(tf, nc, ${dfMerge}L, ${stats.docCount}L, ${stats.avgdl}D) AS score
+         |       FROM tf WHERE tf > 0)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin)
+  }
+
+  /** MoreLikeThis: top-idf terms of a seed doc -> OR query
+    * [B lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java].
+    * Deterministic seed doc + term selection; rows-only check (the seed doc
+    * itself must rank #1, asserted in OpsSpec).
+    */
+  def moreLikeThis(spark: SparkSession, sfDir: String, seedDocId: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === seedDocId).select(col("text")).as[String].head()
+    val seedTerms = graft.core.Analyzer.analyze(text).distinct
+    val stats = r.stats
+    val dfMap = r.postings.where(col("term").isin(seedTerms.toSeq: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .as[(String, Long)].collect().toMap
+    val bm = graft.core.Bm25()
+    val topTerms = seedTerms
+      .filter(dfMap.contains)
+      .sortBy(t => (-bm.idf(dfMap(t), stats.docCount), t))
+      .take(5)
+    searchDf(spark, sfDir, QuerySpec("mlt", should = topTerms.toSeq, k = 10))
+  }
 }

@@ -78,20 +78,27 @@ object NaiveSearch {
 
     val k1 = bm25.k1
     val b = bm25.b
+    val boostFor = typedLit(aq.boosts)
     val matches = tokens.where($"term".isin(scoredTerms: _*))
       .join(broadcast(dfTable), "term")
       .withColumn("normCode", normCode($"tokenCount"))
       .join(broadcast(quant), "normCode")
       .withColumn("idf", log(lit(1.0) +
         (lit(n.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
-      .withColumn("termScore", $"idf" * $"tf" /
+      .withColumn("boost", coalesce(element_at(boostFor, $"term"), lit(1.0)))
+      .withColumn("termScore", $"boost" * $"idf" * $"tf" /
         ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"qdl" / lit(avgdl))))
 
     val mustCount =
       if (aq.must.isEmpty) lit(0L)
       else count(when($"term".isin(aq.must.distinct: _*), 1))
+    val scoreAgg = aq.dismaxTiebreak match {
+      case None => sum($"termScore")
+      case Some(tb) => // DisjunctionMaxQuery combine
+        max($"termScore") + lit(tb) * (sum($"termScore") - max($"termScore"))
+    }
     var perDoc = matches.groupBy($"docId").agg(
-      sum($"termScore").as("score"),
+      scoreAgg.as("score"),
       mustCount.as("mustHits"))
     if (aq.must.nonEmpty)
       perDoc = perDoc.where($"mustHits" === aq.must.distinct.size)

@@ -143,9 +143,13 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val fullDir = s"$workDir/index_full"
     Index.build(corpus, fullDir, cfg, increments = 3)
 
-    // simulate a crash: build only increment 0, then "restart"
+    // simulate a crash: build only increment 0, then "restart".
+    // Slice bounds must mirror Index.build's own increment slicing, which
+    // depends on the session's scan-partition packing — compute, don't assume.
+    val numParts = corpus.rdd.getNumPartitions
+    val perInc = math.max(1, (numParts + 2) / 3)
     val resumeDir = s"$workDir/index_resume"
-    val firstIncOnly = corpus.where(spark_partition_id() < 2) // 6 parts / 3 incs
+    val firstIncOnly = corpus.where(spark_partition_id() < perInc)
     Index.build(firstIncOnly, resumeDir, cfg, increments = 1)
     // rewrite manifest to mark it as increment 0 of the resumed build
     val snaps = SnapshotStore.read(resumeDir)
@@ -165,6 +169,44 @@ class IndexEndToEndSpec extends AnyFunSuite {
 
     val rs = SnapshotStore.read(resumeDir)
     assert(rs.size == 3 && rs.forall(_.lineage.nonEmpty))
+  }
+
+  test("delete-by-term tombstones + forceMerge compaction") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    val cfg = IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300)
+    val delDir = s"$workDir/index_del"
+    Index.build(corpus, delDir, cfg, increments = 2)
+
+    val q = graft.QuerySpec("needle", should = Seq("qzx_handler_77"))
+    val before = graft.search.QueryEngine
+      .search(Index.reader(spark, delDir), Seq(q)).collect()
+    assert(before.nonEmpty)
+
+    // tombstone the needle docs: searches must stop returning them
+    val nDeleted = Index.deleteByTerm(spark, delDir, "qzx_handler_77")
+    assert(nDeleted == before.length)
+    val after = graft.search.QueryEngine
+      .search(Index.reader(spark, delDir), Seq(q)).collect()
+    assert(after.isEmpty, s"tombstoned docs still returned: ${after.toSeq}")
+    // other queries still work and never return deleted docs
+    val other = graft.search.QueryEngine
+      .search(Index.reader(spark, delDir),
+        Seq(graft.QuerySpec("o", should = Seq("return"), k = 1000))).collect()
+    val deletedIds = before.map(_.docId).toSet
+    assert(other.nonEmpty && !other.exists(h => deletedIds.contains(h.docId)))
+
+    // compaction physically removes them and updates stats
+    val compDir = s"$workDir/index_compacted"
+    Index.compact(spark, delDir, compDir, cfg)
+    val cr = Index.reader(spark, compDir)
+    assert(cr.stats.docCount == NumDocs - nDeleted)
+    assert(!cr.hasTombstones)
+    assert(graft.search.QueryEngine.search(cr, Seq(q)).collect().isEmpty)
+    // audit: postings never reference a deleted docId
+    val referenced = cr.postings.flatMap(tp =>
+      tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1)).collect().toSet
+    assert(referenced.intersect(deletedIds).isEmpty)
   }
 
   test("skew: salted merge splits hot terms, bounded slices, correct union") {
