@@ -15,7 +15,11 @@ object SparkEnv {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val b = SparkSession.builder().appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 2 waves of reduce tasks + ~4 waves of scan tasks per core: stragglers
+      // and first-wave JIT warmup stop defining stage wall time (profiled:
+      // single-wave stages left most cores idle-waiting at stage tails)
+      .config("spark.sql.shuffle.partitions", (2 * cpus.toInt).toString)
+      .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -24,6 +28,21 @@ object SparkEnv {
       if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]")
     val s = withMaster.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_PHASE_LOG")) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = e.stageInfo
+            val m = i.taskMetrics
+            println(f"[graft-stage] id=${i.stageId}%3d tasks=${i.numTasks}%4d " +
+              f"run=${m.executorRunTime}%6dms cpu=${m.executorCpuTime / 1000000}%6dms " +
+              f"gc=${m.jvmGCTime}%5dms ser=${m.resultSerializationTime}%4dms " +
+              f"shW=${m.shuffleWriteMetrics.writeTime / 1000000}%5dms " +
+              f"name=${i.name.takeWhile(_ != '(').take(44)}")
+          }
+        })
+    }
     s
   }
 }

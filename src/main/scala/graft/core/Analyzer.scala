@@ -56,19 +56,35 @@ object Analyzer {
   /** Analyzed per-doc term frequencies, terms in sorted order (the per-doc
     * slice of the DWPT-style in-memory inverted index, SURVEY.md §2.3).
     * Returns (sortedTerms, tfs, totalTokenCount-after-stop).
+    * Allocation-lean by design (sort + run-length count, no hash map):
+    * this is the hottest loop of the whole index build.
     */
   def termFreqs(text: String, stopWords: Set[String] = EnglishStopWords)
       : (Array[String], Array[Int], Int) = {
     val terms = analyze(text, stopWords)
     if (terms.isEmpty) return (Array.empty, Array.empty, 0)
-    val m = mutable.HashMap.empty[String, Int]
-    var i = 0
+    java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
+    // count distinct runs
+    var distinct = 1
+    var i = 1
     while (i < terms.length) {
-      m.updateWith(terms(i)) { c => Some(c.getOrElse(0) + 1) }
+      if (terms(i) != terms(i - 1)) distinct += 1
       i += 1
     }
-    val sorted = m.keysIterator.toArray
-    java.util.Arrays.sort(sorted.asInstanceOf[Array[AnyRef]])
-    (sorted, sorted.map(m), terms.length)
+    val outTerms = new Array[String](distinct)
+    val outTfs = new Array[Int](distinct)
+    var d = 0
+    var runStart = 0
+    i = 1
+    while (i <= terms.length) {
+      if (i == terms.length || terms(i) != terms(i - 1)) {
+        outTerms(d) = terms(runStart)
+        outTfs(d) = i - runStart
+        d += 1
+        runStart = i
+      }
+      i += 1
+    }
+    (outTerms, outTfs, terms.length)
   }
 }

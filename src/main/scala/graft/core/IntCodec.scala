@@ -100,25 +100,33 @@ object IntCodec {
 
   // ---- Self-describing array codec ----------------------------------------
 
-  /** Encode an int array: FOR when that packs tighter, else VByte. */
+  /** Encode an int array: FOR when that packs tighter, else VByte.
+    * Sizes are computed up front so exactly ONE buffer of exact size is
+    * allocated (this runs per posting block across the whole merge shuffle).
+    */
   def encode(values: Array[Int]): Array[Byte] = {
     if (values.isEmpty) return Array(0.toByte)
     var maxV = 0
+    var vbBytes = 1
     var i = 0
-    while (i < values.length) { if (values(i) > maxV) maxV = values(i); i += 1 }
+    while (i < values.length) {
+      val v = values(i)
+      if (v > maxV) maxV = v
+      vbBytes += math.max(1, (38 - Integer.numberOfLeadingZeros(v)) / 7)
+      i += 1
+    }
     val bits = bitsRequired(maxV)
     val forBytes = 1 + 8 * ((values.length * bits + 63) / 64)
-    // VByte worst case for sizing; actual size found by encoding.
-    val vb = ByteBuffer.allocate(1 + values.length * 5)
-    vb.put(0.toByte)
-    vbyteEncode(values, vb)
-    if (forBytes < vb.position()) {
+    if (forBytes < vbBytes) {
       val out = ByteBuffer.allocate(forBytes)
       out.put(bits.toByte)
       forEncode(values, bits, out)
-      java.util.Arrays.copyOf(out.array(), out.position())
+      out.array()
     } else {
-      java.util.Arrays.copyOf(vb.array(), vb.position())
+      val out = ByteBuffer.allocate(vbBytes)
+      out.put(0.toByte)
+      vbyteEncode(values, out)
+      out.array()
     }
   }
 

@@ -29,25 +29,42 @@ object PostingBlocks {
     * block for ANY (k1, b, idf, avgdl) is attained on this skyline.
     * Returned sorted by tf ascending / norm ascending.
     */
-  def competitiveSkyline(tfs: Array[Int], norms: Array[Byte]): (Array[Int], Array[Int]) = {
-    val minNormPerTf = scala.collection.mutable.TreeMap.empty[Int, Int]
+  def competitiveSkyline(tfs: Array[Int], norms: Array[Int]): (Array[Int], Array[Int]) = {
+    val n = tfs.length
+    // pack (tf, norm) into sortable longs: tf desc would need reversal, so
+    // sort ascending by (tf, norm) and scan from the end (no hash/tree maps
+    // — this runs once per posting block across the whole merge shuffle)
+    val packed = new Array[Long](n)
     var i = 0
-    while (i < tfs.length) {
-      val n = norms(i) & 0xff
-      minNormPerTf.updateWith(tfs(i)) {
-        case Some(prev) => Some(math.min(prev, n))
-        case None => Some(n)
-      }
+    while (i < n) {
+      packed(i) = (tfs(i).toLong << 16) | norms(i).toLong
       i += 1
     }
-    // scan tf descending; keep pairs whose norm strictly improves (shrinks)
-    val outTf = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val outNorm = scala.collection.mutable.ArrayBuffer.empty[Int]
+    java.util.Arrays.sort(packed)
+    val outTf = new Array[Int](n)
+    val outNorm = new Array[Int](n)
+    var k = 0
     var best = Int.MaxValue
-    minNormPerTf.toSeq.reverseIterator.foreach { case (tf, n) =>
-      if (n < best) { outTf += tf; outNorm += n; best = n }
+    i = n - 1
+    while (i >= 0) {
+      val tf = (packed(i) >>> 16).toInt
+      val norm = (packed(i) & 0xffffL).toInt
+      // first (== smallest-norm) entry of each tf group survives if it
+      // strictly improves the best norm seen among higher tfs
+      if ((i == 0 || (packed(i - 1) >>> 16) != packed(i) >>> 16) && norm < best) {
+        outTf(k) = tf
+        outNorm(k) = norm
+        best = norm
+        k += 1
+      }
+      i -= 1
     }
-    (outTf.reverseIterator.toArray, outNorm.reverseIterator.toArray)
+    // reverse into tf-ascending order
+    val rTf = new Array[Int](k)
+    val rNorm = new Array[Int](k)
+    i = 0
+    while (i < k) { rTf(i) = outTf(k - 1 - i); rNorm(i) = outNorm(k - 1 - i); i += 1 }
+    (rTf, rNorm)
   }
 
   /** Encode one partial posting list (docIds ascending, same partition). */
@@ -76,7 +93,7 @@ object PostingBlocks {
         prev = d
         i += 1
       }
-      val (skyTf, skyNorm) = competitiveSkyline(btf, bnormBytes)
+      val (skyTf, skyNorm) = competitiveSkyline(btf, bnorm)
       out += PostingBlock(
         firstDocId = docIds(start),
         lastDocId = docIds(start + n - 1),

@@ -127,10 +127,25 @@ object CorpusGen {
       content = content(rowId))
   }
 
+  // MessageDigest.getInstance contends on the JCA provider lock under many
+  // executor threads — reuse one digest per thread (hot path: every doc in
+  // every flush task hashes its content for the ingest invariant)
+  private val tlDigest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+    val md = tlDigest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Distributed generation as a typed Dataset. */

@@ -60,42 +60,36 @@ object IndexBuilder {
       var row = 0L
       val metas = mutable.ArrayBuffer.empty[SegRow]
       // DWPT-style in-memory inverted index for this partition
-      val inv = mutable.HashMap.empty[String, (mutable.ArrayBuffer[Long],
-        mutable.ArrayBuffer[Int], mutable.ArrayBuffer[Byte])]
+      val th = new graft.core.TermsHash(stop)
       docs.foreach { d =>
         val docId = CorpusIds.docId(pid, row)
         row += 1
-        val (terms, tfs, total) = Analyzer.termFreqs(d.content, stop)
+        val total = th.addDoc(d.content)
         val normByte = SmallFloatUtil.intToByte4(total)
+        th.finishDoc(docId, normByte)
         metas += SegRow(0, Some(DocMeta(docId, d.repo, d.path, d.commit, d.lang,
           graft.corpus.CorpusGen.sha256Hex(d.content), total, normByte)), None)
-        var i = 0
-        while (i < terms.length) {
-          val e = inv.getOrElseUpdate(terms(i),
-            (mutable.ArrayBuffer.empty[Long], mutable.ArrayBuffer.empty[Int],
-              mutable.ArrayBuffer.empty[Byte]))
-          e._1 += docId
-          e._2 += tfs(i)
-          e._3 += normByte
-          i += 1
-        }
       }
-      val partials = inv.iterator.map { case (term, (ids, tfs, norms)) =>
-        val idArr = ids.toArray // ascending by construction (ingest order)
-        val gaps = new Array[Int](idArr.length)
+      val partials = mutable.ArrayBuffer.empty[SegRow]
+      th.foreachTerm { (term, ids, tfs, norms, n, ttf) =>
+        val gaps = new Array[Int](n) // ids ascending (ingest order)
+        val normArr = new Array[Int](n)
         var i = 1
-        while (i < idArr.length) { gaps(i) = (idArr(i) - idArr(i - 1)).toInt; i += 1 }
-        SegRow(1, None, Some(PartialPostings(
+        while (i < n) { gaps(i) = (ids(i) - ids(i - 1)).toInt; i += 1 }
+        i = 0
+        while (i < n) { normArr(i) = norms(i) & 0xff; i += 1 }
+        partials += SegRow(1, None, Some(PartialPostings(
           term = term,
           docPartition = pid,
-          count = idArr.length,
-          totalTf = tfs.foldLeft(0L)(_ + _),
-          firstDocId = if (idArr.isEmpty) 0L else idArr(0),
+          count = n,
+          totalTf = ttf,
+          firstDocId = if (n == 0) 0L else ids(0),
           docIdBytes = IntCodec.encode(gaps),
-          tfBytes = IntCodec.encode(tfs.toArray),
-          normBytes = IntCodec.encode(norms.map(_ & 0xff).toArray))))
+          tfBytes = IntCodec.encode(
+            if (tfs.length == n) tfs else java.util.Arrays.copyOf(tfs, n)),
+          normBytes = IntCodec.encode(normArr))))
       }
-      metas.iterator ++ partials
+      metas.iterator ++ partials.iterator
     }
   }
 
@@ -121,17 +115,21 @@ object IndexBuilder {
     val spark = partials.sparkSession
     import spark.implicits._
 
-    // Pass 1 (small-row shuffle): corpus-wide df per term -> hot-term set.
-    // Rows here are (term, count) pairs, NOT postings — cheap even for a
-    // billion-term vocabulary; only the Zipf head survives the filter.
+    // Pass 1 (small-row shuffle): corpus-wide df per term -> hot-term set
+    // plus the partition count, in ONE aggregation job. Rows here are
+    // (term, count) pairs, NOT postings — cheap even for a billion-term
+    // vocabulary; only the Zipf head survives the filter.
+    val tStats = System.nanoTime()
     val hotTerms: Map[String, Long] = partials
       .groupBy($"term").agg(sum($"count").as("df"))
       .where($"df" > cfg.hotTermDf)
       .as[(String, Long)].collect().toMap
     val hotB = spark.sparkContext.broadcast(hotTerms)
-
     val numPartitions =
       partials.select(max($"docPartition")).as[Option[Int]].head().getOrElse(-1) + 1
+    if (sys.env.contains("GRAFT_PHASE_LOG"))
+      println(f"[graft-phase] merge-stats ${(System.nanoTime() - tStats) / 1e9}%.2f s " +
+        s"(hot=${hotTerms.size}, parts=$numPartitions)")
     val mergeParts =
       if (cfg.mergePartitions > 0) cfg.mergePartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -145,6 +143,8 @@ object IndexBuilder {
     // Sort-based shuffle does the k-way merge: within each reduce partition,
     // partials of a (term, salt) group arrive contiguous and in docPartition
     // order (== docId order), so the merge is a single streaming pass.
+    if (sys.env.contains("GRAFT_PHASE_LOG"))
+      println(f"[graft-phase] merge-plan +${(System.nanoTime() - tStats) / 1e9}%.2f s")
     val blockSize = cfg.blockSize
     salted
       .repartition(mergeParts, $"term", $"salt")

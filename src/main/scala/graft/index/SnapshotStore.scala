@@ -218,10 +218,12 @@ object Index {
     val segDone = Paths.get(incDir, "_SEG_DONE")
 
     if (!Files.exists(segDone)) {
+      val t0 = System.nanoTime()
       IndexBuilder.flushSegments(slice, cfg, basePartition)
         .write.mode("overwrite").parquet(segDir)
       Files.createDirectories(Paths.get(incDir))
       Files.write(segDone, Array.emptyByteArray)
+      logPhase(s"inc=$inc flush", t0)
     }
 
     val seg = spark.read.parquet(segDir)
@@ -230,18 +232,26 @@ object Index {
     mergeAndCommit(docMeta, partials, incDir, inc, cfg, prior)
   }
 
+  private def logPhase(what: String, t0: Long): Unit =
+    if (sys.env.contains("GRAFT_PHASE_LOG"))
+      println(f"[graft-phase] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
   private def mergeAndCommit(docMeta: Dataset[DocMeta],
       partials: Dataset[PartialPostings], incDir: String, inc: Int,
       cfg: IndexConfig, prior: Seq[SnapshotMeta]): SnapshotMeta = {
     val spark = docMeta.sparkSession
     import spark.implicits._
+    val tMeta = System.nanoTime()
     docMeta.write.mode("overwrite").parquet(s"$incDir/docmeta")
+    logPhase(s"inc=$inc docmeta", tMeta)
 
     val snapshotId = prior.size.toLong + 1L
     val lineageAcc = spark.sparkContext.collectionAccumulator[PartitionLineage](
       s"lineage-inc$inc")
+    val tMerge = System.nanoTime()
     val merged = IndexBuilder.mergePostings(partials, cfg, snapshotId, lineageAcc)
     merged.write.mode("overwrite").parquet(s"$incDir/postings")
+    logPhase(s"inc=$inc merge", tMerge)
 
     val statsRow = spark.read.parquet(s"$incDir/docmeta")
       .agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))

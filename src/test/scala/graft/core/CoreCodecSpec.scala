@@ -125,7 +125,7 @@ class CoreCodecSpec extends AnyFunSuite {
 
   test("competitive skyline: no pair dominated, covers all tf classes") {
     forAll(postingsGen) { case (_, tfs, norms) =>
-      val (skyTf, skyNorm) = PostingBlocks.competitiveSkyline(tfs, norms)
+      val (skyTf, skyNorm) = PostingBlocks.competitiveSkyline(tfs, norms.map(_ & 0xff))
       assert(skyTf.length == skyNorm.length && skyTf.nonEmpty)
       // strictly increasing in both coordinates (tf asc, norm asc)
       skyTf.toSeq.sliding(2).foreach { case Seq(a, b) => assert(a < b); case _ => }
@@ -183,5 +183,36 @@ class CoreCodecSpec extends AnyFunSuite {
     val long = "x" * 600
     val toks = Analyzer.tokenize(long)
     assert(toks.toSeq == Seq("x" * 255, "x" * 255, "x" * 90))
+  }
+
+  // ---- TermsHash -----------------------------------------------------------
+
+  test("TermsHash postings equal Analyzer.termFreqs for random docs") {
+    val textGen = Gen.chooseNum(0, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf("the", "if", "Return", "VALUE", "foo_bar", "x1", "Conto"),
+        Gen.alphaNumStr.map(_.take(12)))).map(_.mkString(" ", " .,(", " "))
+    }
+    forAll(Gen.listOfN(30, textGen), n = 20) { docs =>
+      val th = new TermsHash(Analyzer.EnglishStopWords)
+      val expected = scala.collection.mutable.HashMap
+        .empty[String, Vector[(Long, Int)]].withDefaultValue(Vector.empty)
+      docs.zipWithIndex.foreach { case (text, i) =>
+        val docId = 1000L + i
+        val count = th.addDoc(text)
+        val (terms, tfs, total) = Analyzer.termFreqs(text)
+        assert(count == total, s"token count mismatch on: $text")
+        th.finishDoc(docId, SmallFloatUtil.intToByte4(total))
+        terms.zip(tfs).foreach { case (t, f) =>
+          expected(t) = expected(t) :+ (docId, f)
+        }
+      }
+      val got = scala.collection.mutable.HashMap.empty[String, Vector[(Long, Int)]]
+      th.foreachTerm { (term, ids, tfs, _, n, ttf) =>
+        got(term) = (0 until n).map(k => (ids(k), tfs(k))).toVector
+        assert(ttf == (0 until n).map(tfs(_).toLong).sum)
+      }
+      assert(got.toMap == expected.toMap)
+    }
   }
 }
