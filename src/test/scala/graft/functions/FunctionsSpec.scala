@@ -74,4 +74,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql.length == viaEngine.length && viaSql.nonEmpty)
     viaSql.zip(viaEngine).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("SQL table-valued graft_search via SparkSessionExtensions") {
+    val sf = "/root/testdata/sf0.001"
+    val reader = DocSearchOps.reader(spark, sf) // ensure index exists
+    val ext = GraftExtensions.sessionFor(spark.sparkContext)
+    val hits = ext.sql(
+      s"SELECT path, score FROM graft_search('${reader.indexDir}', 'merge sort', 5) ORDER BY score DESC")
+      .collect()
+    assert(hits.length == 5)
+    // equals the Dataset-path top-5 for the same disjunction
+    val expected = DocSearchOps.searchDf(spark, sf,
+      graft.QuerySpec("x", should = Seq("merge", "sort"), k = 5)).collect()
+    assert(hits.map(_.getString(0).toLong).toSeq == expected.map(_.getLong(1)).toSeq)
+    // MUST/MUST_NOT syntax parses and runs
+    val andHits = ext.sql(
+      s"SELECT count(*) FROM graft_search('${reader.indexDir}', '+stream +batch', 10)").head().getLong(0)
+    assert(andHits > 0)
+  }
 }
