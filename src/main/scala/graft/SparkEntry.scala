@@ -33,6 +33,8 @@ object SparkEntry {
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
     "more_like_this" -> ((s, d) => DocSearchOps.moreLikeThis(s, d)),
     "search_sql_expr" -> (DocSearchOps.searchSqlExpr(_, _)),
+    "suggest_terms" -> ((s, d) => DocSearchOps.suggestTerms(s, d)),
+    "search_highlight" -> ((s, d) => DocSearchOps.searchHighlight(s, d)),
     "index_term_stats" -> (DocSearchOps.indexTermStats(_, _)),
     // -- facets / OLAP (SURVEY.md §2.7) --
     "facet_terms" -> (RelationalOps.facetTerms(_, _)),
@@ -218,6 +220,11 @@ object SparkEntry {
          |  SELECT doc_id, ' ' || array_to_string($QualityTokSql, ' ') || ' ' AS tokstr
          |  FROM documents)
          |WHERE contains(tokstr, ' key order ') ORDER BY doc_id""".stripMargin,
+    "suggest_terms" ->
+      s"""WITH $TokCte
+         |SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |WHERE term LIKE 's%' GROUP BY term
+         |ORDER BY df DESC, term LIMIT 8""".stripMargin,
     "search_fuzzy" ->
       s"""WITH $TokCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok

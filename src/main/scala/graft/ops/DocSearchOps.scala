@@ -227,6 +227,51 @@ object DocSearchOps {
          |WHERE rank <= 10 ORDER BY rank""".stripMargin)
   }
 
+  /** Suggest/complete: top-df dictionary completions for a prefix — the
+    * analyzing-suggester semantics over the term dictionary
+    * [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingSuggester.java],
+    * expressed as a dictionary scan (prefix pushdown) + popularity order.
+    */
+  def suggestTerms(spark: SparkSession, sfDir: String,
+      prefix: String = "s", n: Int = 8): DataFrame = {
+    val r = reader(spark, sfDir)
+    r.postings.where(col("term").startsWith(prefix))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(n)
+  }
+
+  /** Highlighting: snippet extraction around the first hit of the best
+    * query term in each top-k doc — the UnifiedHighlighter shape
+    * [B lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/UnifiedHighlighter.java]:
+    * score over the index first, re-analyze ONLY the k winners.
+    */
+  def searchHighlight(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "sort"), k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val hits = QueryEngine.search(r, Seq(QuerySpec("hl", should = terms, k = k)))
+    val termsB = spark.sparkContext.broadcast(terms.toArray)
+    hits.join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .join(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+      .select(col("doc_id"), col("score"), col("text"))
+      .as[(Long, Double, String)]
+      .map { case (id, score, text) =>
+        val lower = text.toLowerCase(java.util.Locale.ROOT)
+        val pos = termsB.value.iterator
+          .map(t => lower.indexOf(t)).filter(_ >= 0)
+          .foldLeft(Int.MaxValue)(math.min)
+        val snippet =
+          if (pos == Int.MaxValue) text.take(80)
+          else text.substring(math.max(0, pos - 40),
+            math.min(text.length, pos + 40))
+        (id, math.rint(score * 10000) / 10000, snippet)
+      }
+      .toDF("doc_id", "score", "snippet")
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   /** MoreLikeThis: top-idf terms of a seed doc -> OR query
     * [B lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java].
     * Deterministic seed doc + term selection; rows-only check (the seed doc

@@ -69,12 +69,13 @@ object NaiveSearch {
       .groupBy($"term").agg(countDistinct($"docId").as("df"))
 
     // quantized doc length via the SmallFloat table as a broadcast join —
-    // keeps the whole scoring plan in Catalyst expressions (SQL-parity)
+    // keeps the whole scoring plan in Catalyst expressions (SQL-parity);
+    // the norm code comes from the codegen'd custom expression, not a UDF
     val quant = spark.createDataset(
       (0 until 256).map(i => (i, SmallFloatUtil.LengthTable(i))))
       .toDF("normCode", "qdl")
-    val normCode = udf((tc: Int) =>
-      java.lang.Byte.toUnsignedInt(SmallFloatUtil.intToByte4(tc)))
+    val normCode = (c: org.apache.spark.sql.Column) =>
+      graft.functions.GraftFunctions.graft_norm_code(c)
 
     val k1 = bm25.k1
     val b = bm25.b
