@@ -34,6 +34,7 @@ object SparkEntry {
     "more_like_this" -> ((s, d) => DocSearchOps.moreLikeThis(s, d)),
     "search_sql_expr" -> (DocSearchOps.searchSqlExpr(_, _)),
     "suggest_terms" -> ((s, d) => DocSearchOps.suggestTerms(s, d)),
+    "search_regex" -> ((s, d) => DocSearchOps.searchRegex(s, d)),
     "search_highlight" -> ((s, d) => DocSearchOps.searchHighlight(s, d)),
     "index_term_stats" -> (DocSearchOps.indexTermStats(_, _)),
     // -- facets / OLAP (SURVEY.md §2.7) --
@@ -220,6 +221,11 @@ object SparkEntry {
          |  SELECT doc_id, ' ' || array_to_string($QualityTokSql, ' ') || ' ' AS tokstr
          |  FROM documents)
          |WHERE contains(tokstr, ' key order ') ORDER BY doc_id""".stripMargin,
+    "search_regex" ->
+      s"""WITH $TokCte
+         |SELECT DISTINCT doc_id FROM tok
+         |WHERE regexp_matches(term, '^wi.*w$$')
+         |ORDER BY doc_id LIMIT 200""".stripMargin,
     "suggest_terms" ->
       s"""WITH $TokCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok

@@ -227,6 +227,25 @@ object DocSearchOps {
          |WHERE rank <= 10 ORDER BY rank""".stripMargin)
   }
 
+  /** RegexpQuery (MultiTermQuery family): dictionary scan with rlike, then
+    * constant-score docs of any matching term
+    * [B lucene/core/src/java/org/apache/lucene/search/RegexpQuery.java] —
+    * automaton intersection replaced by a dictionary filter (same
+    * semantics, O(dict) — SURVEY.md §2.5).
+    */
+  def searchRegex(spark: SparkSession, sfDir: String,
+      pattern: String = "^wi.*w$"): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val docIds = r.postings.where(col("term").rlike(pattern))
+      .flatMap(tp => tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
+      .distinct().toDF("docId")
+    docIds.join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+      .limit(200)
+  }
+
   /** Suggest/complete: top-df dictionary completions for a prefix — the
     * analyzing-suggester semantics over the term dictionary
     * [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingSuggester.java],
