@@ -55,7 +55,8 @@ object Bench {
     val scaleHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
       if (sfDir.contains("0.1")) "240000" else "24000").toLong
-    val work = sys.env.getOrElse("SPARK_GRAFT_BENCH_WORK",
+    val userWork = sys.env.get("SPARK_GRAFT_BENCH_WORK")
+    val work = userWork.getOrElse(
       (if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
         Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench")
       else Files.createTempDirectory("graft_bench")).toString)
@@ -136,7 +137,8 @@ object Bench {
         s""""qps_sequential":${j(1.0 / math.max(1e-9, p50))},""" +
         s""""batch20_secs":${j(batchSecs)}},""" +
         s""""sf":"$sfDir"}""")
-    deleteRec(new java.io.File(work))
+    // only clean up dirs we created; a user-supplied work dir is theirs
+    if (userWork.isEmpty) deleteRec(new java.io.File(work))
   }
 
   private def deleteRec(f: java.io.File): Unit = {

@@ -354,8 +354,10 @@ object BmwScorer {
     * mirroring Lucene's ConjunctionDISI cost ordering.
     */
   def conjunctionTopK(musts: Array[TermIterator], shoulds: Array[TermIterator],
-      k: Int, accept: Long => Boolean, heap: TopKHeap): TopKHeap = {
-    if (musts.isEmpty) return wandTopK(shoulds, k, accept, heap)
+      k: Int, accept: Long => Boolean, heap: TopKHeap,
+      /** < 0: sum combine; in [0,1]: DisMax over ALL matched clauses. */
+      dismaxTb: Double = -1.0): TopKHeap = {
+    if (musts.isEmpty) return wandTopK(shoulds, k, accept, heap, dismaxTb)
     var i = 0
     while (i < musts.length) {
       if (musts(i).nextDoc() == NoMoreDocs) return heap
@@ -375,13 +377,24 @@ object BmwScorer {
       if (aligned) {
         if (doc != NoMoreDocs && accept(doc)) {
           var s = 0.0
+          var mx = 0.0
           i = 0
-          while (i < musts.length) { s += musts(i).score(); i += 1 }
-          i = 0
-          while (i < shoulds.length) {
-            if (shoulds(i).advance(doc) == doc) s += shoulds(i).score()
+          while (i < musts.length) {
+            val cs = musts(i).score()
+            s += cs
+            if (cs > mx) mx = cs
             i += 1
           }
+          i = 0
+          while (i < shoulds.length) {
+            if (shoulds(i).advance(doc) == doc) {
+              val cs = shoulds(i).score()
+              s += cs
+              if (cs > mx) mx = cs
+            }
+            i += 1
+          }
+          if (dismaxTb >= 0) s = mx + dismaxTb * (s - mx)
           heap.offer(s, doc)
         }
         doc = musts(0).advance(doc + 1)

@@ -304,7 +304,19 @@ object Index {
       }
       .filter(_.count > 0)
 
-    val snap = mergeAndCommit(docMeta, partials, s"$outDir/inc=0", 0, cfg, Nil)
+    // persist the compacted flush segments too, so the compacted index can
+    // itself be re-compacted (compact reads per-increment segments dirs)
+    import org.apache.spark.sql.functions.{lit, struct, when}
+    val segOut = docMeta.map(m => SegRow(0, Some(m), None))
+      .unionByName(partials.map(p => SegRow(1, None, Some(p))))
+    segOut.write.mode("overwrite").parquet(s"$outDir/inc=0/segments")
+    Files.createDirectories(Paths.get(s"$outDir/inc=0"))
+    Files.write(Paths.get(s"$outDir/inc=0", "_SEG_DONE"), Array.emptyByteArray)
+
+    val segBack = spark.read.parquet(s"$outDir/inc=0/segments")
+    val dm = segBack.where($"kind" === 0).select($"meta.*").as[DocMeta]
+    val pp = segBack.where($"kind" === 1).select($"partial.*").as[PartialPostings]
+    val snap = mergeAndCommit(dm, pp, s"$outDir/inc=0", 0, cfg, Nil)
     SnapshotStore.write(outDir, Seq(snap))
     Seq(snap)
   }
@@ -316,29 +328,40 @@ object Index {
     * the read path just filters (D10, SURVEY.md §1.1). Appends to the
     * tombstones parquet atomically-enough for a single writer.
     */
-  def deleteByTerm(spark: SparkSession, indexDir: String, term: String): Long = {
+  def deleteByTerm(spark: SparkSession, indexDir: String, rawTerm: String): Long = {
     import spark.implicits._
+    // normalize like query parsing does — postings store analyzed terms
+    val analyzed = graft.core.Analyzer.analyze(rawTerm)
+    require(analyzed.length == 1,
+      s"deleteByTerm expects one analyzable term, got '$rawTerm' -> ${analyzed.toSeq}")
+    val term = analyzed.head
     val r = reader(spark, indexDir)
     val hit = r.postings.where(org.apache.spark.sql.functions.col("term") === term)
       .flatMap(tp => tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
       .distinct()
-    val staging = s"$indexDir/tombstones_new"
-    hit.toDF("docId").write.mode("overwrite").parquet(staging)
-    val n = spark.read.parquet(staging).count()
-    val dst = Paths.get(indexDir, "tombstones")
-    // merge with existing tombstones, rewrite, swap
-    if (Files.exists(dst)) {
-      val merged = spark.read.parquet(dst.toString)
-        .unionByName(spark.read.parquet(staging)).distinct()
-      val tmp = s"$indexDir/tombstones_merged"
-      merged.write.mode("overwrite").parquet(tmp)
-      deleteRecursively(dst)
-      Files.move(Paths.get(tmp), dst)
-      deleteRecursively(Paths.get(staging))
-    } else {
-      Files.move(Paths.get(staging), dst)
+    // crash-safe swap: write a new versioned dir, atomically replace the
+    // pointer file, then GC the old dir — readers never observe a window
+    // with missing tombstones
+    val gen = currentTombstoneGen(indexDir)
+    val newDir = s"$indexDir/tombstones_v${gen + 1}"
+    val current = gen match {
+      case 0 => hit.toDF("docId")
+      case g => spark.read.parquet(s"$indexDir/tombstones_v$g")
+        .unionByName(hit.toDF("docId")).distinct()
     }
+    current.write.mode("overwrite").parquet(newDir)
+    val n = spark.read.parquet(newDir).count()
+    val tmp = Paths.get(indexDir, "tombstones.current.tmp")
+    Files.writeString(tmp, (gen + 1).toString)
+    Files.move(tmp, Paths.get(indexDir, "tombstones.current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (gen > 0) deleteRecursively(Paths.get(s"$indexDir/tombstones_v$gen"))
     n
+  }
+
+  private[index] def currentTombstoneGen(indexDir: String): Int = {
+    val ptr = Paths.get(indexDir, "tombstones.current")
+    if (Files.exists(ptr)) Files.readString(ptr).trim.toInt else 0
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -370,12 +393,12 @@ object Index {
     /** Deleted docIds ("live docs" complement), empty if none. */
     def tombstones: Dataset[Long] = {
       import spark.implicits._
-      val p = Paths.get(indexDir, "tombstones")
-      if (Files.exists(p)) spark.read.parquet(p.toString).as[Long]
+      val gen = Index.currentTombstoneGen(indexDir)
+      if (gen > 0) spark.read.parquet(s"$indexDir/tombstones_v$gen").as[Long]
       else spark.emptyDataset[Long]
     }
 
-    def hasTombstones: Boolean = Files.exists(Paths.get(indexDir, "tombstones"))
+    def hasTombstones: Boolean = Index.currentTombstoneGen(indexDir) > 0
   }
 
   def reader(spark: SparkSession, indexDir: String): Reader =

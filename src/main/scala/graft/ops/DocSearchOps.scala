@@ -126,9 +126,13 @@ object DocSearchOps {
       phrase: Seq[String] = Seq("key", "order")): DataFrame = {
     import spark.implicits._
     val r = reader(spark, sfDir)
-    // phase 1: candidates = docs containing ALL phrase terms (index-only)
+    // phase 1: candidates = docs containing ALL phrase terms (index-only).
+    // Candidate count is bounded (the engine's final merge is driver-side):
+    // 1M candidates ~ 16 MB of (docId, score) — beyond that, phrase search
+    // should page by docId range or switch the merge to the distributed
+    // path (QueryEngine scaladoc)
     val candidates = QueryEngine.search(r,
-      Seq(QuerySpec("ph", must = phrase, k = Int.MaxValue)))
+      Seq(QuerySpec("ph", must = phrase, k = 1 << 20)))
       .select(col("docId"))
     // phase 2: verify adjacency by re-analyzing ONLY candidate docs
     val cand = r.docMeta.select(col("docId"), col("path").cast("long").as("doc_id"))

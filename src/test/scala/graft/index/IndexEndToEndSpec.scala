@@ -196,17 +196,49 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val deletedIds = before.map(_.docId).toSet
     assert(other.nonEmpty && !other.exists(h => deletedIds.contains(h.docId)))
 
+    // a second delete merges tombstone generations (crash-safe pointer swap)
+    val n2 = Index.deleteByTerm(spark, delDir, "ident_4999")
+    assert(n2 > nDeleted) // union of both terms' docs
+    assert(graft.search.QueryEngine.search(Index.reader(spark, delDir),
+      Seq(graft.QuerySpec("n2", should = Seq("ident_4999")))).collect().isEmpty)
+    // un-analyzed input is normalized like query parsing
+    assert(Index.deleteByTerm(spark, delDir, "  QZX_Handler_77 ") == n2)
+
     // compaction physically removes them and updates stats
     val compDir = s"$workDir/index_compacted"
     Index.compact(spark, delDir, compDir, cfg)
     val cr = Index.reader(spark, compDir)
-    assert(cr.stats.docCount == NumDocs - nDeleted)
+    assert(cr.stats.docCount == NumDocs - n2)
     assert(!cr.hasTombstones)
     assert(graft.search.QueryEngine.search(cr, Seq(q)).collect().isEmpty)
     // audit: postings never reference a deleted docId
     val referenced = cr.postings.flatMap(tp =>
       tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1)).collect().toSet
     assert(referenced.intersect(deletedIds).isEmpty)
+
+    // the compacted index is itself delete-able and re-compactable
+    val n3 = Index.deleteByTerm(spark, compDir, "ident_0000")
+    assert(n3 > 0)
+    val comp2 = s"$workDir/index_compacted2"
+    Index.compact(spark, compDir, comp2, cfg)
+    val cr2 = Index.reader(spark, comp2)
+    assert(cr2.stats.docCount == NumDocs - n2 - n3)
+    assert(graft.search.QueryEngine.search(cr2,
+      Seq(graft.QuerySpec("g", should = Seq("ident_0000")))).collect().isEmpty)
+  }
+
+  test("duplicate MUST clauses do not mask a missing required term") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+    // 'zzznotaterm' absent: duplicated present term must not defeat the check
+    val hits = graft.search.QueryEngine.search(reader,
+      Seq(graft.QuerySpec("dup", must = Seq("while", "while", "zzznotaterm")))).collect()
+    assert(hits.isEmpty)
+    // and duplicated present terms alone still match (score counts it twice
+    // per Lucene's duplicate-clause semantics)
+    val ok = graft.search.QueryEngine.search(reader,
+      Seq(graft.QuerySpec("dup2", must = Seq("while", "while")))).collect()
+    assert(ok.nonEmpty)
   }
 
   test("skew: salted merge splits hot terms, bounded slices, correct union") {
