@@ -54,7 +54,7 @@ object Bench {
     val scaleLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val scaleHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
-      if (sfDir.contains("0.1")) "240000" else "24000").toLong
+      if (sfDir.contains("0.1")) "120000" else "24000").toLong
     val userWork = sys.env.get("SPARK_GRAFT_BENCH_WORK")
     val work = userWork.getOrElse(
       (if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
@@ -68,39 +68,45 @@ object Bench {
       s.stop()
     }
 
-    def buildAt(cpus: Int, tag: String, runs: Int): Double = {
+    def buildOnce(cpus: Int, tag: String, warm: Boolean): Double = {
       val s = session(cpus)
       import s.implicits._
-      // JIT/codegen warm-up: a small untimed build so the first timed run
-      // doesn't pay one-time compilation that a long-lived cluster never sees
-      CorpusGen.ensure(s, s"$work/warm", 500, numPartitions = cpus)
-      Index.build(s.read.parquet(s"$work/warm/corpus.parquet").as[SourceDoc],
-        s"$work/index_warm_$tag", IndexConfig())
+      if (warm) {
+        // JIT/codegen warm-up: a small untimed build so the first timed run
+        // doesn't pay one-time compilation a long-lived cluster never sees
+        CorpusGen.ensure(s, s"$work/warm", 500, numPartitions = cpus)
+        Index.build(s.read.parquet(s"$work/warm/corpus.parquet").as[SourceDoc],
+          s"$work/index_warm_$tag", IndexConfig())
+      }
       val corpus = s.read.parquet(s"$work/corpus/corpus.parquet").as[SourceDoc]
-      // min over runs: the sandbox VM has bursty co-tenant noise
-      val secs = (1 to runs).map { r =>
-        val dir = s"$work/index_${tag}_r$r"
-        val (_, t) = time {
-          Index.build(corpus, dir,
-            IndexConfig(hotTermDf = benchDocs / 8, targetPostingsPerSlice = benchDocs / 8))
-        }
-        if (r < runs) deleteRec(new java.io.File(dir))
-        t
-      }.min
+      val dir = s"$work/index_$tag"
+      deleteRec(new java.io.File(dir))
+      val (_, t) = time {
+        Index.build(corpus, dir,
+          IndexConfig(hotTermDf = benchDocs / 8, targetPostingsPerSlice = benchDocs / 8))
+      }
       s.stop()
-      secs
+      t
     }
 
-    val tLo = buildAt(scaleLo, s"lo$scaleLo", runs = 2)
-    val tHi = buildAt(scaleHi, s"hi$scaleHi", runs = 2)
-    val tMax = buildAt(opsCores, s"max$opsCores", runs = 1)
+    // the sandbox VM has bursty multi-second co-tenant noise: INTERLEAVE the
+    // two parallelism levels across 3 rounds and take each level's min, so a
+    // noisy window cannot bias one level's every sample
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
+    val samples = (1 to rounds).map { r =>
+      (buildOnce(scaleLo, s"lo$scaleLo", warm = r == 1),
+        buildOnce(scaleHi, s"hi$scaleHi", warm = r == 1))
+    }
+    val tLo = samples.map(_._1).min
+    val tHi = samples.map(_._2).min
+    val tMax = buildOnce(opsCores, s"max$opsCores", warm = true)
     val thrLo = benchDocs / tLo
     val thrHi = benchDocs / tHi
     val eff = (thrHi / thrLo) / (scaleHi.toDouble / scaleLo)
 
     // query latency on the ops-parallelism session
     val s = session(opsCores)
-    val reader = Index.reader(s, s"$work/index_max${opsCores}_r1")
+    val reader = Index.reader(s, s"$work/index_max$opsCores")
     // warm-up (JIT + parquet footer caches)
     QueryEngine.search(reader, ReferenceQueries.all.take(3)).count()
     val latencies = ReferenceQueries.all.map { q =>
@@ -131,6 +137,8 @@ object Bench {
         s""""secs_lo":${j(tLo)},"secs_hi":${j(tHi)},""" +
         s""""files_per_sec_lo":${j(thrLo)},"files_per_sec_hi":${j(thrHi)},""" +
         s""""scaling_efficiency":${j(eff)},""" +
+        s""""scaling_samples_lo":[${samples.map(x => j(x._1)).mkString(",")}],""" +
+        s""""scaling_samples_hi":[${samples.map(x => j(x._2)).mkString(",")}],""" +
         s""""cores_max":$opsCores,"secs_max":${j(tMax)},""" +
         s""""files_per_sec_max":${j(benchDocs / tMax)}},""" +
         s""""query_latency":{"p50":${j(p50)},"p95":${j(p95)},""" +
