@@ -100,9 +100,10 @@ object SparkEntry {
        |)""".stripMargin
 
   /** Full BM25 (Lucene 8 semantics incl. SmallFloat byte4 doc-length
-    * quantization, k1=1.2 b=0.75) in ANSI SQL. Quantization: keep the top
-    * 4 significant bits of dl (values < 8 are exact) — identical to
-    * SmallFloatUtil.byte4ToInt(intToByte4(dl)).
+    * quantization, k1=1.2 b=0.75) in ANSI SQL. Quantization mirrors
+    * Lucene's SmallFloat free-values offset: dl < 32 exact (24 free codes
+    * + 8 subnormals), else 24 + top-4-significant-bits(dl - 24) —
+    * identical to SmallFloatUtil.byte4ToInt(intToByte4(dl)).
     */
   private def bm25Sql(scored: Seq[String], musts: Seq[String],
       nots: Seq[String] = Nil, lang: Option[String] = None, k: Int = 10,
@@ -138,8 +139,8 @@ object SparkEntry {
     s"""WITH $TokCte,
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-       |qdl AS (SELECT doc_id, CASE WHEN dl < 8 THEN dl
-       |        ELSE (dl >> (length(printf('%b', dl)) - 4)) << (length(printf('%b', dl)) - 4)
+       |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+       |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
        |        END AS qdl FROM dl),
        |st AS (SELECT (SELECT count(*) FROM documents) AS n,
        |              (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
@@ -261,8 +262,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     "facet_query" ->
       """SELECT o_orderstatus, count(*) AS cnt_all,
-        |sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS cnt_big,
-        |sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS cnt_urgent
+        |CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_big,
+        |CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_urgent
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "facet_nested" ->
       """SELECT lang, source, count(*) AS cnt FROM documents
@@ -334,8 +335,8 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, value,
-        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                               ROWS UNBOUNDED PRECEDING) AS session_id
+        |        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |      FROM g)
         |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,

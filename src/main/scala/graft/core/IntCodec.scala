@@ -107,14 +107,19 @@ object IntCodec {
   def encode(values: Array[Int]): Array[Byte] = {
     if (values.isEmpty) return Array(0.toByte)
     var maxV = 0
+    var minV = 0
     var vbBytes = 1
     var i = 0
     while (i < values.length) {
       val v = values(i)
       if (v > maxV) maxV = v
+      if (v < minV) minV = v
       vbBytes += math.max(1, (38 - Integer.numberOfLeadingZeros(v)) / 7)
       i += 1
     }
+    // a negative value would silently truncate under FOR bit-packing
+    // (bitsRequired sees only maxV) — fail loudly instead
+    require(minV >= 0, s"IntCodec.encode supports non-negative ints only: $minV")
     val bits = bitsRequired(maxV)
     val forBytes = 1 + 8 * ((values.length * bits + 63) / 64)
     if (forBytes < vbBytes) {

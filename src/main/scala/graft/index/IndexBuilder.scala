@@ -51,12 +51,19 @@ object IndexBuilder {
     * micro-batches, whose scans restart partition ids at 0.
     */
   def flushSegments(corpus: Dataset[SourceDoc], cfg: IndexConfig,
-      basePartition: Int = 0): Dataset[SegRow] = {
+      basePartition: Int = 0, partitionCap: Int = Int.MaxValue): Dataset[SegRow] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val stop = cfg.stopWords
     corpus.mapPartitions { docs =>
-      val pid = basePartition + TaskContext.get().partitionId()
+      val localPid = TaskContext.get().partitionId()
+      // streaming micro-batches space their docId ranges BatchPartitionSpan
+      // partitions apart (Index.appendBatch) — a wider scan would silently
+      // collide with the next batch's id space, so fail the batch instead
+      require(localPid < partitionCap,
+        s"micro-batch scan has >=${localPid + 1} partitions; max " +
+          s"$partitionCap per batch (docId space collision)")
+      val pid = basePartition + localPid
       var row = 0L
       val metas = mutable.ArrayBuffer.empty[SegRow]
       // DWPT-style in-memory inverted index for this partition

@@ -163,6 +163,12 @@ object SnapshotStore {
 /** Orchestrates resumable incremental builds and exposes the read side. */
 object Index {
 
+  /** docId-partition span reserved per streaming micro-batch (appendBatch):
+    * batch K's docIds live in partitions [K*span, (K+1)*span). Enforced in
+    * IndexBuilder.flushSegments — a scan wider than this would collide.
+    */
+  val BatchPartitionSpan: Int = 4096
+
   /** Build (or resume building) an index over `corpus` in `increments`
     * docId-disjoint slices. Each increment: flush -> merge -> commit.
     * Returns the snapshot list. Deterministic: rerunning after a partial
@@ -202,7 +208,8 @@ object Index {
     val snaps = SnapshotStore.read(indexDir).toBuffer
     if (!snaps.exists(_.incrementId == batchId.toInt)) {
       snaps += commitIncrement(batch, indexDir, batchId.toInt,
-        basePartition = batchId.toInt * 4096, cfg, snaps.toSeq)
+        basePartition = batchId.toInt * BatchPartitionSpan, cfg, snaps.toSeq,
+        partitionCap = BatchPartitionSpan)
       SnapshotStore.write(indexDir, snaps.toSeq)
     }
     snaps.toSeq
@@ -210,7 +217,7 @@ object Index {
 
   private def commitIncrement(slice: Dataset[SourceDoc], indexDir: String,
       inc: Int, basePartition: Int, cfg: IndexConfig,
-      prior: Seq[SnapshotMeta]): SnapshotMeta = {
+      prior: Seq[SnapshotMeta], partitionCap: Int = Int.MaxValue): SnapshotMeta = {
     val spark = slice.sparkSession
     import spark.implicits._
     val incDir = s"$indexDir/inc=$inc"
@@ -219,7 +226,7 @@ object Index {
 
     if (!Files.exists(segDone)) {
       val t0 = System.nanoTime()
-      IndexBuilder.flushSegments(slice, cfg, basePartition)
+      IndexBuilder.flushSegments(slice, cfg, basePartition, partitionCap)
         .write.mode("overwrite").parquet(segDir)
       Files.createDirectories(Paths.get(incDir))
       Files.write(segDone, Array.emptyByteArray)

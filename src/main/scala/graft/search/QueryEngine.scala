@@ -36,11 +36,21 @@ object QueryEngine {
 
   /** Analyze raw query terms the same way documents are analyzed (Lucene
     * query parsing runs the field analyzer over each clause).
+    *
+    * Clause lists are DEDUPLICATED after analysis, and SHOULD terms that
+    * also appear as MUST drop their SHOULD copy — a documented deviation
+    * from Lucene's BooleanQuery (which scores duplicate clauses twice):
+    * every oracle (NaiveSearch, DuckDB SQL) scores each distinct matched
+    * term once, so the engine must agree.
     */
-  def analyzeQuery(q: QuerySpec, stopWords: Set[String]): QuerySpec = q.copy(
-    should = q.should.flatMap(Analyzer.analyze(_, stopWords)),
-    must = q.must.flatMap(Analyzer.analyze(_, stopWords)),
-    mustNot = q.mustNot.flatMap(Analyzer.analyze(_, stopWords)))
+  def analyzeQuery(q: QuerySpec, stopWords: Set[String]): QuerySpec = {
+    val must = q.must.flatMap(Analyzer.analyze(_, stopWords)).distinct
+    q.copy(
+      should = q.should.flatMap(Analyzer.analyze(_, stopWords)).distinct
+        .filterNot(must.contains),
+      must = must,
+      mustNot = q.mustNot.flatMap(Analyzer.analyze(_, stopWords)).distinct)
+  }
 
   def search(reader: Index.Reader, rawQueries: Seq[QuerySpec],
       bm25: Bm25 = Bm25(),

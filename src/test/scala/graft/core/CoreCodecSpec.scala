@@ -13,9 +13,12 @@ class CoreCodecSpec extends AnyFunSuite {
   // ---- SmallFloat ----------------------------------------------------------
 
   test("SmallFloat golden vectors (FIXTURES.md §4)") {
+    // Lucene 8.11 SmallFloat semantics: NUM_FREE_VALUES=24 free codes keep
+    // 0..23 exact, subnormal+4-bit-mantissa keeps 24..40 exact, then lossy.
     val golden = Seq(
       0 -> 0, 1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 7 -> 7,
-      8 -> 8, 16 -> 16, 255 -> 240, 256 -> 256, 10000 -> 9216)
+      8 -> 8, 16 -> 16, 23 -> 23, 24 -> 24, 31 -> 31, 32 -> 32,
+      40 -> 40, 41 -> 40, 255 -> 248, 256 -> 248, 10000 -> 9240)
     for ((len, quantized) <- golden) {
       assert(SmallFloatUtil.quantize(len) == quantized, s"len=$len")
     }
