@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object DocSearchOps {
 
-  private val Version = "v2" // bump to invalidate cached indexes on format change
+  private val Version = "v3" // bump to invalidate cached indexes on format change
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
 
   def reader(spark: SparkSession, sfDir: String): Index.Reader =
@@ -78,27 +78,47 @@ object DocSearchOps {
     * pushed to row-group stats (terms are sorted within partitions).
     */
   def searchPrefix(spark: SparkSession, sfDir: String, prefix: String = "wind"): DataFrame = {
-    import spark.implicits._
     val r = reader(spark, sfDir)
-    val matching = r.postings.where(col("term").startsWith(prefix))
-    val docIds = matching.flatMap(tp =>
-      tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
-      .distinct().toDF("docId")
-    docIds.join(r.docMeta.select(col("docId"), col("path")), "docId")
+    expandedDocIds(r, col("term").startsWith(prefix))
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
       .select(col("path").cast("long").as("doc_id"))
       .orderBy(asc("doc_id"))
       .limit(100)
   }
 
-  /** Term dictionary stats straight from the index (df, ttf per term) —
-    * cross-checked against retokenizing SQL in the oracle.
+  /** Term dictionary stats straight from the slim termdict table (df, ttf
+    * per term; blocks never read) — cross-checked against retokenizing SQL.
     */
   def indexTermStats(spark: SparkSession, sfDir: String): DataFrame = {
     val r = reader(spark, sfDir)
-    r.postings.where(col("term").isin(TextOps.ProbeTerms: _*))
+    r.termDict.where(col("term").isin(TextOps.ProbeTerms: _*))
       .groupBy(col("term"))
-      .agg(sum(col("df")).as("df"), sum(col("totalTf")).as("ttf"))
+      .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
       .orderBy(asc("term"))
+  }
+
+  /** MultiTermQuery rewrite: expand a dictionary predicate to matching
+    * terms on the SLIM termdict table (ReadSchema = term only, no blocks),
+    * then hit postings with those terms. Small expansions push an `isin`
+    * into the parquet row-group stats; large ones broadcast-semi-join —
+    * Lucene's CONSTANT_SCORE_BLENDED vs CONSTANT_SCORE_REWRITE split
+    * [B lucene/core/src/java/org/apache/lucene/search/MultiTermQuery.java].
+    */
+  private val MaxIsinExpansion = 1024
+
+  private def expandedDocIds(r: graft.index.Index.Reader,
+      termPred: org.apache.spark.sql.Column): DataFrame = {
+    import r.spark.implicits._
+    val terms = r.termDict.where(termPred).select(col("term"))
+      .distinct().as[String].collect()
+    val matching =
+      if (terms.length <= MaxIsinExpansion)
+        r.postings.where(col("term").isin(terms.toSeq: _*))
+      else
+        r.postings.join(broadcast(terms.toSeq.toDF("term")), "term")
+    matching.as[TermPostings]
+      .flatMap(tp => tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
+      .distinct().toDF("docId")
   }
 
   /** DisjunctionMaxQuery (edismax core): max + tb*(sum-max) combine
@@ -156,7 +176,7 @@ object DocSearchOps {
   def searchFuzzy(spark: SparkSession, sfDir: String,
       q: String = "merge", maxEdits: Int = 1): DataFrame = {
     val r = reader(spark, sfDir)
-    r.postings
+    r.termDict
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .where(levenshtein(col("term"), lit(q)) <= maxEdits)
       .orderBy(asc("term"))
@@ -211,7 +231,7 @@ object DocSearchOps {
     graft.functions.GraftFunctions.register(spark)
     val r = reader(spark, sfDir)
     val stats = r.stats
-    val dfMerge = r.postings.where(col("term") === "merge")
+    val dfMerge = r.termDict.where(col("term") === "merge")
       .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
     spark.read.parquet(s"$sfDir/documents.parquet")
       .createOrReplaceTempView("graft_docs")
@@ -239,12 +259,9 @@ object DocSearchOps {
     */
   def searchRegex(spark: SparkSession, sfDir: String,
       pattern: String = "^wi.*w$"): DataFrame = {
-    import spark.implicits._
     val r = reader(spark, sfDir)
-    val docIds = r.postings.where(col("term").rlike(pattern))
-      .flatMap(tp => tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
-      .distinct().toDF("docId")
-    docIds.join(r.docMeta.select(col("docId"), col("path")), "docId")
+    expandedDocIds(r, col("term").rlike(pattern))
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
       .select(col("path").cast("long").as("doc_id"))
       .orderBy(asc("doc_id"))
       .limit(200)
@@ -258,7 +275,7 @@ object DocSearchOps {
   def suggestTerms(spark: SparkSession, sfDir: String,
       prefix: String = "s", n: Int = 8): DataFrame = {
     val r = reader(spark, sfDir)
-    r.postings.where(col("term").startsWith(prefix))
+    r.termDict.where(col("term").startsWith(prefix))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .orderBy(desc("df"), asc("term"))
       .limit(n)
@@ -307,7 +324,7 @@ object DocSearchOps {
       .where(col("doc_id") === seedDocId).select(col("text")).as[String].head()
     val seedTerms = graft.core.Analyzer.analyze(text).distinct
     val stats = r.stats
-    val dfMap = r.postings.where(col("term").isin(seedTerms.toSeq: _*))
+    val dfMap = r.termDict.where(col("term").isin(seedTerms.toSeq: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .as[(String, Long)].collect().toMap
     val bm = graft.core.Bm25()

@@ -69,9 +69,12 @@ object QueryEngine {
     val p = reader.postings.where($"term".isin(allTerms: _*))
 
     // global per-term stats across salt slices + snapshots == Lucene's
-    // TermStatistics gathering at createWeight time
+    // TermStatistics gathering at createWeight time — read from the slim
+    // term dictionary (point-pushdown scan of (term, df) only)
     val termDf: Map[String, Long] =
-      p.groupBy($"term").agg(sum($"df")).as[(String, Long)].collect().toMap
+      reader.termDict.where($"term".isin(allTerms: _*))
+        .groupBy($"term").agg(sum($"df"))
+        .as[(String, Long)].collect().toMap
     val stats = reader.stats
     val statsB = spark.sparkContext.broadcast((termDf, stats, queries, bm25))
 
