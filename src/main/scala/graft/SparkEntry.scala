@@ -28,6 +28,7 @@ object SparkEntry {
     "search_dismax" -> (DocSearchOps.searchDismax(_, _)),
     "search_boosted" -> (DocSearchOps.searchBoosted(_, _)),
     "search_phrase" -> ((s, d) => DocSearchOps.searchPhrase(s, d)),
+    "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
@@ -222,6 +223,16 @@ object SparkEntry {
          |  SELECT doc_id, ' ' || array_to_string($QualityTokSql, ' ') || ' ' AS tokstr
          |  FROM documents)
          |WHERE contains(tokstr, ' key order ') ORDER BY doc_id""".stripMargin,
+    // sloppy phrase "key order"~2: raw token positions (stop words count,
+    // mirroring StopFilter position-increment holes), window |pb-pa-1|<=2
+    "search_phrase_sloppy" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS INT) AS pos, toks[i + 1] AS term
+         |      FROM tk, unnest(range(len(toks))) AS r(i)),
+         |a AS (SELECT doc_id, pos FROM p WHERE term = 'key'),
+         |b AS (SELECT doc_id, pos FROM p WHERE term = 'order')
+         |SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+         |WHERE abs(b.pos - a.pos - 1) <= 2 ORDER BY doc_id""".stripMargin,
     "search_regex" ->
       s"""WITH $TokCte
          |SELECT DISTINCT doc_id FROM tok

@@ -67,12 +67,18 @@ object PostingBlocks {
     (rTf, rNorm)
   }
 
-  /** Encode one partial posting list (docIds ascending, same partition). */
+  /** Encode one partial posting list (docIds ascending, same partition).
+    * `posDeltas` is the optional flat positional stream (per-doc deltas,
+    * concatenated in docId order, sum(tfs) ints) — sliced per block at doc
+    * boundaries, so the per-doc delta groups survive re-blocking intact.
+    */
   def build(docIds: Array[Long], tfs: Array[Int], norms: Array[Byte],
-      blockSize: Int = BlockSize): Seq[PostingBlock] = {
+      blockSize: Int = BlockSize,
+      posDeltas: Array[Int] = null): Seq[PostingBlock] = {
     require(docIds.length == tfs.length && tfs.length == norms.length)
     val out = Vector.newBuilder[PostingBlock]
     var start = 0
+    var posOff = 0
     while (start < docIds.length) {
       val n = math.min(blockSize, docIds.length - start)
       val gaps = new Array[Int](n)
@@ -94,6 +100,16 @@ object PostingBlocks {
         i += 1
       }
       val (skyTf, skyNorm) = competitiveSkyline(btf, bnorm)
+      val posBytes =
+        if (posDeltas == null) IntCodec.encode(Array.empty[Int])
+        else {
+          var nPos = 0
+          var j = 0
+          while (j < n) { nPos += btf(j); j += 1 }
+          val slice = java.util.Arrays.copyOfRange(posDeltas, posOff, posOff + nPos)
+          posOff += nPos
+          IntCodec.encode(slice)
+        }
       out += PostingBlock(
         firstDocId = docIds(start),
         lastDocId = docIds(start + n - 1),
@@ -103,10 +119,46 @@ object PostingBlocks {
         impactNormBytes = IntCodec.encode(skyNorm),
         docIdBytes = IntCodec.encode(gaps),
         tfBytes = IntCodec.encode(btf),
-        normBytes = IntCodec.encode(bnorm))
+        normBytes = IntCodec.encode(bnorm),
+        posBytes = posBytes)
       start += n
     }
     out.result()
+  }
+
+  /** True when a block (or partial) carries positional postings: the codec
+    * header alone (1 byte) means "positions off".
+    */
+  @inline def hasPositions(posBytes: Array[Byte]): Boolean =
+    posBytes != null && posBytes.length > 1
+
+  /** Decode a block's flat positional delta stream to ABSOLUTE positions per
+    * posting: positions(i) has tfs(i) ascending raw token positions.
+    * Returns null when the block has no positions.
+    */
+  def decodePositions(b: PostingBlock, tfs: Array[Int]): Array[Array[Int]] = {
+    if (!hasPositions(b.posBytes)) return null
+    var total = 0
+    var i = 0
+    while (i < tfs.length) { total += tfs(i); i += 1 }
+    val flat = IntCodec.decode(b.posBytes, total)
+    val out = new Array[Array[Int]](tfs.length)
+    var o = 0
+    i = 0
+    while (i < tfs.length) {
+      val ps = new Array[Int](tfs(i))
+      var t = 0
+      var acc = 0
+      while (t < tfs(i)) {
+        acc += flat(o + t)
+        ps(t) = acc
+        t += 1
+      }
+      out(i) = ps
+      o += tfs(i)
+      i += 1
+    }
+    out
   }
 
   /** Decode a block to (docIds, tfs, normBytes). */

@@ -14,7 +14,12 @@ package graft.core
   * [A-Za-z0-9_], 255-char cap, ASCII lowercase) — property-tested
   * equivalence in CoreCodecSpec.
   */
-final class TermsHash(stopWords: Set[String]) {
+final class TermsHash(stopWords: Set[String],
+    /** Record raw token positions per posting (IndexOptions-style opt-in,
+      * SURVEY.md §2.2 positions row): stop words advance the position
+      * counter but emit nothing — StopFilter position-increment holes.
+      */
+    trackPositions: Boolean = false) {
 
   private var capacity = 1 << 14 // power of two
   private var table: Array[Int] = Array.fill(capacity)(-1)
@@ -24,11 +29,15 @@ final class TermsHash(stopWords: Set[String]) {
   private var stopArr = new Array[Boolean](1 << 12)
   private var lastDocSeen = new Array[Int](1 << 12)
   private var docTf = new Array[Int](1 << 12)
+  private var lastPosInDoc = new Array[Int](1 << 12)
   private var postIds = new Array[Array[Long]](1 << 12)
   private var postTfs = new Array[Array[Int]](1 << 12)
   private var postNorms = new Array[Array[Byte]](1 << 12)
   private var postN = new Array[Int](1 << 12)
   private var postTtf = new Array[Long](1 << 12)
+  // per-term flat positional stream (per-doc deltas) + its length
+  private var postPos = new Array[Array[Int]](1 << 12)
+  private var postPosN = new Array[Int](1 << 12)
   var numTerms = 0
 
   private var docSerial = 0
@@ -70,11 +79,14 @@ final class TermsHash(stopWords: Set[String]) {
     stopArr = java.util.Arrays.copyOf(stopArr, cap)
     lastDocSeen = java.util.Arrays.copyOf(lastDocSeen, cap)
     docTf = java.util.Arrays.copyOf(docTf, cap)
+    lastPosInDoc = java.util.Arrays.copyOf(lastPosInDoc, cap)
     postIds = java.util.Arrays.copyOf(postIds, cap)
     postTfs = java.util.Arrays.copyOf(postTfs, cap)
     postNorms = java.util.Arrays.copyOf(postNorms, cap)
     postN = java.util.Arrays.copyOf(postN, cap)
     postTtf = java.util.Arrays.copyOf(postTtf, cap)
+    postPos = java.util.Arrays.copyOf(postPos, cap)
+    postPosN = java.util.Arrays.copyOf(postPosN, cap)
   }
 
   private def rehash(): Unit = {
@@ -125,6 +137,7 @@ final class TermsHash(stopWords: Set[String]) {
     docSerial += 1
     numTouched = 0
     var count = 0
+    var rawPos = 0 // raw token index; stop words advance it (posInc holes)
     if (content == null) return 0
     val n = content.length
     var i = 0
@@ -144,9 +157,24 @@ final class TermsHash(stopWords: Set[String]) {
             touched(numTouched) = id
             numTouched += 1
           }
+          if (trackPositions) {
+            // per-doc delta: first occurrence stores the absolute position
+            val delta =
+              if (docTf(id) == 0) rawPos else rawPos - lastPosInDoc(id)
+            lastPosInDoc(id) = rawPos
+            var ps = postPos(id)
+            if (ps == null) { ps = new Array[Int](4); postPos(id) = ps }
+            else if (postPosN(id) == ps.length) {
+              ps = java.util.Arrays.copyOf(ps, ps.length * 2)
+              postPos(id) = ps
+            }
+            ps(postPosN(id)) = delta
+            postPosN(id) += 1
+          }
           docTf(id) += 1
           count += 1
         }
+        rawPos += 1
       }
     }
     count
@@ -188,6 +216,37 @@ final class TermsHash(stopWords: Set[String]) {
     while (id < numTerms) {
       if (postN(id) > 0)
         f(termArr(id), postIds(id), postTfs(id), postNorms(id), postN(id), postTtf(id))
+      id += 1
+    }
+  }
+
+  /** The term's flat positional delta stream (sized exactly), or null when
+    * positions are off. Aligned with the postings/tf stream: posting i owns
+    * the next tfs(i) deltas.
+    */
+  def positionsOf(term: String): Array[Int] = {
+    if (!trackPositions) return null
+    var id = 0
+    while (id < numTerms) {
+      if (termArr(id) == term)
+        return java.util.Arrays.copyOf(postPos(id), postPosN(id))
+      id += 1
+    }
+    null
+  }
+
+  /** foreachTerm variant that also hands over the sized positional stream. */
+  def foreachTermWithPositions(
+      f: (String, Array[Long], Array[Int], Array[Byte], Int, Long, Array[Int]) => Unit): Unit = {
+    var id = 0
+    while (id < numTerms) {
+      if (postN(id) > 0) {
+        val ps =
+          if (!trackPositions || postPos(id) == null) null
+          else java.util.Arrays.copyOf(postPos(id), postPosN(id))
+        f(termArr(id), postIds(id), postTfs(id), postNorms(id), postN(id),
+          postTtf(id), ps)
+      }
       id += 1
     }
   }

@@ -17,7 +17,11 @@ case class IndexConfig(
     targetPostingsPerSlice: Long = 100000L,
     /** reduce-side parallelism of the segment-merge shuffle; 0 = session default. */
     mergePartitions: Int = 0,
-    stopWords: Set[String] = Analyzer.EnglishStopWords)
+    stopWords: Set[String] = Analyzer.EnglishStopWords,
+    /** Index token positions (Lucene IndexOptions ..._AND_POSITIONS) —
+      * enables index-only PhraseQuery/sloppy phrase; off keeps builds lean.
+      */
+    indexPositions: Boolean = false)
 
 /** Union row of the flush ("segment") output: one tokenize pass emits both
   * per-doc metadata (kind=0) and per-(term, partition) partial postings
@@ -67,7 +71,7 @@ object IndexBuilder {
       var row = 0L
       val metas = mutable.ArrayBuffer.empty[SegRow]
       // DWPT-style in-memory inverted index for this partition
-      val th = new graft.core.TermsHash(stop)
+      val th = new graft.core.TermsHash(stop, cfg.indexPositions)
       docs.foreach { d =>
         val docId = CorpusIds.docId(pid, row)
         row += 1
@@ -78,7 +82,7 @@ object IndexBuilder {
           graft.corpus.CorpusGen.sha256Hex(d.content), total, normByte)), None)
       }
       val partials = mutable.ArrayBuffer.empty[SegRow]
-      th.foreachTerm { (term, ids, tfs, norms, n, ttf) =>
+      th.foreachTermWithPositions { (term, ids, tfs, norms, n, ttf, posDeltas) =>
         val gaps = new Array[Int](n) // ids ascending (ingest order)
         val normArr = new Array[Int](n)
         var i = 1
@@ -94,7 +98,9 @@ object IndexBuilder {
           docIdBytes = IntCodec.encode(gaps),
           tfBytes = IntCodec.encode(
             if (tfs.length == n) tfs else java.util.Arrays.copyOf(tfs, n)),
-          normBytes = IntCodec.encode(normArr))))
+          normBytes = IntCodec.encode(normArr),
+          posBytes = IntCodec.encode(
+            if (posDeltas == null) Array.empty[Int] else posDeltas))))
       }
       metas.iterator ++ partials.iterator
     }
@@ -108,6 +114,15 @@ object IndexBuilder {
     while (i < p.count) { acc += gaps(i); docIds(i) = acc; i += 1 }
     (docIds, IntCodec.decode(p.tfBytes, p.count),
       IntCodec.decode(p.normBytes, p.count).map(_.toByte))
+  }
+
+  /** The partial's flat positional delta stream (sum(tfs) ints), or null. */
+  def decodePartialPositions(p: PartialPostings, tfs: Array[Int]): Array[Int] = {
+    if (!PostingBlocks.hasPositions(p.posBytes)) return null
+    var total = 0
+    var i = 0
+    while (i < tfs.length) { total += tfs(i); i += 1 }
+    IntCodec.decode(p.posBytes, total)
   }
 
   /** Number of salted slices for a term with corpus-wide doc frequency df. */
@@ -172,7 +187,8 @@ object IndexBuilder {
               buf: mutable.ArrayBuffer[PartialPostings]): TermPostings = {
             val blocks = buf.iterator.flatMap { p =>
               val (ids, tfs, norms) = decodePartial(p)
-              PostingBlocks.build(ids, tfs, norms, blockSize)
+              PostingBlocks.build(ids, tfs, norms, blockSize,
+                decodePartialPositions(p, tfs))
             }.toVector
             val df = buf.iterator.map(_.count.toLong).sum
             val ttf = buf.iterator.map(_.totalTf).sum

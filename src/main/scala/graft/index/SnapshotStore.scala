@@ -315,13 +315,28 @@ object Index {
     val gaps = new Array[Int](kIds.length)
     var i = 1
     while (i < kIds.length) { gaps(i) = (kIds(i) - kIds(i - 1)).toInt; i += 1 }
+    val posFlat = IndexBuilder.decodePartialPositions(p, tfs)
+    val posBytes =
+      if (posFlat == null) p.posBytes
+      else {
+        // per-doc delta groups are self-contained (first delta is the
+        // absolute position), so kept docs' groups survive verbatim
+        val offsets = new Array[Int](tfs.length)
+        var o = 0
+        var j = 0
+        while (j < tfs.length) { offsets(j) = o; o += tfs(j); j += 1 }
+        val out = keep.iterator.flatMap(i =>
+          posFlat.iterator.slice(offsets(i), offsets(i) + tfs(i))).toArray
+        graft.core.IntCodec.encode(out)
+      }
     p.copy(
       count = kIds.length,
       totalTf = keep.map(i => tfs(i).toLong).sum,
       firstDocId = if (kIds.isEmpty) 0L else kIds(0),
       docIdBytes = graft.core.IntCodec.encode(gaps),
       tfBytes = graft.core.IntCodec.encode(keep.map(tfs).toArray),
-      normBytes = graft.core.IntCodec.encode(keep.map(i => norms(i) & 0xff).toArray))
+      normBytes = graft.core.IntCodec.encode(keep.map(i => norms(i) & 0xff).toArray),
+      posBytes = posBytes)
   }
 
   def compact(spark: SparkSession, indexDir: String, outDir: String,

@@ -41,7 +41,14 @@ case class PartialPostings(
     firstDocId: Long,
     docIdBytes: Array[Byte], // delta gaps from firstDocId, FOR/VByte
     tfBytes: Array[Byte], // FOR/VByte
-    normBytes: Array[Byte]) // FOR/VByte over normByte&0xFF per posting
+    normBytes: Array[Byte], // FOR/VByte over normByte&0xFF per posting
+    /** Optional positional postings (IndexConfig.indexPositions, Lucene
+      * IndexOptions.DOCS_AND_FREQS_AND_POSITIONS): per posting, `tf` raw
+      * token positions (stop words leave holes, like StopFilter posInc),
+      * delta-encoded within each doc and concatenated in docId order.
+      * Empty (1-byte codec header) when positions are off.
+      */
+    posBytes: Array[Byte] = Array(0.toByte))
 
 /** One compressed 128-doc posting block (SURVEY.md §2.4). Blocks never span
   * corpus partitions, so `firstDocId >> CorpusIds.PartitionShift` identifies
@@ -66,7 +73,11 @@ case class PostingBlock(
     impactNormBytes: Array[Byte],
     docIdBytes: Array[Byte],
     tfBytes: Array[Byte],
-    normBytes: Array[Byte])
+    normBytes: Array[Byte],
+    /** Positional postings for this block (see PartialPostings.posBytes):
+      * sum(tf) ints, per-doc delta-encoded, empty when positions are off.
+      */
+    posBytes: Array[Byte] = Array(0.toByte))
 
 /** Final merged postings row: one (term, salt) slice of the inverted index.
   * Hot terms are split across `salt` slices with docId-disjoint contiguous

@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object DocSearchOps {
 
-  private val Version = "v3" // bump to invalidate cached indexes on format change
+  private val Version = "v4" // bump to invalidate cached indexes on format change
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
 
   def reader(spark: SparkSession, sfDir: String): Index.Reader =
@@ -34,7 +34,8 @@ object DocSearchOps {
             col("text").as("content"))
           .as[SourceDoc]
         Index.build(corpus, dir,
-          IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000))
+          IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000,
+            indexPositions = true))
       }
       Index.reader(spark, dir)
     })
@@ -135,37 +136,32 @@ object DocSearchOps {
     searchDf(spark, sfDir, QuerySpec("boost",
       should = Seq("merge", "sort"), boosts = Map("merge" -> 2.5)))
 
-  /** PhraseQuery via two-phase evaluation
+  /** PhraseQuery over POSITIONAL postings, fully index-only
     * [B lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java]
-    * [B .../search/TwoPhaseIterator.java]: cheap approximation = conjunction
-    * of the phrase terms through the index; expensive verify = adjacency
-    * check on the analyzed token stream of the candidate docs only.
-    * Constant-score result (docs matching the phrase), like a filter clause.
+    * [B .../search/TwoPhaseIterator.java]: cheap phase = distributed
+    * unscored conjunction leapfrog; expensive phase = position verification
+    * at aligned docs — both inside the same bucket task, streaming docIds
+    * straight into the output Dataset (no candidate collect, no document
+    * re-analysis, no k-truncation). Constant-score result, like a filter
+    * clause.
     */
   def searchPhrase(spark: SparkSession, sfDir: String,
-      phrase: Seq[String] = Seq("key", "order")): DataFrame = {
-    import spark.implicits._
+      phrase: Seq[String] = Seq("key", "order"), slop: Int = 0): DataFrame = {
     val r = reader(spark, sfDir)
-    // phase 1: candidates = docs containing ALL phrase terms (index-only).
-    // Candidate count is bounded (the engine's final merge is driver-side):
-    // 1M candidates ~ 16 MB of (docId, score) — beyond that, phrase search
-    // should page by docId range or switch the merge to the distributed
-    // path (QueryEngine scaladoc)
-    val candidates = QueryEngine.search(r,
-      Seq(QuerySpec("ph", must = phrase, k = 1 << 20)))
-      .select(col("docId"))
-    // phase 2: verify adjacency by re-analyzing ONLY candidate docs
-    val cand = r.docMeta.select(col("docId"), col("path").cast("long").as("doc_id"))
-      .join(broadcast(candidates), "docId")
-      .join(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
-    val needle = " " + phrase.mkString(" ") + " "
-    cand
-      .withColumn("tokstr",
-        concat(lit(" "), concat_ws(" ", TextOps.tokensCol(col("text"))), lit(" ")))
-      .where(col("tokstr").contains(needle))
-      .select(col("doc_id"))
+    QueryEngine.matchAllTerms(r, phrase, slop)
+      .toDF("docId")
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
       .orderBy(asc("doc_id"))
   }
+
+  /** Sloppy phrase ("a b"~2): positional window match
+    * [B lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java]
+    * — same distributed two-phase pipeline with |p_b - p_a - 1| <= slop.
+    */
+  def searchPhraseSloppy(spark: SparkSession, sfDir: String,
+      phrase: Seq[String] = Seq("key", "order"), slop: Int = 2): DataFrame =
+    searchPhrase(spark, sfDir, phrase, slop)
 
   /** FuzzyQuery: dictionary expansion by edit distance
     * [B lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java] —

@@ -1,7 +1,7 @@
 package graft.search
 
 import graft._
-import graft.core.{Analyzer, Bm25, BmwScorer, PostingBlocks}
+import graft.core.{Analyzer, Bm25, BmwScorer, PhraseMatcher, PostingBlocks}
 import graft.index.Index
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,9 +52,17 @@ object QueryEngine {
       mustNot = q.mustNot.flatMap(Analyzer.analyze(_, stopWords)).distinct)
   }
 
+  /** Above this many total requested hits (Σ q.k), the final merge flips
+    * from the Solr-mergeIds-style driver collect (rows <= k·buckets·queries,
+    * one RTT, no extra stage) to a distributed groupByKey(qid) merge with a
+    * bounded per-group heap (VERDICT r1 what's-wrong #4).
+    */
+  val MergeCollectMax: Long = 100000L
+
   def search(reader: Index.Reader, rawQueries: Seq[QuerySpec],
       bm25: Bm25 = Bm25(),
-      stopWords: Set[String] = Analyzer.EnglishStopWords): Dataset[ScoredDoc] = {
+      stopWords: Set[String] = Analyzer.EnglishStopWords,
+      mergeCollectMax: Long = MergeCollectMax): Dataset[ScoredDoc] = {
     val spark = reader.spark
     import spark.implicits._
 
@@ -175,18 +183,89 @@ object QueryEngine {
         }
       }
 
-    // exact global top-k per query == TopDocs.merge on the coordinator
-    // (SURVEY.md §3.2): candidates are <= k per bucket per query, so the
-    // driver merge replaces a whole extra shuffle stage — the same
-    // ids-then-fields coordinator role Solr's mergeIds plays. (If k x
-    // buckets x queries ever got large, flip to the distributed merge:
-    // perBucket.groupByKey(_.qid) + per-key sort-take.)
+    // exact global top-k per query == TopDocs.merge. Small Σk: driver-side
+    // (SURVEY.md §3.2 — candidates are <= k per bucket per query, and the
+    // collect replaces a whole extra shuffle stage, the same ids-then-fields
+    // coordinator role Solr's mergeIds plays). Large Σk: distributed
+    // groupByKey(qid) with a bounded heap per group — memory O(k) per task
+    // no matter how many buckets contributed.
     val kByQid = queries.map(q => q.qid -> q.k).toMap
-    val merged = perBucket.collect().groupBy(_.qid).iterator.flatMap {
-      case (qid, hits) =>
-        hits.sortBy(s => (-s.score, s.docId)).take(kByQid(qid))
-    }.toSeq
-    spark.createDataset(merged)
+    if (queries.map(_.k.toLong).sum <= mergeCollectMax) {
+      val merged = perBucket.collect().groupBy(_.qid).iterator.flatMap {
+        case (qid, hits) =>
+          hits.sortBy(s => (-s.score, s.docId)).take(kByQid(qid))
+      }.toSeq
+      spark.createDataset(merged)
+    } else {
+      val kB = spark.sparkContext.broadcast(kByQid)
+      perBucket.groupByKey(_.qid).flatMapGroups { (qid, hits) =>
+        val heap = new BmwScorer.TopKHeap(kB.value(qid))
+        hits.foreach(h => heap.offerUnordered(h.score, h.docId))
+        heap.drain().iterator.map { case (d, s) => ScoredDoc(qid, d, s) }
+      }
+    }
+  }
+
+  /** Distributed unscored conjunction over the index: docIds containing ALL
+    * `rawTerms`, optionally position-verified as a phrase (slop >= 0;
+    * slop 0 = exact adjacency, slop > 0 = two-term sloppy window). A pure
+    * Dataset pipeline — per-bucket lazy leapfrog iterators feed the output
+    * directly, so hot conjunctions never buffer in a heap, truncate at a k,
+    * or round-trip through the driver (VERDICT r1 what's-wrong #3).
+    * Tombstoned docs are anti-joined out. Result is NOT globally sorted.
+    */
+  def matchAllTerms(reader: Index.Reader, rawTerms: Seq[String],
+      slop: Int = -1,
+      stopWords: Set[String] = Analyzer.EnglishStopWords): Dataset[Long] = {
+    val spark = reader.spark
+    import spark.implicits._
+    val terms = rawTerms.flatMap(Analyzer.analyze(_, stopWords))
+    require(terms.nonEmpty, s"no indexable terms in $rawTerms")
+    require(terms.distinct.size == terms.size,
+      s"conjunction/phrase terms must be distinct: $terms")
+    if (slop > 0) require(terms.size == 2,
+      "sloppy phrase verification supports exactly 2 terms (SloppyPhraseMatcher scope)")
+
+    val p = reader.postings.where($"term".isin(terms: _*))
+    val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
+      tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
+        .map { case (bucket, bs) =>
+          BucketTermBlocks(bucket, tp.term, bs.sortBy(_.firstDocId))
+        }
+    }
+    val termsB = spark.sparkContext.broadcast(terms.toArray)
+    val slopLocal = slop
+    val matched: Dataset[Long] = buckets.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val qTerms = termsB.value
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
+        rows.foreach { r =>
+          byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) ++= r.blocks
+        }
+        if (!qTerms.forall(byTerm.contains)) Iterator.empty
+        else {
+          val dummyCache = new Array[Double](256) // never scored
+          // term order preserved: positions(i) must line up with offset i
+          val iters = qTerms.map { t =>
+            new BmwScorer.TermIterator(0.0, dummyCache,
+              byTerm(t).sortBy(_.firstDocId).toArray)
+          }
+          val accept: Long => Boolean =
+            if (slopLocal < 0) _ => true
+            else { _ =>
+              val posLists = iters.map(_.positions())
+              require(posLists.forall(_ != null),
+                "positional query over an index built without indexPositions")
+              if (slopLocal == 0) PhraseMatcher.exactMatch(posLists)
+              else PhraseMatcher.sloppyMatch2(posLists(0), posLists(1), slopLocal)
+            }
+          BmwScorer.conjunctionIterator(iters, accept)
+        }
+      }
+    if (!reader.hasTombstones) matched
+    else matched.toDF("docId")
+      .join(reader.tombstones.toDF("docId"), Seq("docId"), "left_anti")
+      .as[Long]
   }
 
   /** Top-k hits joined back to document identity (the two-phase

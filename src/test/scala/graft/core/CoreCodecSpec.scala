@@ -218,4 +218,76 @@ class CoreCodecSpec extends AnyFunSuite {
       assert(got.toMap == expected.toMap)
     }
   }
+
+  // ---- positional postings ---------------------------------------------------
+
+  test("positions roundtrip: TermsHash -> PostingBlocks slicing -> decode") {
+    val docs = Seq(
+      "the quick fox key order fox", // stop 'the' leaves a position hole
+      "key the order key order key_order",
+      "no phrase material here",
+      "order key") // reversed
+    val th = new TermsHash(Analyzer.EnglishStopWords, trackPositions = true)
+    docs.zipWithIndex.foreach { case (d, i) =>
+      val total = th.addDoc(d)
+      th.finishDoc(i.toLong, SmallFloatUtil.intToByte4(total))
+    }
+    // expected: raw tokenize positions (stops counted) of each non-stop term
+    def expected(term: String): Map[Long, Seq[Int]] =
+      docs.zipWithIndex.flatMap { case (d, i) =>
+        val ps = Analyzer.tokenize(d).zipWithIndex
+          .filter(_._1 == term).map(_._2).toSeq
+        if (ps.nonEmpty) Some(i.toLong -> ps) else None
+      }.toMap
+    var checked = 0
+    th.foreachTermWithPositions { (term, ids, tfs, norms, n, _, posDeltas) =>
+      assert(posDeltas != null, s"positions missing for $term")
+      // tiny blockSize exercises the per-block positional slicing
+      val blocks = PostingBlocks.build(
+        java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(tfs, n),
+        java.util.Arrays.copyOf(norms, n), blockSize = 2, posDeltas = posDeltas)
+      val exp = expected(term)
+      blocks.foreach { b =>
+        val (bids, btfs, _) = PostingBlocks.decode(b)
+        val ppp = PostingBlocks.decodePositions(b, btfs)
+        assert(ppp != null)
+        bids.zip(ppp).foreach { case (id, ps) =>
+          assert(ps.toSeq == exp(id), s"$term@$id: ${ps.toSeq} != ${exp(id)}")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 6)
+    // positions off => decodePositions is null
+    val th2 = new TermsHash(Analyzer.EnglishStopWords)
+    th2.addDoc(docs.head)
+    th2.finishDoc(0L, 0.toByte)
+    th2.foreachTermWithPositions { (_, ids, tfs, norms, n, _, posDeltas) =>
+      assert(posDeltas == null)
+      val blocks = PostingBlocks.build(
+        java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(tfs, n),
+        java.util.Arrays.copyOf(norms, n))
+      blocks.foreach(b => assert(
+        PostingBlocks.decodePositions(b, PostingBlocks.decode(b)._2) == null))
+    }
+  }
+
+  test("PhraseMatcher exact + sloppy semantics") {
+    // exact: 'key order' adjacent
+    assert(PhraseMatcher.exactMatch(Array(Array(3), Array(4))))
+    assert(!PhraseMatcher.exactMatch(Array(Array(3), Array(5))))
+    // hole from a stop word between phrase terms breaks exact adjacency
+    assert(!PhraseMatcher.exactMatch(Array(Array(1), Array(3))))
+    // 3 terms with multiple candidate anchors
+    assert(PhraseMatcher.exactMatch(Array(Array(0, 9), Array(10, 20), Array(11))))
+    assert(!PhraseMatcher.exactMatch(Array(Array(0, 9), Array(10, 20), Array(12))))
+    // sloppy: gap of one inserted token = distance 1
+    assert(PhraseMatcher.sloppyMatch2(Array(3), Array(5), 1))
+    assert(!PhraseMatcher.sloppyMatch2(Array(3), Array(5), 0))
+    // reversed adjacent terms = distance 2 (Lucene's documented behavior)
+    assert(PhraseMatcher.sloppyMatch2(Array(4), Array(3), 2))
+    assert(!PhraseMatcher.sloppyMatch2(Array(4), Array(3), 1))
+    assert(PhraseMatcher.sloppyMatch2(Array(1, 48), Array(49), 0))
+    assert(!PhraseMatcher.sloppyMatch2(Array(1, 50), Array(49), 0))
+  }
 }

@@ -41,7 +41,8 @@ class IndexEndToEndSpec extends AnyFunSuite {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
     Index.build(corpus, s"$workDir/index",
-      IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300), increments = 2)
+      IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300,
+        indexPositions = true), increments = 2)
     s"$workDir/index"
   }
 
@@ -234,11 +235,77 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val hits = graft.search.QueryEngine.search(reader,
       Seq(graft.QuerySpec("dup", must = Seq("while", "while", "zzznotaterm")))).collect()
     assert(hits.isEmpty)
-    // and duplicated present terms alone still match (score counts it twice
-    // per Lucene's duplicate-clause semantics)
+    // duplicated present terms collapse to one clause (analyzeQuery dedupe —
+    // documented deviation from Lucene's score-twice duplicate semantics,
+    // keeping the engine oracle-identical) and still match
     val ok = graft.search.QueryEngine.search(reader,
       Seq(graft.QuerySpec("dup2", must = Seq("while", "while")))).collect()
+    val single = graft.search.QueryEngine.search(reader,
+      Seq(graft.QuerySpec("dup3", must = Seq("while")))).collect()
     assert(ok.nonEmpty)
+    assert(ok.map(h => (h.docId, h.score)).toSeq ==
+      single.map(h => (h.docId, h.score)).toSeq)
+  }
+
+  test("positional phrase: index-only match == raw-token-stream adjacency") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+      .select($"docId", $"content").as[(Long, String)].collect()
+
+    // pick a phrase that actually occurs: first adjacent distinct non-stop
+    // token pair of the first doc
+    val toks0 = Analyzer.tokenize(keyed.head._2)
+    val pair = toks0.sliding(2).find(p => p(0) != p(1) &&
+      !Analyzer.EnglishStopWords(p(0)) && !Analyzer.EnglishStopWords(p(1))).get
+    val phrase = pair.toSeq
+
+    def naiveExact(ts: Seq[String]): Set[Long] = keyed.iterator.filter {
+      case (_, text) =>
+        Analyzer.tokenize(text).sliding(ts.size).exists(_.sameElements(ts))
+    }.map(_._1).toSet
+    def naiveSloppy(a: String, b: String, slop: Int): Set[Long] =
+      keyed.iterator.filter { case (_, text) =>
+        val t = Analyzer.tokenize(text)
+        val pa = t.indices.filter(t(_) == a)
+        val pb = t.indices.filter(t(_) == b)
+        pa.exists(x => pb.exists(y => math.abs(y - x - 1) <= slop))
+      }.map(_._1).toSet
+
+    val gotExact = QueryEngine.matchAllTerms(reader, phrase, slop = 0)
+      .collect().toSet
+    val expExact = naiveExact(phrase)
+    assert(expExact.nonEmpty, s"chose a phrase with no occurrences: $phrase")
+    assert(gotExact == expExact)
+
+    val gotSloppy = QueryEngine.matchAllTerms(reader, phrase, slop = 2)
+      .collect().toSet
+    assert(gotSloppy == naiveSloppy(phrase(0), phrase(1), 2))
+    assert(expExact.subsetOf(gotSloppy), "slop must only widen the match set")
+
+    // unscored conjunction mode (slop < 0) == docs containing all terms
+    val gotConj = QueryEngine.matchAllTerms(reader, phrase).collect().toSet
+    val expConj = keyed.iterator.filter { case (_, text) =>
+      val s = Analyzer.analyze(text).toSet
+      phrase.forall(s)
+    }.map(_._1).toSet
+    assert(gotConj == expConj)
+    assert(gotSloppy.subsetOf(gotConj))
+  }
+
+  test("distributed top-k merge is rank-identical to the driver merge") {
+    val reader = Index.reader(spark, indexDir)
+    def canon(hits: Array[ScoredDoc]) = hits.toSeq
+      .groupBy(_.qid).view.mapValues(
+        _.map(h => (h.docId, h.score)).sortBy(x => (-x._2, x._1))).toMap
+    val viaDriver = canon(QueryEngine
+      .search(reader, ReferenceQueries.all).collect())
+    // mergeCollectMax = 0 forces every query through groupByKey(qid)
+    val viaShuffle = canon(QueryEngine
+      .search(reader, ReferenceQueries.all, mergeCollectMax = 0).collect())
+    assert(viaDriver == viaShuffle)
   }
 
   test("skew: salted merge splits hot terms, bounded slices, correct union") {
