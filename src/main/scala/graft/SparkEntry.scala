@@ -34,6 +34,8 @@ object SparkEntry {
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
     "more_like_this" -> ((s, d) => DocSearchOps.moreLikeThis(s, d)),
     "search_sql_expr" -> (DocSearchOps.searchSqlExpr(_, _)),
+    "search_parsed" -> ((s, d) => DocSearchOps.searchParsed(s, d)),
+    "search_parsed_filter" -> ((s, d) => DocSearchOps.searchParsedFilter(s, d)),
     "suggest_terms" -> ((s, d) => DocSearchOps.suggestTerms(s, d)),
     "search_regex" -> ((s, d) => DocSearchOps.searchRegex(s, d)),
     "search_highlight" -> ((s, d) => DocSearchOps.searchHighlight(s, d)),
@@ -210,6 +212,11 @@ object SparkEntry {
     "search_and_bm25" -> bm25Sql(Seq("stream", "batch"), Seq("stream", "batch")),
     "search_not_bm25" -> bm25Sql(Seq("join"), Seq("join"), nots = Seq("error")),
     "search_filtered_bm25" -> bm25Sql(Seq("scan", "table"), Nil, lang = Some("en")),
+    // "+merge window^2.5 -error" through the text query parser
+    "search_parsed" -> bm25Sql(Seq("merge", "window"), Seq("merge"),
+      nots = Seq("error"), boosts = Map("window" -> 2.5)),
+    // "scan table +lang:en": lang filter lowered from field syntax
+    "search_parsed_filter" -> bm25Sql(Seq("scan", "table"), Nil, lang = Some("en")),
     "search_prefix" ->
       s"""WITH $TokCte
          |SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'wind%'

@@ -178,6 +178,22 @@ object DocSearchOps {
       .orderBy(asc("term"))
   }
 
+  /** Text query language end-to-end: parse Lucene query syntax
+    * [B lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/QueryParser.jj]
+    * -> QuerySpec -> the same BM25/WAND read path. The default query
+    * exercises required/prohibited modifiers and a per-term boost.
+    */
+  def searchParsed(spark: SparkSession, sfDir: String,
+      query: String = "+merge window^2.5 -error"): DataFrame =
+    searchDf(spark, sfDir, graft.search.QueryParser.parseToSpec(query, "parsed"))
+
+  /** Parsed query with a field-scoped metadata filter (`lang:en` lowers to
+    * the pushed-down FILTER clause, edismax `fq`-style).
+    */
+  def searchParsedFilter(spark: SparkSession, sfDir: String,
+      query: String = "scan table +lang:en"): DataFrame =
+    searchDf(spark, sfDir, graft.search.QueryParser.parseToSpec(query, "parsedf"))
+
   /** Sort-by-field + searchAfter cursor deep paging
     * [B lucene/core/src/java/org/apache/lucene/search/TopFieldCollector.java]:
     * page 2 of (tokenCount desc, doc_id asc) after a cursor — the filter
