@@ -29,6 +29,10 @@ object SparkEntry {
     "search_boosted" -> (DocSearchOps.searchBoosted(_, _)),
     "search_phrase" -> ((s, d) => DocSearchOps.searchPhrase(s, d)),
     "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
+    "search_min_should_match" -> (DocSearchOps.searchMinShouldMatch(_, _)),
+    "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
+    "match_all_docs" -> (DocSearchOps.matchAllDocs(_, _)),
+    "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
@@ -111,14 +115,20 @@ object SparkEntry {
   private def bm25Sql(scored: Seq[String], musts: Seq[String],
       nots: Seq[String] = Nil, lang: Option[String] = None, k: Int = 10,
       boosts: Map[String, Double] = Map.empty,
-      dismaxTb: Option[Double] = None): String = {
+      dismaxTb: Option[Double] = None, minShouldMatch: Int = 0): String = {
     val termsIn = scored.map(t => s"'$t'").mkString(", ")
-    val mustFilter =
-      if (musts.isEmpty) ""
-      else {
-        val mi = musts.map(t => s"'$t'").mkString(", ")
-        s"HAVING count(DISTINCT CASE WHEN tf.term IN ($mi) THEN tf.term END) = ${musts.distinct.size}"
-      }
+    val havings = Seq.newBuilder[String]
+    if (musts.nonEmpty) {
+      val mi = musts.map(t => s"'$t'").mkString(", ")
+      havings += s"count(DISTINCT CASE WHEN tf.term IN ($mi) THEN tf.term END) = ${musts.distinct.size}"
+    }
+    if (minShouldMatch > 0) {
+      val shoulds = scored.filterNot(musts.contains)
+      val si = shoulds.map(t => s"'$t'").mkString(", ")
+      havings += s"count(DISTINCT CASE WHEN tf.term IN ($si) THEN tf.term END) >= $minShouldMatch"
+    }
+    val hs = havings.result()
+    val mustFilter = if (hs.isEmpty) "" else hs.mkString("HAVING ", " AND ", "")
     val notFilter =
       if (nots.isEmpty) ""
       else {
@@ -212,6 +222,39 @@ object SparkEntry {
     "search_and_bm25" -> bm25Sql(Seq("stream", "batch"), Seq("stream", "batch")),
     "search_not_bm25" -> bm25Sql(Seq("join"), Seq("join"), nots = Seq("error")),
     "search_filtered_bm25" -> bm25Sql(Seq("scan", "table"), Nil, lang = Some("en")),
+    "search_min_should_match" -> bm25Sql(Seq("merge", "sort", "window"), Nil,
+      minShouldMatch = 2),
+    "search_wildcard" ->
+      s"""WITH $TokCte
+         |SELECT DISTINCT doc_id FROM tok
+         |WHERE regexp_matches(term, '^w.ndo.*$$')
+         |ORDER BY doc_id LIMIT 200""".stripMargin,
+    "match_all_docs" ->
+      "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents ORDER BY doc_id",
+    // ClassicSimilarity: idf = 1+ln((N+1)/(df+1)), squared; tf = sqrt(freq);
+    // lengthNorm = 1/sqrt(quantized dl) — same SmallFloat bucketing
+    "search_classic_tfidf" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n),
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(pow(1 + ln((st.n + 1.0) / (dfs.df + 1.0)), 2)
+         |             * sqrt(tf.tf) / sqrt(qdl.qdl)) AS score
+         |  FROM tf JOIN dfs ON tf.term = dfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // "+merge window^2.5 -error" through the text query parser
     "search_parsed" -> bm25Sql(Seq("merge", "window"), Seq("merge"),
       nots = Seq("error"), boosts = Map("window" -> 2.5)),

@@ -1,5 +1,45 @@
 package graft.core
 
+/** Similarity SPI [B lucene/core/src/java/org/apache/lucene/search/similarities/Similarity.java]:
+  * a scoring model the WAND engine can run unchanged. The contract that
+  * keeps the stored impact skylines admissible for ANY implementation:
+  * `score` must be non-decreasing in tf and non-increasing in decoded doc
+  * length (normTable value ordering is up to the model; the bound is taken
+  * over the block's competitive (tf, norm) skyline with the model's own
+  * score function, so admissibility needs exactly those monotonicities).
+  */
+trait Similarity extends Serializable {
+  /** Per-term query weight from collection stats (idf and boost folded). */
+  def weight(df: Long, docCount: Long, boost: Double): Double
+  /** Per-norm-byte doc-length component, indexed by normByte & 0xFF. */
+  def normTable(avgdl: Double): Array[Double]
+  /** Hot-path score: weight x tf x table(normByte). */
+  def score(weight: Double, tf: Int, normVal: Double): Double
+}
+
+/** Lucene ClassicSimilarity (pre-BM25 TF-IDF)
+  * [B lucene/core/src/java/org/apache/lucene/search/similarities/ClassicSimilarity.java]:
+  * idf = 1 + ln((docCount+1)/(df+1)), squared per Lucene's query-weight x
+  * field-weight composition; tf = sqrt(freq); lengthNorm = 1/sqrt(dl) over
+  * the SAME SmallFloat-quantized doc length the index stores. Increasing in
+  * tf, decreasing in dl, so the impact skylines stay admissible.
+  */
+final case class ClassicSimilarity() extends Similarity {
+  def idf(df: Long, docCount: Long): Double =
+    1.0 + math.log((docCount + 1.0) / (df + 1.0))
+  override def weight(df: Long, docCount: Long, boost: Double): Double = {
+    val i = idf(df, docCount)
+    boost * i * i
+  }
+  override def normTable(avgdl: Double): Array[Double] =
+    Array.tabulate(256) { i =>
+      val dl = SmallFloatUtil.LengthTable(i).toDouble
+      if (dl <= 0) 0.0 else 1.0 / math.sqrt(dl)
+    }
+  override def score(weight: Double, tf: Int, normVal: Double): Double =
+    weight * math.sqrt(tf.toDouble) * normVal
+}
+
 /** BM25 with Lucene 8.11 semantics
   * [B lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java]:
   *
@@ -19,11 +59,18 @@ package graft.core
   * ranks can differ from float-Lucene only on last-ulp near-ties, and all
   * exact ties break deterministically (score desc, docId asc).
   */
-final case class Bm25(k1: Double = 1.2, b: Double = 0.75) {
+final case class Bm25(k1: Double = 1.2, b: Double = 0.75) extends Similarity {
   require(k1 >= 0 && b >= 0 && b <= 1, s"invalid BM25 params k1=$k1 b=$b")
 
   def idf(df: Long, docCount: Long): Double =
     math.log(1.0 + (docCount - df + 0.5) / (df + 0.5))
+
+  // ---- Similarity SPI: table value = the k1*(1-b+b*dl/avgdl) denominator
+  override def weight(df: Long, docCount: Long, boost: Double): Double =
+    boost * idf(df, docCount)
+  override def normTable(avgdl: Double): Array[Double] = normCache(avgdl)
+  override def score(weight: Double, tf: Int, normVal: Double): Double =
+    weight * tf / (tf + normVal)
 
   /** Per-norm-byte denominator cache: k1 * (1 - b + b * dl / avgdl). */
   def normCache(avgdl: Double): Array[Double] =

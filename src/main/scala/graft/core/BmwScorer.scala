@@ -115,14 +115,16 @@ object BmwScorer {
       cache: Array[Double],
       blocks: Array[PostingBlock],
       /** stable clause index within the query — fixes summation order */
-      val tag: Int = 0) {
+      val tag: Int = 0,
+      /** scoring model; block bounds stay admissible for any monotone one */
+      sim: Similarity = Bm25()) {
 
     private val boundsMemo = Array.fill(blocks.length)(Double.NaN)
 
     @inline private def boundOf(idx: Int): Double = {
       var b = boundsMemo(idx)
       if (b.isNaN) {
-        b = PostingBlocks.blockBound(blocks(idx), weight, cache)
+        b = PostingBlocks.blockBound(blocks(idx), sim, weight, cache)
         boundsMemo(idx) = b
       }
       b
@@ -251,7 +253,7 @@ object BmwScorer {
       if (found < 0) NoMoreDocs else blocks(found).lastDocId
     }
 
-    def score(): Double = weight * tfs(pos) / (tfs(pos) + cache(norms(pos) & 0xff))
+    def score(): Double = sim.score(weight, tfs(pos), cache(norms(pos) & 0xff))
   }
 
   /** Top-k pure disjunction via block-max WAND; `accept` folds in metadata
@@ -264,7 +266,12 @@ object BmwScorer {
       /** < 0: sum combine; in [0,1]: DisMax max + tb*(sum-max). The WAND
         * bound remains valid because dismax(scores) <= sum(scores).
         */
-      dismaxTb: Double = -1.0): TopKHeap = {
+      dismaxTb: Double = -1.0,
+      /** BooleanQuery.setMinimumNumberShouldMatch: docs matching fewer
+        * SHOULD clauses are rejected at evaluation time (the sum bound
+        * stays admissible — rejection only removes candidates).
+        */
+      minShouldMatch: Int = 0): TopKHeap = {
     val iters = terms.filter(_.nextDoc() != NoMoreDocs)
     val n = iters.length
     if (n == 0) return heap
@@ -331,10 +338,10 @@ object BmwScorer {
         // the iterator's stable `tag` (query clause) order so double
         // accumulation is reproducible across runs and partitionings
         // (SURVEY.md §7.4-1)
-        if (accept(pivotDoc)) {
-          var nMatch = 0
-          i = 0
-          while (i < n && arr(i).docId == pivotDoc) { nMatch += 1; i += 1 }
+        var nMatch = 0
+        i = 0
+        while (i < n && arr(i).docId == pivotDoc) { nMatch += 1; i += 1 }
+        if (nMatch >= minShouldMatch && accept(pivotDoc)) {
           val matched = java.util.Arrays.copyOfRange(
             arr.asInstanceOf[Array[AnyRef]], 0, nMatch)
             .asInstanceOf[Array[TermIterator]]
@@ -381,8 +388,11 @@ object BmwScorer {
   def conjunctionTopK(musts: Array[TermIterator], shoulds: Array[TermIterator],
       k: Int, accept: Long => Boolean, heap: TopKHeap,
       /** < 0: sum combine; in [0,1]: DisMax over ALL matched clauses. */
-      dismaxTb: Double = -1.0): TopKHeap = {
-    if (musts.isEmpty) return wandTopK(shoulds, k, accept, heap, dismaxTb)
+      dismaxTb: Double = -1.0,
+      /** minimum number of SHOULD clauses that must also match. */
+      minShouldMatch: Int = 0): TopKHeap = {
+    if (musts.isEmpty)
+      return wandTopK(shoulds, k, accept, heap, dismaxTb, minShouldMatch)
     var i = 0
     while (i < musts.length) {
       if (musts(i).nextDoc() == NoMoreDocs) return heap
@@ -403,6 +413,7 @@ object BmwScorer {
         if (doc != NoMoreDocs && accept(doc)) {
           var s = 0.0
           var mx = 0.0
+          var nShould = 0
           i = 0
           while (i < musts.length) {
             val cs = musts(i).score()
@@ -416,11 +427,14 @@ object BmwScorer {
               val cs = shoulds(i).score()
               s += cs
               if (cs > mx) mx = cs
+              nShould += 1
             }
             i += 1
           }
-          if (dismaxTb >= 0) s = mx + dismaxTb * (s - mx)
-          heap.offer(s, doc)
+          if (nShould >= minShouldMatch) {
+            if (dismaxTb >= 0) s = mx + dismaxTb * (s - mx)
+            heap.offer(s, doc)
+          }
         }
         doc = musts(0).advance(doc + 1)
       } else {

@@ -177,16 +177,19 @@ object PostingBlocks {
     (docIds, tfs, normsI.map(_.toByte))
   }
 
-  /** Block-max bound: max BM25 over the block's competitive skyline with
-    * the CURRENT weight (boost * idf) and norm cache.
+  /** Block-max bound: max score over the block's competitive skyline with
+    * the CURRENT weight and norm table, under ANY Similarity whose score is
+    * increasing in tf and decreasing in doc length (the skyline covers
+    * exactly the non-dominated (tf, norm) pairs, so the max is exact).
     */
-  def blockBound(b: PostingBlock, weight: Double, cache: Array[Double]): Double = {
+  def blockBound(b: PostingBlock, sim: Similarity, weight: Double,
+      table: Array[Double]): Double = {
     val tfs = IntCodec.decode(b.impactTfBytes, b.impactCount)
     val norms = IntCodec.decode(b.impactNormBytes, b.impactCount)
     var best = 0.0
     var i = 0
     while (i < b.impactCount) {
-      val s = weight * tfs(i) / (tfs(i) + cache(norms(i)))
+      val s = sim.score(weight, tfs(i), table(norms(i)))
       if (s > best) best = s
       i += 1
     }

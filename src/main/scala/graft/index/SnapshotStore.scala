@@ -438,6 +438,22 @@ object Index {
     n
   }
 
+  /** Atomic-enough update-by-term (IndexWriter.updateDocument
+    * [B lucene/core/src/java/org/apache/lucene/index/IndexWriter.java]):
+    * tombstone every doc matching `rawTerm`, then commit `newDocs` as the
+    * next increment. Readers opened after the call see exactly the new
+    * versions; the old and new versions never co-rank (delete publishes
+    * first, same ordering Lucene's delete-then-add queue gives a single
+    * writer). Returns the new snapshot list.
+    */
+  def updateByTerm(spark: SparkSession, indexDir: String, rawTerm: String,
+      newDocs: Dataset[SourceDoc],
+      cfg: IndexConfig = IndexConfig()): Seq[SnapshotMeta] = {
+    deleteByTerm(spark, indexDir, rawTerm)
+    val nextInc = SnapshotStore.read(indexDir).map(_.incrementId).max + 1
+    appendBatch(newDocs, indexDir, nextInc.toLong, cfg)
+  }
+
   private[index] def currentTombstoneGen(indexDir: String): Int = {
     val ptr = Paths.get(indexDir, "tombstones.current")
     if (Files.exists(ptr)) Files.readString(ptr).trim.toInt else 0

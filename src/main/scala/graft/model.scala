@@ -124,7 +124,11 @@ case class QuerySpec(
     k: Int = 10,
     langFilter: Option[String] = None,
     boosts: Map[String, Double] = Map.empty,
-    dismaxTiebreak: Option[Double] = None)
+    dismaxTiebreak: Option[Double] = None,
+    /** BooleanQuery.setMinimumNumberShouldMatch (edismax mm): docs matching
+      * fewer SHOULD clauses are rejected.
+      */
+    minShouldMatch: Int = 0)
 
 /** Global collection statistics needed by BM25 (broadcast at query time). */
 case class IndexStats(docCount: Long, sumTotalTermFreq: Long) {

@@ -41,9 +41,10 @@ object DocSearchOps {
     })
 
   /** Run one query through the engine; output (rank, doc_id, score). */
-  def searchDf(spark: SparkSession, sfDir: String, q: QuerySpec): DataFrame = {
+  def searchDf(spark: SparkSession, sfDir: String, q: QuerySpec,
+      sim: graft.core.Similarity = graft.core.Bm25()): DataFrame = {
     val r = reader(spark, sfDir)
-    val hits = QueryEngine.search(r, Seq(q))
+    val hits = QueryEngine.search(r, Seq(q), sim)
     val w = Window.orderBy(desc("score"), asc("doc_id"))
     hits.join(r.docMeta.select(col("docId"), col("path")), "docId")
       .withColumn("doc_id", col("path").cast("long"))
@@ -177,6 +178,53 @@ object DocSearchOps {
       .where(levenshtein(col("term"), lit(q)) <= maxEdits)
       .orderBy(asc("term"))
   }
+
+  /** minimumNumberShouldMatch (edismax mm=2): pure-SHOULD query where only
+    * docs matching >= 2 of the 3 clauses survive
+    * [B lucene/core/src/java/org/apache/lucene/search/BooleanQuery.java].
+    */
+  def searchMinShouldMatch(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("mm",
+      should = Seq("merge", "sort", "window"), minShouldMatch = 2))
+
+  /** WildcardQuery (te?t / te*t): rewrite onto the dictionary regex scan
+    * [B lucene/core/src/java/org/apache/lucene/search/WildcardQuery.java] —
+    * constant-score docs of any matching term, via the slim termdict.
+    */
+  def searchWildcard(spark: SparkSession, sfDir: String,
+      pattern: String = "w?ndo*"): DataFrame = {
+    val r = reader(spark, sfDir)
+    val regex = "^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>^$|+-=!".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    } + "$"
+    expandedDocIds(r, col("term").rlike(regex))
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+      .limit(200)
+  }
+
+  /** MatchAllDocsQuery: every live doc at constant score 1.0
+    * [B lucene/core/src/java/org/apache/lucene/search/MatchAllDocsQuery.java]
+    * — a docmeta-only scan, postings never touched.
+    */
+  def matchAllDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    r.docMeta.select(col("path").cast("long").as("doc_id"),
+        lit(1.0).as("score"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** ClassicSimilarity (TF-IDF) ranking through the SAME WAND engine — the
+    * Similarity SPI proven with a second model
+    * [B lucene/core/src/java/org/apache/lucene/search/similarities/ClassicSimilarity.java].
+    */
+  def searchClassic(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("classic", should = Seq("merge", "sort")),
+      sim = graft.core.ClassicSimilarity())
 
   /** Text query language end-to-end: parse Lucene query syntax
     * [B lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/QueryParser.jj]

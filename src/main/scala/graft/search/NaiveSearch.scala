@@ -93,6 +93,9 @@ object NaiveSearch {
     val mustCount =
       if (aq.must.isEmpty) lit(0L)
       else count(when($"term".isin(aq.must.distinct: _*), 1))
+    val shouldCount =
+      if (aq.should.isEmpty) lit(0L)
+      else count(when($"term".isin(aq.should.distinct: _*), 1))
     val scoreAgg = aq.dismaxTiebreak match {
       case None => sum($"termScore")
       case Some(tb) => // DisjunctionMaxQuery combine
@@ -100,9 +103,12 @@ object NaiveSearch {
     }
     var perDoc = matches.groupBy($"docId").agg(
       scoreAgg.as("score"),
-      mustCount.as("mustHits"))
+      mustCount.as("mustHits"),
+      shouldCount.as("shouldHits"))
     if (aq.must.nonEmpty)
       perDoc = perDoc.where($"mustHits" === aq.must.distinct.size)
+    if (aq.minShouldMatch > 0)
+      perDoc = perDoc.where($"shouldHits" >= aq.minShouldMatch)
 
     if (aq.mustNot.nonEmpty) {
       val excluded = tokens.where($"term".isin(aq.mustNot: _*))

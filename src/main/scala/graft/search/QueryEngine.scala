@@ -60,7 +60,7 @@ object QueryEngine {
   val MergeCollectMax: Long = 100000L
 
   def search(reader: Index.Reader, rawQueries: Seq[QuerySpec],
-      bm25: Bm25 = Bm25(),
+      sim: graft.core.Similarity = Bm25(),
       stopWords: Set[String] = Analyzer.EnglishStopWords,
       mergeCollectMax: Long = MergeCollectMax): Dataset[ScoredDoc] = {
     val spark = reader.spark
@@ -84,7 +84,7 @@ object QueryEngine {
         .groupBy($"term").agg(sum($"df"))
         .as[(String, Long)].collect().toMap
     val stats = reader.stats
-    val statsB = spark.sparkContext.broadcast((termDf, stats, queries, bm25))
+    val statsB = spark.sparkContext.broadcast((termDf, stats, queries, sim))
 
     val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
       tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
@@ -121,7 +121,7 @@ object QueryEngine {
       .groupByKey(_.bucket)
       .cogroup(filters.groupByKey(_.bucket)) { (bucket, blockRows, filterRows) =>
         val (dfMap, st, qs, sim) = statsB.value
-        val cache = sim.normCache(st.avgdl)
+        val cache = sim.normTable(st.avgdl)
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
         blockRows.foreach { r =>
           byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) ++= r.blocks
@@ -135,8 +135,8 @@ object QueryEngine {
               boost: Double = 1.0): Option[BmwScorer.TermIterator] =
             byTerm.get(term).map { bs =>
               val blocks = bs.sortBy(_.firstDocId).toArray
-              val w = boost * sim.idf(dfMap.getOrElse(term, 0L), st.docCount)
-              new BmwScorer.TermIterator(w, cache, blocks, tag)
+              val w = sim.weight(dfMap.getOrElse(term, 0L), st.docCount, boost)
+              new BmwScorer.TermIterator(w, cache, blocks, tag, sim)
             }
 
           qs.iterator.flatMap { q =>
@@ -173,9 +173,10 @@ object QueryEngine {
                   // most-selective-first == highest maxScore (lowest df) first
                   BmwScorer.conjunctionTopK(
                     musts.sortBy(-_.maxScore).toArray, shoulds, q.k, accept,
-                    heap, tb)
+                    heap, tb, q.minShouldMatch)
                 else
-                  BmwScorer.wandTopK(shoulds, q.k, accept, heap, tb)
+                  BmwScorer.wandTopK(shoulds, q.k, accept, heap, tb,
+                    q.minShouldMatch)
                 heap.drain().iterator.map { case (d, s) => ScoredDoc(q.qid, d, s) }
               }
             }
@@ -273,9 +274,9 @@ object QueryEngine {
     * is fetched, via a broadcast hash join on the tiny result side.
     */
   def searchWithMeta(reader: Index.Reader, queries: Seq[QuerySpec],
-      bm25: Bm25 = Bm25()): DataFrame = {
+      sim: graft.core.Similarity = Bm25()): DataFrame = {
     val spark = reader.spark
-    val hits = search(reader, queries, bm25)
+    val hits = search(reader, queries, sim)
     reader.docMeta.join(broadcast(hits.toDF()), "docId")
       .select("qid", "docId", "score", "repo", "path", "commit", "lang",
         "tokenCount")

@@ -116,11 +116,25 @@ class CoreCodecSpec extends AnyFunSuite {
         val cache = sim.normCache(params._3)
         val w = sim.idf(df, docCount)
         for (b <- blocks) {
-          val bound = PostingBlocks.blockBound(b, w, cache)
+          val bound = PostingBlocks.blockBound(b, sim, w, cache)
           val (_, t, nb) = PostingBlocks.decode(b)
           val scores = t.lazyZip(nb).map((tf, n) => sim.score(w, tf, n, cache))
           assert(scores.forall(_ <= bound))
           assert(scores.max == bound) // skyline contains the argmax pair
+        }
+      }
+      // ...and stays admissible + tight for a second Similarity (the SPI
+      // contract: monotone in tf, anti-monotone in doc length)
+      locally {
+        val cs = ClassicSimilarity()
+        val table = cs.normTable(avgdl)
+        val w = cs.weight(df, docCount, 1.0)
+        for (b <- blocks) {
+          val bound = PostingBlocks.blockBound(b, cs, w, table)
+          val (_, t, nb) = PostingBlocks.decode(b)
+          val scores = t.lazyZip(nb).map((tf, n) => cs.score(w, tf, table(n & 0xff)))
+          assert(scores.forall(_ <= bound))
+          assert(scores.max == bound)
         }
       }
     }

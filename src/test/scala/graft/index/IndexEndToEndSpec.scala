@@ -308,6 +308,104 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(viaDriver == viaShuffle)
   }
 
+  test("minimumNumberShouldMatch: engine == naive oracle, filter bites") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+    val tokens = NaiveSearch.tokenTable(keyed, "docId", "content").cache()
+    val stats = reader.stats
+    // three mid-df terms so mm=2 actually prunes
+    val pick = tokens.groupBy($"term").agg(countDistinct($"docId").as("df"))
+      .where($"df" > 20 && $"df" < 800).orderBy(desc("df"), asc("term"))
+      .as[(String, Long)].take(3).map(_._1).toSeq
+    assert(pick.size == 3)
+    for (mm <- Seq(0, 2, 3)) {
+      val q = graft.QuerySpec(s"mm$mm", should = pick, minShouldMatch = mm, k = 40)
+      val engine = QueryEngine.search(reader, Seq(q)).collect()
+        .sortBy(h => (-h.score, h.docId))
+      val naive = NaiveSearch.scoreQuery(tokens, q, stats)
+        .as[(Long, Double)].collect()
+      assert(engine.map(_.docId).toSeq == naive.map(_._1).toSeq, s"mm=$mm")
+      engine.zip(naive).foreach { case (e, (_, s)) =>
+        assert(math.abs(e.score - s) < 1e-9)
+      }
+    }
+    // conjunction path: must + mm over shoulds
+    val qc = graft.QuerySpec("mmc", must = pick.take(1),
+      should = pick.drop(1), minShouldMatch = 1, k = 40)
+    val ec = QueryEngine.search(reader, Seq(qc)).collect()
+      .sortBy(h => (-h.score, h.docId))
+    val nc = NaiveSearch.scoreQuery(tokens, qc, stats).as[(Long, Double)].collect()
+    assert(ec.map(_.docId).toSeq == nc.map(_._1).toSeq)
+  }
+
+  test("ClassicSimilarity through the WAND engine: rank-identity vs naive TF-IDF") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+    val tokens = NaiveSearch.tokenTable(keyed, "docId", "content").cache()
+    val stats = reader.stats
+    val pick = tokens.groupBy($"term").agg(countDistinct($"docId").as("df"))
+      .where($"df" > 20 && $"df" < 800).orderBy(desc("df"), asc("term"))
+      .as[(String, Long)].take(2).map(_._1).toSeq
+
+    val engine = QueryEngine.search(reader,
+        Seq(graft.QuerySpec("cl", should = pick, k = 30)),
+        sim = graft.core.ClassicSimilarity())
+      .collect().sortBy(h => (-h.score, h.docId))
+
+    // independent TF-IDF oracle in plain Catalyst expressions
+    val n = stats.docCount
+    val dfT = tokens.where($"term".isin(pick: _*))
+      .groupBy($"term").agg(countDistinct($"docId").as("df"))
+    val naive = tokens.where($"term".isin(pick: _*))
+      .join(broadcast(dfT), "term")
+      .withColumn("qdl",
+        graft.functions.GraftFunctions.graft_quantized_dl($"tokenCount"))
+      .withColumn("idf", lit(1.0) + log(lit(n + 1.0) / ($"df" + lit(1.0))))
+      .withColumn("ts", $"idf" * $"idf" * sqrt($"tf") / sqrt($"qdl"))
+      .groupBy($"docId").agg(sum($"ts").as("score"))
+      .orderBy(desc("score"), asc("docId")).limit(30)
+      .as[(Long, Double)].collect()
+
+    assert(engine.nonEmpty)
+    assert(engine.map(_.docId).toSeq == naive.map(_._1).toSeq)
+    engine.zip(naive).foreach { case (e, (_, s)) =>
+      assert(math.abs(e.score - s) < 1e-9, s"classic score drift ${e.score} vs $s")
+    }
+  }
+
+  test("updateByTerm: delete+add commits atomically, read-your-writes") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    val cfg = IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300)
+    val updDir = s"$workDir/index_upd"
+    Index.build(corpus, updDir, cfg, increments = 1)
+
+    val before = QueryEngine.search(Index.reader(spark, updDir),
+      Seq(graft.QuerySpec("n", should = Seq("qzx_handler_77"), k = 100))).collect()
+    assert(before.nonEmpty)
+
+    val replacement = Seq(SourceDoc("repoX", "new/path.scala", "c0", "scala",
+      "object Replacement { val qzx_handler_77 = updated_marker_v2 }")).toDS()
+    Index.updateByTerm(spark, updDir, "qzx_handler_77", replacement, cfg)
+
+    val r1 = Index.reader(spark, updDir)
+    val after = QueryEngine.search(r1,
+      Seq(graft.QuerySpec("n", should = Seq("qzx_handler_77"), k = 100))).collect()
+    // exactly the new version matches; no old version co-ranks
+    assert(after.length == 1)
+    val newId = after.head.docId
+    assert(!before.map(_.docId).contains(newId))
+    val marker = QueryEngine.search(r1,
+      Seq(graft.QuerySpec("m", should = Seq("updated_marker_v2")))).collect()
+    assert(marker.map(_.docId).toSeq == Seq(newId))
+  }
+
   test("skew: salted merge splits hot terms, bounded slices, correct union") {
     import spark.implicits._
     // every doc contains `return` (Keywords pool) -> df == NumDocs > hotTermDf
