@@ -181,6 +181,52 @@ object SparkEntry {
 
   private val ProbeTermsIn = TextOps.ProbeTerms.map(t => s"'$t'").mkString(", ")
 
+  // ---- near-dup oracle fragments (dedup ops run on the augmented corpus:
+  // docs 0..4 duplicated at id+1,000,000 with a marker token appended) ----
+
+  private val AugCte: String =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' graft_near_dup_marker' AS text
+      |  FROM documents WHERE doc_id < 5)""".stripMargin
+
+  private val RawTokCte: String =
+    s"tk AS (SELECT doc_id, $QualityTokSql AS toks FROM aug)"
+
+  private val U64 = "18446744073709551616::HUGEINT" // 2^64
+  /** FNV-1a 64 over a token column, 64-bit-wrapped, exactly DedupOps.fnv1a64. */
+  private def fnvSql(tokCol: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |  list_transform(split($tokCol, ''), c -> CAST(ord(c) AS HUGEINT))),
+       |  (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % $U64)""".stripMargin
+
+  /** Shared minhash-signature CTE chain -> `sig(doc_id, k, mh)` + `est`
+    * pair table, exactly DedupOps.minhashSignature (xorshift64 permutations
+    * of the FNV base hash, min over shingles as SIGNED 64-bit).
+    */
+  private val MinhashCtes: String =
+    s"""$AugCte,
+       |$RawTokCte,
+       |sh3 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+       |         i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS sh
+       |        FROM tk WHERE len(toks) >= 3),
+       |base AS (SELECT doc_id, ${fnvSql("sh")} AS b FROM sh3),
+       |h0 AS (SELECT doc_id, kk.k AS k,
+       |       (b + CAST(kk.k AS HUGEINT) * 11400714819323198485::HUGEINT) % $U64 AS h
+       |       FROM base, unnest(range(32)) kk(k)),
+       |h1 AS (SELECT doc_id, k, xor(h, (h * 8192::HUGEINT) % $U64) AS h FROM h0),
+       |h2 AS (SELECT doc_id, k, xor(h, h // 128::HUGEINT) AS h FROM h1),
+       |h3 AS (SELECT doc_id, k, xor(h, (h * 131072::HUGEINT) % $U64) AS h FROM h2),
+       |sig AS (SELECT doc_id, k,
+       |        min(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+       |                 THEN h - $U64 ELSE h END AS BIGINT)) AS mh
+       |        FROM h3 GROUP BY doc_id, k),
+       |est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+       |        FROM sig a JOIN sig b ON a.k = b.k AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2)""".stripMargin
+
   private val CosSql =
     "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) / " +
       "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
@@ -435,6 +481,51 @@ object SparkEntry {
          |FROM f GROUP BY fingerprint
          |ORDER BY count(*) DESC, fingerprint LIMIT 20""".stripMargin,
 
+    // LSH banding has guaranteed recall at est >= 25/32 (pigeonhole over
+    // 8 bands of 4), so the engine's banded join equals this exhaustive scan
+    "dedup_minhash_lsh" ->
+      s"""WITH $MinhashCtes
+         |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard FROM est
+         |WHERE est_jaccard >= 0.78125 ORDER BY doc_a, doc_b""".stripMargin,
+    // exact shingle-set Jaccard >= 0.5 over the guaranteed-recall candidates
+    "dedup_ngram_jaccard" ->
+      s"""WITH $MinhashCtes,
+         |shl AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+         |        i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
+         |        FROM tk WHERE len(toks) >= 3),
+         |cand AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.78125),
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |      round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+         |            len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+         |      FROM cand c JOIN shl a ON a.doc_id = c.doc_a
+         |                  JOIN shl b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // simhash: tf-weighted bit votes over FNV unigram hashes; 4x16-bit
+    // pigeonhole banding has exact recall at hamming <= 3, so the engine
+    // equals this exhaustive Hamming scan
+    "dedup_simhash" ->
+      s"""WITH $AugCte,
+         |$RawTokCte,
+         |occ AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY doc_id, tok),
+         |hh AS (SELECT doc_id, tf, ${fnvSql("tok")} AS h FROM tf),
+         |votes AS (SELECT doc_id, bb.b AS b,
+         |  sum(CASE WHEN (h >> CAST(bb.b AS INT)) % 2 = 1 THEN tf ELSE -tf END) AS v
+         |  FROM hh, unnest(range(64)) bb(b) GROUP BY doc_id, bb.b),
+         |shx AS (SELECT doc_id,
+         |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT THEN s - $U64 ELSE s END AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id,
+         |        sum(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(b AS INT)) ELSE 0::HUGEINT END) AS s
+         |        FROM votes GROUP BY doc_id)),
+         |sh AS (SELECT tk.doc_id, coalesce(shx.simhash, 0) AS simhash
+         |       FROM tk LEFT JOIN shx ON tk.doc_id = shx.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
     "ann_brute_force" -> AnnSql,
     "ann_ivf_exact" -> AnnSql, // nprobe == nlist -> exact, same oracle
 
@@ -452,7 +543,74 @@ object SparkEntry {
         |64 + octet_length(encode(text)) % 577 AS width,
         |64 + octet_length(encode(text)) % 433 AS height,
         |1 + octet_length(encode(text)) % 3 AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin)
-  // no oracle (rows-only + ScalaTest): dedup_minhash_lsh, dedup_simhash,
-  // dedup_ngram_jaccard, multimodal_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame sampling: every 4th 256-byte frame, md5 digest. documents.text
+    // is pure ASCII at every SF (driver-generated), so VARCHAR slicing ==
+    // byte slicing and md5(varchar) == md5 of the payload bytes.
+    "multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS n,
+        |  unnest(range(0, (length(text) + 255) // 256, 4)) AS frame
+        |FROM documents)
+        |SELECT doc_id, CAST(frame AS INT) AS frame,
+        |  CAST(least(n - frame * 256, 256) AS INT) AS frame_bytes,
+        |  md5(substring(text, CAST(frame * 256 + 1 AS BIGINT), 256)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame""".stripMargin,
+    // highlight: BM25 top-5 for (merge, sort), snippet = +-40 chars around
+    // the leftmost query-term hit — same locate/substr arithmetic as the
+    // engine's Catalyst expressions
+    "search_highlight" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN dfs ON tf.term = dfs.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |       GROUP BY tf.doc_id),
+         |top AS (SELECT doc_id, round(score, 4) AS score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 5),
+         |hl AS (SELECT t.doc_id, t.score, d.text,
+         |  least(coalesce(nullif(strpos(lower(d.text), 'merge'), 0), 2147483647),
+         |        coalesce(nullif(strpos(lower(d.text), 'sort'), 0), 2147483647)) AS pos
+         |  FROM top t JOIN documents d ON d.doc_id = t.doc_id)
+         |SELECT doc_id, score,
+         |  CASE WHEN pos = 2147483647 THEN substring(text, 1, 80)
+         |       ELSE substring(text, greatest(1, pos - 40),
+         |                      least(length(text), pos + 39) - greatest(0, pos - 41)) END AS snippet
+         |FROM hl ORDER BY score DESC, doc_id""".stripMargin,
+    // MoreLikeThis: seed = top-5 rarest (df asc, term asc) distinct analyzed
+    // terms of doc 42, then a plain BM25 OR over them — the seed-term CTE
+    // reproduces the engine's idf-descending selection exactly
+    "more_like_this" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |seeds AS (SELECT term, df FROM alldf
+         |          WHERE term IN (SELECT DISTINCT term FROM tok WHERE doc_id = 42)
+         |          ORDER BY df ASC, term ASC LIMIT 5),
+         |sc AS (SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN seeds s ON tf.term = s.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |       GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin)
+  // every queries() entry now has a DuckDB oracle
 }

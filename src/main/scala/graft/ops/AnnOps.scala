@@ -46,27 +46,82 @@ object AnnOps {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
-  /** IVF-style ANN: deterministic centroids = first `nlist` vectors (a
-    * stand-in for a k-means fit, which would just refine the same layout);
-    * every vector is assigned to its nearest centroid (one broadcast pass),
-    * queries search the `nprobe` nearest cells only. At 10^12 vectors the
-    * corpus is hash-partitioned by cell, so a query touches nprobe/nlist of
-    * the data — the same pruning idea as the postings skip list, applied to
-    * vectors. nprobe == nlist => exact (oracle-shared with brute force).
+  /** Assign every vector to its nearest centroid by cosine (centroids
+    * broadcast; one narrow pass over the corpus).
     */
-  def annIvf(spark: SparkSession, sfDir: String, k: Int = 10,
-      nlist: Int = 8, nprobe: Int = 8): DataFrame = {
-    val e = emb(spark, sfDir)
-    val cents = e.where(col("vec_id") < nlist)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), asc("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("ccos", cosineExpr("embedding", "cvec"))
       .withColumn("crank", row_number().over(wAssign))
       .where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
+  }
+
+  /** Deterministic seeded k-means (Lloyd): init = the first `nlist`
+    * vectors, `iters` assign/average rounds, empty cells keep their
+    * previous centroid. Each round is one broadcast-assign pass plus a
+    * (cell, dim)-keyed average — the standard Spark k-means shape that
+    * scales to 10^12 vectors (no driver-side math beyond the nlist x dim
+    * centroid table itself).
+    */
+  def kmeansCentroids(e: DataFrame, nlist: Int, iters: Int = 3): DataFrame = {
+    var cents = e.where(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int").as("cent_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("cvec"))
+    for (_ <- 1 to iters) {
+      val updated = assign(e, cents)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cvec"))
+      cents = cents.select(col("cent_id"), col("cvec").as("old"))
+        .join(updated, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cvec"), col("old")).as("cvec"))
+    }
+    cents
+  }
+
+  private val IvfVersion = "v1"
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once, cached on disk) the IVF layout for (sfDir, nlist):
+    * k-means centroids + the corpus written PARTITIONED BY cell — the
+    * materialized analogue of the postings skip list for vectors. Queries
+    * then touch only their probed cells' files (Spark's dynamic partition
+    * pruning on the broadcast probe join).
+    */
+  def ivfDir(spark: SparkSession, sfDir: String, nlist: Int): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = s"${sys.props("java.io.tmpdir")}/graft_ivf_${IvfVersion}_${safe}_$nlist"
+    ivfCache.computeIfAbsent(key, dir => {
+      if (!new java.io.File(s"$dir/_DONE").exists()) {
+        val e = emb(spark, sfDir)
+        val cents = kmeansCentroids(e, nlist)
+        cents.write.mode("overwrite").parquet(s"$dir/centroids")
+        assign(e, spark.read.parquet(s"$dir/centroids"))
+          .write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$dir/vectors")
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_DONE"),
+          Array.emptyByteArray)
+      }
+      dir
+    })
+  }
+
+  /** IVF ANN over the k-means cell layout: queries rank the centroids,
+    * probe only the `nprobe` nearest cells (partition-pruned scan of the
+    * cell-partitioned table), brute-force within. nprobe == nlist is exact
+    * (oracle-shared with brute force); recall at nprobe < nlist is asserted
+    * in OpsSpec.
+    */
+  def annIvf(spark: SparkSession, sfDir: String, k: Int = 10,
+      nlist: Int = 8, nprobe: Int = 8): DataFrame = {
+    val dir = ivfDir(spark, sfDir, nlist)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val e = emb(spark, sfDir)
 
     val queries = e.where(col("vec_id").isin(QueryVecIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -78,9 +133,10 @@ object AnnOps {
       .where(col("prank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cent_id"))
 
+    val vectors = spark.read.parquet(s"$dir/vectors")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("vec_id"))
-    assigned.join(broadcast(probed), Seq("cent_id"))
+    vectors.join(broadcast(probed), Seq("cent_id"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosineExpr("embedding", "qvec"))
       .withColumn("rank", row_number().over(w))

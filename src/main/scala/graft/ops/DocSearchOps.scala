@@ -344,31 +344,29 @@ object DocSearchOps {
   /** Highlighting: snippet extraction around the first hit of the best
     * query term in each top-k doc — the UnifiedHighlighter shape
     * [B lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/UnifiedHighlighter.java]:
-    * score over the index first, re-analyze ONLY the k winners.
+    * score over the index first, snippet ONLY the k winners. The snippet
+    * window is pure Catalyst string expressions (locate/substring), so the
+    * DuckDB oracle reproduces it exactly.
     */
   def searchHighlight(spark: SparkSession, sfDir: String,
       terms: Seq[String] = Seq("merge", "sort"), k: Int = 5): DataFrame = {
-    import spark.implicits._
     val r = reader(spark, sfDir)
     val hits = QueryEngine.search(r, Seq(QuerySpec("hl", should = terms, k = k)))
-    val termsB = spark.sparkContext.broadcast(terms.toArray)
+    val none = lit(Int.MaxValue)
+    val lowered = lower(col("text"))
+    // first (leftmost) occurrence of any query term, 1-based; "none" if absent
+    val minPos = least(terms.map(t =>
+      coalesce(nullif(locate(t, lowered), lit(0)), none)): _*)
     hits.join(r.docMeta.select(col("docId"), col("path")), "docId")
       .withColumn("doc_id", col("path").cast("long"))
       .join(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
-      .select(col("doc_id"), col("score"), col("text"))
-      .as[(Long, Double, String)]
-      .map { case (id, score, text) =>
-        val lower = text.toLowerCase(java.util.Locale.ROOT)
-        val pos = termsB.value.iterator
-          .map(t => lower.indexOf(t)).filter(_ >= 0)
-          .foldLeft(Int.MaxValue)(math.min)
-        val snippet =
-          if (pos == Int.MaxValue) text.take(80)
-          else text.substring(math.max(0, pos - 40),
-            math.min(text.length, pos + 40))
-        (id, math.rint(score * 10000) / 10000, snippet)
-      }
-      .toDF("doc_id", "score", "snippet")
+      .withColumn("pos", minPos)
+      .withColumn("snippet",
+        when(col("pos") === none, substring(col("text"), 1, 80))
+          .otherwise(expr(
+            "substr(text, greatest(1, pos - 40), " +
+              "least(length(text), pos + 39) - greatest(0, pos - 41))")))
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("snippet"))
       .orderBy(desc("score"), asc("doc_id"))
   }
 

@@ -60,7 +60,8 @@ object MultimodalOps {
 
   /** Frame-sampling shape: split each payload into fixed-size "frames" and
     * emit every Nth — the partitioning/row-explosion pattern of video
-    * pipelines, with the decode stubbed to byte slices.
+    * pipelines, with the decode stubbed to a frame digest (md5, so the
+    * whole pipeline is exactly reproducible in the DuckDB oracle).
     */
   def frameSample(spark: SparkSession, sfDir: String, frameBytes: Int = 256,
       every: Int = 4): DataFrame = {
@@ -69,18 +70,20 @@ object MultimodalOps {
     synthesizeBlobs(docs).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
+        // STUB decode: a real pipeline computes per-frame features here,
+        // batch-at-a-time; the md5 stands in for the decoded content
+        val md = java.security.MessageDigest.getInstance("MD5")
         val nFrames = (payload.length + frameBytes - 1) / frameBytes
         (0 until nFrames by every).iterator.map { f =>
           val start = f * frameBytes
           val end = math.min(payload.length, start + frameBytes)
-          // STUB "feature": frame checksum in lieu of decoded pixels
-          var sum = 0L
-          var i = start
-          while (i < end) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
-          (id, f, end - start, sum)
+          md.reset()
+          md.update(payload, start, end - start)
+          val hex = md.digest().map(b => f"$b%02x").mkString
+          (id, f, end - start, hex)
         }
       }
-      .toDF("doc_id", "frame", "frame_bytes", "frame_sig")
+      .toDF("doc_id", "frame", "frame_bytes", "frame_md5")
       .orderBy(asc("doc_id"), asc("frame"))
   }
 }

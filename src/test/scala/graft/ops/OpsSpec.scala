@@ -61,17 +61,36 @@ class OpsSpec extends AnyFunSuite {
     planted.foreach(r => assert(r.getDouble(2) > 0.9))
   }
 
-  test("IVF with nprobe < nlist keeps high recall vs brute force") {
+  test("IVF k-means: recall@10 >= 0.9 at nprobe=2/8, exact at nprobe=nlist") {
     val exact = AnnOps.annBruteForce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = AnnOps.annIvf(spark, sf, nlist = 8, nprobe = 4).collect()
+    val ivf = AnnOps.annIvf(spark, sf, nlist = 8, nprobe = 2).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    assert(recall >= 0.5, f"IVF nprobe=4/8 recall $recall%.2f too low")
+    assert(recall >= 0.9, f"IVF nprobe=2/8 recall $recall%.2f too low")
     // and nprobe == nlist is exactly brute force
     val full = AnnOps.annIvf(spark, sf, nlist = 8, nprobe = 8).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(full == exact)
+    // the layout is genuinely cell-partitioned on disk
+    val dir = AnnOps.ivfDir(spark, sf, 8)
+    val cells = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.getName.startsWith("cent_id="))
+    assert(cells.length > 1, "vectors not partitioned by cell")
+  }
+
+  test("LSH bucket cap bounds degenerate-bucket pair counts") {
+    import spark.implicits._
+    // 1000 identical docs: uncapped this is ~500k pairs; cap=20 bounds it
+    val docs = (0L until 1000L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val n = DedupOps.minhashPairs(docs, bucketCap = 20).count()
+    assert(n == 20L * 19 / 2, s"expected capped pair count, got $n")
+    // the cap keeps the lowest doc_ids, so the canonical keeper survives
+    val pairs = DedupOps.minhashPairs(docs, bucketCap = 20)
+      .agg(min("doc_a")).head().getLong(0)
+    assert(pairs == 0L)
   }
 
   test("plan shapes: broadcast join for small dims, pushdown on postings") {
