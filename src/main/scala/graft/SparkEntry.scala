@@ -33,6 +33,7 @@ object SparkEntry {
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
     "match_all_docs" -> (DocSearchOps.matchAllDocs(_, _)),
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
+    "search_edismax_qf" -> (DocSearchOps.searchEdismaxQf(_, _)),
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
@@ -300,6 +301,38 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // multi-field edismax qf: content:merge + repo:src3^2, each clause
+    // scored against its own field stats (repo: tf=1, dl=1, avgdl=ttf/N)
+    "search_edismax_qf" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term = 'merge' GROUP BY term),
+         |csc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id),
+         |rtok AS (SELECT doc_id, lower(source) AS rterm FROM documents),
+         |rstat AS (SELECT count(*) * 1.0 / (SELECT count(*) FROM documents) AS avgdl FROM rtok),
+         |rdf AS (SELECT count(*) AS df FROM rtok WHERE rterm = 'src3'),
+         |rsc AS (SELECT r.doc_id,
+         |        2.0 * ln(1 + ((SELECT count(*) FROM documents) - rdf.df + 0.5) / (rdf.df + 0.5))
+         |            / (1 + 1.2 * (0.25 + 0.75 * 1.0 / rstat.avgdl)) AS score
+         |        FROM rtok r, rdf, rstat WHERE r.rterm = 'src3'),
+         |allsc AS (SELECT coalesce(c.doc_id, r.doc_id) AS doc_id,
+         |          coalesce(c.score, 0) + coalesce(r.score, 0) AS score
+         |          FROM csc c FULL OUTER JOIN rsc r ON c.doc_id = r.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM allsc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // "+merge window^2.5 -error" through the text query parser
     "search_parsed" -> bm25Sql(Seq("merge", "window"), Seq("merge"),

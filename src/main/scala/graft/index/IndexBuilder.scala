@@ -21,7 +21,27 @@ case class IndexConfig(
     /** Index token positions (Lucene IndexOptions ..._AND_POSITIONS) —
       * enables index-only PhraseQuery/sloppy phrase; off keeps builds lean.
       */
-    indexPositions: Boolean = false)
+    indexPositions: Boolean = false,
+    /** Additional analyzed fields (multi-field indexing, the edismax `qf`
+      * substrate): each named SourceDoc metadata field gets its own
+      * postings under `field<NUL>term` keys with per-field norms, sharing
+      * the merge/salt machinery. Valid names: repo, path, commit, lang.
+      */
+    extraFields: Seq[String] = Nil)
+
+object FieldOf {
+  /** Terms of field `f` are stored as f + Sep + term; content is bare. */
+  val Sep = '\u0000'
+  def prefixed(field: String, term: String): String = s"$field$Sep$term"
+  def extract(field: String): SourceDoc => String = field match {
+    case "repo" => _.repo
+    case "path" => _.path
+    case "commit" => _.commit
+    case "lang" => _.lang
+    case other => throw new IllegalArgumentException(
+      s"unknown extra field '$other' (repo|path|commit|lang)")
+  }
+}
 
 /** Union row of the flush ("segment") output: one tokenize pass emits both
   * per-doc metadata (kind=0) and per-(term, partition) partial postings
@@ -70,38 +90,49 @@ object IndexBuilder {
       val pid = basePartition + localPid
       var row = 0L
       val metas = mutable.ArrayBuffer.empty[SegRow]
-      // DWPT-style in-memory inverted index for this partition
+      // DWPT-style in-memory inverted index for this partition; extra
+      // analyzed fields get their own hash (per-field tf + per-field norms)
       val th = new graft.core.TermsHash(stop, cfg.indexPositions)
+      val fieldTh = cfg.extraFields.map(f =>
+        (f, FieldOf.extract(f), new graft.core.TermsHash(stop)))
       docs.foreach { d =>
         val docId = CorpusIds.docId(pid, row)
         row += 1
         val total = th.addDoc(d.content)
         val normByte = SmallFloatUtil.intToByte4(total)
         th.finishDoc(docId, normByte)
+        fieldTh.foreach { case (_, get, fth) =>
+          val ftotal = fth.addDoc(get(d))
+          fth.finishDoc(docId, SmallFloatUtil.intToByte4(ftotal))
+        }
         metas += SegRow(0, Some(DocMeta(docId, d.repo, d.path, d.commit, d.lang,
           graft.corpus.CorpusGen.sha256Hex(d.content), total, normByte)), None)
       }
       val partials = mutable.ArrayBuffer.empty[SegRow]
-      th.foreachTermWithPositions { (term, ids, tfs, norms, n, ttf, posDeltas) =>
-        val gaps = new Array[Int](n) // ids ascending (ingest order)
-        val normArr = new Array[Int](n)
-        var i = 1
-        while (i < n) { gaps(i) = (ids(i) - ids(i - 1)).toInt; i += 1 }
-        i = 0
-        while (i < n) { normArr(i) = norms(i) & 0xff; i += 1 }
-        partials += SegRow(1, None, Some(PartialPostings(
-          term = term,
-          docPartition = pid,
-          count = n,
-          totalTf = ttf,
-          firstDocId = if (n == 0) 0L else ids(0),
-          docIdBytes = IntCodec.encode(gaps),
-          tfBytes = IntCodec.encode(
-            if (tfs.length == n) tfs else java.util.Arrays.copyOf(tfs, n)),
-          normBytes = IntCodec.encode(normArr),
-          posBytes = IntCodec.encode(
-            if (posDeltas == null) Array.empty[Int] else posDeltas))))
-      }
+      def emit(prefixField: String, hash: graft.core.TermsHash): Unit =
+        hash.foreachTermWithPositions { (term, ids, tfs, norms, n, ttf, posDeltas) =>
+          val gaps = new Array[Int](n) // ids ascending (ingest order)
+          val normArr = new Array[Int](n)
+          var i = 1
+          while (i < n) { gaps(i) = (ids(i) - ids(i - 1)).toInt; i += 1 }
+          i = 0
+          while (i < n) { normArr(i) = norms(i) & 0xff; i += 1 }
+          partials += SegRow(1, None, Some(PartialPostings(
+            term = if (prefixField == null) term
+                   else FieldOf.prefixed(prefixField, term),
+            docPartition = pid,
+            count = n,
+            totalTf = ttf,
+            firstDocId = if (n == 0) 0L else ids(0),
+            docIdBytes = IntCodec.encode(gaps),
+            tfBytes = IntCodec.encode(
+              if (tfs.length == n) tfs else java.util.Arrays.copyOf(tfs, n)),
+            normBytes = IntCodec.encode(normArr),
+            posBytes = IntCodec.encode(
+              if (posDeltas == null) Array.empty[Int] else posDeltas))))
+        }
+      emit(null, th)
+      fieldTh.foreach { case (f, _, fth) => emit(f, fth) }
       metas.iterator ++ partials.iterator
     }
   }

@@ -493,6 +493,23 @@ object Index {
     def termDict: DataFrame =
       spark.read.parquet(snapshots.map(_.termDictDir): _*)
 
+    private val fieldStatsCache =
+      new java.util.concurrent.ConcurrentHashMap[String, IndexStats]()
+
+    /** Collection stats of an extra analyzed field: docCount is global,
+      * sumTotalTermFreq aggregates the field's prefixed termdict rows
+      * (a prefix-pushdown scan of the slim table, cached per reader).
+      */
+    def fieldStats(field: String): IndexStats =
+      fieldStatsCache.computeIfAbsent(field, f => {
+        import org.apache.spark.sql.functions.{coalesce, lit, sum}
+        val prefix = graft.index.FieldOf.prefixed(f, "")
+        val ttf = termDict
+          .where(org.apache.spark.sql.functions.col("term").startsWith(prefix))
+          .agg(coalesce(sum("ttf"), lit(0L))).head().getLong(0)
+        IndexStats(stats.docCount, ttf)
+      })
+
     /** Deleted docIds ("live docs" complement), empty if none. */
     def tombstones: Dataset[Long] = {
       import spark.implicits._

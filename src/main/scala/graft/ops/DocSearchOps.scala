@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object DocSearchOps {
 
-  private val Version = "v4" // bump to invalidate cached indexes on format change
+  private val Version = "v5" // bump to invalidate cached indexes on format change
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
 
   def reader(spark: SparkSession, sfDir: String): Index.Reader =
@@ -35,7 +35,7 @@ object DocSearchOps {
           .as[SourceDoc]
         Index.build(corpus, dir,
           IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000,
-            indexPositions = true))
+            indexPositions = true, extraFields = Seq("repo")))
       }
       Index.reader(spark, dir)
     })
@@ -225,6 +225,17 @@ object DocSearchOps {
   def searchClassic(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("classic", should = Seq("merge", "sort")),
       sim = graft.core.ClassicSimilarity())
+
+  /** Multi-field scoring (edismax `qf` weighting core): one query mixing a
+    * content clause with a weighted clause on the `repo` metadata field,
+    * each scored against its OWN field statistics (df, norms, avgdl)
+    * [B solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java].
+    */
+  def searchEdismaxQf(spark: SparkSession, sfDir: String): DataFrame = {
+    val repoTerm = graft.index.FieldOf.prefixed("repo", "src3")
+    searchDf(spark, sfDir, QuerySpec("edismax",
+      should = Seq("merge", repoTerm), boosts = Map(repoTerm -> 2.0)))
+  }
 
   /** Text query language end-to-end: parse Lucene query syntax
     * [B lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/QueryParser.jj]

@@ -44,12 +44,32 @@ object QueryEngine {
     * term once, so the engine must agree.
     */
   def analyzeQuery(q: QuerySpec, stopWords: Set[String]): QuerySpec = {
-    val must = q.must.flatMap(Analyzer.analyze(_, stopWords)).distinct
+    val must = q.must.flatMap(analyzeClause(_, stopWords)).distinct
     q.copy(
-      should = q.should.flatMap(Analyzer.analyze(_, stopWords)).distinct
+      should = q.should.flatMap(analyzeClause(_, stopWords)).distinct
         .filterNot(must.contains),
       must = must,
-      mustNot = q.mustNot.flatMap(Analyzer.analyze(_, stopWords)).distinct)
+      mustNot = q.mustNot.flatMap(analyzeClause(_, stopWords)).distinct)
+  }
+
+  /** Analyze one clause term; a `field<Sep>value` clause keeps its field
+    * prefix and analyzes only the value (multi-field indexing — the value
+    * is analyzed with the same chain as that field's index side).
+    */
+  private def analyzeClause(raw: String, stopWords: Set[String]): Seq[String] = {
+    val i = raw.indexOf(graft.index.FieldOf.Sep)
+    if (i < 0) Analyzer.analyze(raw, stopWords).toSeq
+    else {
+      val f = raw.substring(0, i)
+      Analyzer.analyze(raw.substring(i + 1), stopWords).toSeq
+        .map(t => graft.index.FieldOf.prefixed(f, t))
+    }
+  }
+
+  /** The extra-field prefix of an analyzed term, if any. */
+  private def fieldOf(term: String): Option[String] = {
+    val i = term.indexOf(graft.index.FieldOf.Sep)
+    if (i < 0) None else Some(term.substring(0, i))
   }
 
   /** Above this many total requested hits (Σ q.k), the final merge flips
@@ -84,7 +104,12 @@ object QueryEngine {
         .groupBy($"term").agg(sum($"df"))
         .as[(String, Long)].collect().toMap
     val stats = reader.stats
-    val statsB = spark.sparkContext.broadcast((termDf, stats, queries, sim))
+    // per-field collection stats: extra analyzed fields score against their
+    // OWN avgdl (Lucene keeps norms + stats per field)
+    val fieldAvgdl: Map[String, Double] = allTerms.flatMap(fieldOf).distinct
+      .map(f => f -> reader.fieldStats(f).avgdl).toMap
+    val statsB = spark.sparkContext.broadcast(
+      (termDf, stats, queries, sim, fieldAvgdl))
 
     val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
       tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
@@ -120,8 +145,12 @@ object QueryEngine {
     val perBucket: Dataset[ScoredDoc] = buckets
       .groupByKey(_.bucket)
       .cogroup(filters.groupByKey(_.bucket)) { (bucket, blockRows, filterRows) =>
-        val (dfMap, st, qs, sim) = statsB.value
+        val (dfMap, st, qs, sim, fAvgdl) = statsB.value
         val cache = sim.normTable(st.avgdl)
+        val fieldCaches: Map[String, Array[Double]] =
+          fAvgdl.map { case (f, a) => f -> sim.normTable(a) }
+        def cacheFor(term: String): Array[Double] =
+          fieldOf(term).flatMap(fieldCaches.get).getOrElse(cache)
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
         blockRows.foreach { r =>
           byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) ++= r.blocks
@@ -136,7 +165,7 @@ object QueryEngine {
             byTerm.get(term).map { bs =>
               val blocks = bs.sortBy(_.firstDocId).toArray
               val w = sim.weight(dfMap.getOrElse(term, 0L), st.docCount, boost)
-              new BmwScorer.TermIterator(w, cache, blocks, tag, sim)
+              new BmwScorer.TermIterator(w, cacheFor(term), blocks, tag, sim)
             }
 
           qs.iterator.flatMap { q =>

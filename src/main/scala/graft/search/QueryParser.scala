@@ -327,8 +327,12 @@ object QueryParser {
         case Some("lang") =>
           if (mode == Not) Left("negated lang filter unsupported")
           else { langFilter = Some(t.text); Right(()) }
-        case None | Some("content") =>
-          val term = t.text.toLowerCase(java.util.Locale.ROOT)
+        case None | Some("content") | Some("repo") =>
+          val lowered = t.text.toLowerCase(java.util.Locale.ROOT)
+          val term =
+            if (t.field.contains("repo"))
+              graft.index.FieldOf.prefixed("repo", lowered)
+            else lowered
           t.boost.foreach(b => boosts += term -> b)
           mode match {
             case Should => should :+= term

@@ -16,6 +16,18 @@ object StreamingOps {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Checkpoint root for the memory-sink demo queries: prefer tmpfs — the
+    * sandbox's virtio disk serializes concurrent writers and state-store
+    * commits are per-partition small files (BENCH/BASELINE.md).
+    */
+  private def checkpointRoot(): String = {
+    val base =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm" else sys.props("java.io.tmpdir")
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), "graft_ckpt").toString
+  }
+
   /** NRT indexing: stream a corpus parquet directory (file-arrival order,
     * maxFilesPerTrigger per micro-batch) into incremental index snapshots
     * [B solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java
@@ -64,6 +76,7 @@ object StreamingOps {
       .outputMode("complete")
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", checkpointRoot())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -76,7 +89,10 @@ object StreamingOps {
 
   /** Streaming dedup by key with last-writer-wins versioning (Solr's
     * uniqueKey + _version_ optimistic concurrency, SURVEY.md §2.9):
-    * watermark + dropDuplicates on the key.
+    * watermark + dropDuplicatesWithinWatermark on the key, so dedup state
+    * is BOUNDED by the watermark horizon instead of growing with every
+    * event_id ever seen — the difference between a day of state and an
+    * unbounded map on a long-running 100 TB stream (VERDICT r1 perf table).
     */
   def streamDedupEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val src = s"$sfDir/events.parquet"
@@ -86,9 +102,10 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ for event time
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
       .writeStream.outputMode("complete").format("memory").queryName(name)
+      .option("checkpointLocation", checkpointRoot())
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name).orderBy(asc("event_type"))
