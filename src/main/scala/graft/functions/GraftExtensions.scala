@@ -51,8 +51,9 @@ object GraftExtensions {
   /** graft_search(indexDir, queryText, k) -> the engine's scored plan.
     * The analysis-time expansion plays the role Lucene's Query.rewrite
     * plays — the unresolved relation becomes the concrete scored plan.
-    * Terms in `queryText` are whitespace-separated SHOULD clauses
-    * ('+term' = MUST, '-term' = MUST_NOT), analyzed with the standard chain.
+    * `queryText` is the full classic query language (QueryParser): fields,
+    * '+'/'-'/AND/OR/NOT, '^'boosts, lang:x filters — lowered onto the
+    * executable QuerySpec subset.
     */
   private[functions] def searchPlan(argExprs: Seq[Expression]): LogicalPlan = {
     require(argExprs.length == 3,
@@ -65,12 +66,7 @@ object GraftExtensions {
       case l: Long => l.toInt
       case o => throw new IllegalArgumentException(s"k must be an int literal, got $o")
     }
-    val raw = text.split("\\s+").filter(_.nonEmpty).toSeq
-    val spec = QuerySpec("sql",
-      should = raw.filterNot(t => t.startsWith("+") || t.startsWith("-")),
-      must = raw.filter(_.startsWith("+")).map(_.drop(1)),
-      mustNot = raw.filter(_.startsWith("-")).map(_.drop(1)),
-      k = k)
+    val spec = graft.search.QueryParser.parseToSpec(text, "sql", k)
     val spark = SparkSession.active
     val reader = Index.reader(spark, dir)
     QueryEngine.searchWithMeta(reader, Seq(spec)).queryExecution.analyzed

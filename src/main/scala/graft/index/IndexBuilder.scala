@@ -161,25 +161,32 @@ object IndexBuilder {
     if (df <= cfg.hotTermDf) 1
     else math.min(4096L, (df + cfg.targetPostingsPerSlice - 1) / cfg.targetPostingsPerSlice).toInt
 
-  /** The segment-merge shuffle. `snapshotId` tags lineage rows. */
+  /** The segment-merge shuffle. `snapshotId` tags lineage rows.
+    * `numPartitionsHint`: upper bound on docPartition+1, when the caller
+    * knows it from the scan metadata — saves a whole small job; <= 0 falls
+    * back to computing the max from the data (compact path).
+    */
   def mergePostings(partials: Dataset[PartialPostings], cfg: IndexConfig,
       snapshotId: Long,
-      lineage: CollectionAccumulator[PartitionLineage]): Dataset[TermPostings] = {
+      lineage: CollectionAccumulator[PartitionLineage],
+      numPartitionsHint: Int = -1): Dataset[TermPostings] = {
     val spark = partials.sparkSession
     import spark.implicits._
 
-    // Pass 1 (small-row shuffle): corpus-wide df per term -> hot-term set
-    // plus the partition count, in ONE aggregation job. Rows here are
-    // (term, count) pairs, NOT postings — cheap even for a billion-term
-    // vocabulary; only the Zipf head survives the filter.
+    // Pass 1 (small-row shuffle): corpus-wide df per term -> hot-term set.
+    // Rows here are (term, count) pairs, NOT postings — cheap even for a
+    // billion-term vocabulary; only the Zipf head survives the filter.
     val tStats = System.nanoTime()
     val hotTerms: Map[String, Long] = partials
       .groupBy($"term").agg(sum($"count").as("df"))
       .where($"df" > cfg.hotTermDf)
       .as[(String, Long)].collect().toMap
     val hotB = spark.sparkContext.broadcast(hotTerms)
+    // any value >= max(docPartition)+1 yields a correct contiguous-range
+    // salting (slices just fill unevenly), so the metadata hint is safe
     val numPartitions =
-      partials.select(max($"docPartition")).as[Option[Int]].head().getOrElse(-1) + 1
+      if (numPartitionsHint > 0) numPartitionsHint
+      else partials.select(max($"docPartition")).as[Option[Int]].head().getOrElse(-1) + 1
     if (sys.env.contains("GRAFT_PHASE_LOG"))
       println(f"[graft-phase] merge-stats ${(System.nanoTime() - tStats) / 1e9}%.2f s " +
         s"(hot=${hotTerms.size}, parts=$numPartitions)")

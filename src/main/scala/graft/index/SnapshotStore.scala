@@ -243,7 +243,10 @@ object Index {
     val seg = spark.read.parquet(segDir)
     val docMeta = seg.where($"kind" === 0).select($"meta.*").as[DocMeta]
     val partials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
-    mergeAndCommit(docMeta, partials, incDir, inc, cfg, prior)
+    // docPartition values are < basePartition + slice scan partitions —
+    // known from metadata, so the merge can skip its max(docPartition) job
+    val numPartsHint = basePartition + slice.rdd.getNumPartitions
+    mergeAndCommit(docMeta, partials, incDir, inc, cfg, prior, numPartsHint)
   }
 
   private def logPhase(what: String, t0: Long): Unit =
@@ -252,7 +255,8 @@ object Index {
 
   private def mergeAndCommit(docMeta: Dataset[DocMeta],
       partials: Dataset[PartialPostings], incDir: String, inc: Int,
-      cfg: IndexConfig, prior: Seq[SnapshotMeta]): SnapshotMeta = {
+      cfg: IndexConfig, prior: Seq[SnapshotMeta],
+      numPartsHint: Int = -1): SnapshotMeta = {
     val spark = docMeta.sparkSession
     import spark.implicits._
     val tMeta = System.nanoTime()
@@ -263,7 +267,8 @@ object Index {
     val lineageAcc = spark.sparkContext.collectionAccumulator[PartitionLineage](
       s"lineage-inc$inc")
     val tMerge = System.nanoTime()
-    val merged = IndexBuilder.mergePostings(partials, cfg, snapshotId, lineageAcc)
+    val merged = IndexBuilder.mergePostings(partials, cfg, snapshotId,
+      lineageAcc, numPartsHint)
     merged.write.mode("overwrite").parquet(s"$incDir/postings")
     logPhase(s"inc=$inc merge", tMerge)
 

@@ -91,5 +91,18 @@ class FunctionsSpec extends AnyFunSuite {
     val andHits = ext.sql(
       s"SELECT count(*) FROM graft_search('${reader.indexDir}', '+stream +batch', 10)").head().getLong(0)
     assert(andHits > 0)
+    // full query-language features through the TVF: boost + NOT + filter
+    val parsed = ext.sql(
+      s"""SELECT count(*) FROM graft_search('${reader.indexDir}',
+         |  '+merge sort^2.5 -error lang:en', 10)""".stripMargin)
+      .head().getLong(0)
+    assert(parsed > 0)
+    val boosted = ext.sql(
+      s"SELECT docId FROM graft_search('${reader.indexDir}', 'merge sort^2.5', 10)")
+      .collect().map(_.getLong(0)).toSeq
+    val boostedExpected = DocSearchOps.searchDf(spark, sf,
+      graft.QuerySpec("b", should = Seq("merge", "sort"),
+        boosts = Map("sort" -> 2.5), k = 10)).collect().map(_.getLong(1)).toSeq
+    assert(boosted.sorted == boostedExpected.sorted)
   }
 }
