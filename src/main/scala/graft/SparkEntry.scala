@@ -34,6 +34,7 @@ object SparkEntry {
     "match_all_docs" -> (DocSearchOps.matchAllDocs(_, _)),
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
     "search_edismax_qf" -> (DocSearchOps.searchEdismaxQf(_, _)),
+    "search_stemmed_bm25" -> ((s, d) => DocSearchOps.searchStemmed(s, d)),
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
@@ -180,6 +181,21 @@ object SparkEntry {
   private val QualityTokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
 
+  /** EnglishMinimalStemmer (S-stemmer) as SQL — mirrors
+    * Analyzer.minimalStem exactly (suffix CASE logic only).
+    */
+  private def stemSql(t: String): String =
+    s"""CASE
+       |  WHEN length($t) < 3 OR substr($t, length($t), 1) <> 's' THEN $t
+       |  WHEN substr($t, length($t)-1, 1) IN ('u', 's') THEN $t
+       |  WHEN substr($t, length($t)-1, 1) = 'e' THEN
+       |    CASE WHEN length($t) > 3 AND substr($t, length($t)-2, 1) = 'i'
+       |              AND substr($t, length($t)-3, 1) NOT IN ('a', 'e')
+       |         THEN substr($t, 1, length($t)-3) || 'y'
+       |         WHEN substr($t, length($t)-2, 1) IN ('i', 'a', 'o', 'e') THEN $t
+       |         ELSE substr($t, 1, length($t)-1) END
+       |  ELSE substr($t, 1, length($t)-1) END""".stripMargin
+
   private val ProbeTermsIn = TextOps.ProbeTerms.map(t => s"'$t'").mkString(", ")
 
   // ---- near-dup oracle fragments (dedup ops run on the augmented corpus:
@@ -301,6 +317,31 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // stemmed analyzer chain: query "merges windows" -> stems (merge,
+    // window) scored over the stemmed-token index (dl unchanged — stemming
+    // is 1:1 on tokens)
+    "search_stemmed_bm25" ->
+      s"""WITH $TokCte,
+         |stok AS (SELECT doc_id, ${stemSql("term")} AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM stok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM stok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'window') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // multi-field edismax qf: content:merge + repo:src3^2, each clause
     // scored against its own field stats (repo: tf=1, dl=1, avgdl=ttf/N)

@@ -53,6 +53,36 @@ object Analyzer {
   def analyze(text: String, stopWords: Set[String] = EnglishStopWords): Array[String] =
     tokenize(text).filterNot(stopWords.contains)
 
+  /** Lucene's EnglishMinimalStemFilter rule (S-stemmer: plural stripping)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishMinimalStemmer.java],
+    * reimplemented from the published algorithm: words shorter than 3 or
+    * not ending in 's' pass through; '-us'/'-ss' endings are kept;
+    * '-ies' becomes '-y' (when preceded by a non-a/e letter and long
+    * enough); vowel+'es' endings are kept; anything else drops the 's'.
+    * Chosen over Porter for the stemming slot because it is exactly
+    * reproducible in the DuckDB oracle SQL (pure suffix CASE logic).
+    */
+  def minimalStem(t: String): String = {
+    val len = t.length
+    if (len < 3 || t.charAt(len - 1) != 's') return t
+    t.charAt(len - 2) match {
+      case 'u' | 's' => t
+      case 'e' =>
+        if (len > 3 && t.charAt(len - 3) == 'i' &&
+          t.charAt(len - 4) != 'a' && t.charAt(len - 4) != 'e')
+          t.substring(0, len - 3) + "y"
+        else if (t.charAt(len - 3) == 'i' || t.charAt(len - 3) == 'a' ||
+          t.charAt(len - 3) == 'o' || t.charAt(len - 3) == 'e') t
+        else t.substring(0, len - 1)
+      case _ => t.substring(0, len - 1)
+    }
+  }
+
+  /** analyze + minimal stemming (the EnglishAnalyzer-with-stemmer shape). */
+  def analyzeStemmed(text: String,
+      stopWords: Set[String] = EnglishStopWords): Array[String] =
+    analyze(text, stopWords).map(minimalStem)
+
   /** Analyzed per-doc term frequencies, terms in sorted order (the per-doc
     * slice of the DWPT-style in-memory inverted index, SURVEY.md §2.3).
     * Returns (sortedTerms, tfs, totalTokenCount-after-stop).

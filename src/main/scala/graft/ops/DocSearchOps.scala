@@ -40,17 +40,67 @@ object DocSearchOps {
       Index.reader(spark, dir)
     })
 
-  /** Run one query through the engine; output (rank, doc_id, score). */
-  def searchDf(spark: SparkSession, sfDir: String, q: QuerySpec,
-      sim: graft.core.Similarity = graft.core.Bm25()): DataFrame = {
-    val r = reader(spark, sfDir)
-    val hits = QueryEngine.search(r, Seq(q), sim)
+  /** Rank projection shared by the search entries: (rank, doc_id, score).
+    * The window is unpartitioned but its input is the already-merged <= k
+    * global hits — a k-row single-task sort, not a scale risk.
+    */
+  private def rankDf(r: Index.Reader, hits: org.apache.spark.sql.Dataset[ScoredDoc]): DataFrame = {
     val w = Window.orderBy(desc("score"), asc("doc_id"))
     hits.join(r.docMeta.select(col("docId"), col("path")), "docId")
       .withColumn("doc_id", col("path").cast("long"))
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
       .orderBy(asc("rank"))
+  }
+
+  /** Run one query through the engine; output (rank, doc_id, score). */
+  def searchDf(spark: SparkSession, sfDir: String, q: QuerySpec,
+      sim: graft.core.Similarity = graft.core.Bm25()): DataFrame = {
+    val r = reader(spark, sfDir)
+    rankDf(r, QueryEngine.search(r, Seq(q), sim))
+  }
+
+  /** Stemmed-analyzer index (EnglishMinimalStemFilter chain,
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishMinimalStemFilter.java]):
+    * the corpus is pre-analyzed (tokenize -> stop -> minimal stem) and
+    * indexed with an empty stop set, so postings hold stems — the standard
+    * analyzer-chain composition, cached separately from the main index.
+    */
+  def stemmedReader(spark: SparkSession, sfDir: String): Index.Reader =
+    stemCache.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_stemindex_${Version}_$safe"
+      if (index.SnapshotStore.read(dir).isEmpty) {
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(
+            col("source").as("repo"),
+            col("doc_id").cast("string").as("path"),
+            lit("").as("commit"),
+            col("lang"),
+            col("text").as("content"))
+          .as[SourceDoc]
+          .map(d => d.copy(content =
+            graft.core.Analyzer.analyzeStemmed(d.content).mkString(" ")))
+        Index.build(corpus, dir,
+          IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000,
+            stopWords = Set.empty))
+      }
+      Index.reader(spark, dir)
+    })
+
+  private val stemCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
+
+  /** Stemmed BM25 search: plural query forms hit singular documents and
+    * vice versa ("merges windows" scores the merge/window stem postings).
+    */
+  def searchStemmed(spark: SparkSession, sfDir: String,
+      rawQuery: String = "merges windows"): DataFrame = {
+    val r = stemmedReader(spark, sfDir)
+    val terms = graft.core.Analyzer.analyzeStemmed(rawQuery).toSeq
+    rankDf(r, QueryEngine.search(r,
+      Seq(QuerySpec("stem", should = terms)), stopWords = Set.empty))
   }
 
   /** Single-term BM25 top-10 (TermQuery == degenerate WAND). */

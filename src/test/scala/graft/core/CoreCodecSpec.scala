@@ -202,6 +202,23 @@ class CoreCodecSpec extends AnyFunSuite {
     assert(toks.toSeq == Seq("x" * 255, "x" * 255, "x" * 90))
   }
 
+  test("EnglishMinimalStemmer golden cases") {
+    val cases = Seq(
+      "dogs" -> "dog", "merges" -> "merge", "windows" -> "window",
+      "ties" -> "ty", "cities" -> "city", // -ies -> -y
+      "dies" -> "dy",
+      "bus" -> "bus", "class" -> "class", // -us/-ss kept
+      "goes" -> "goes", "aes" -> "aes", // vowel+es kept
+      "is" -> "is", "as" -> "as", // too short
+      "s" -> "s", "yes" -> "ye",
+      "return" -> "return", "sort" -> "sort") // not ending in s
+    cases.foreach { case (in, out) =>
+      assert(Analyzer.minimalStem(in) == out, s"stem($in)")
+    }
+    assert(Analyzer.analyzeStemmed("The Dogs chase foxes").toSeq ==
+      Seq("dog", "chase", "foxe")) // 'foxes': x+es -> drop s only
+  }
+
   // ---- TermsHash -----------------------------------------------------------
 
   test("TermsHash postings equal Analyzer.termFreqs for random docs") {
