@@ -13,11 +13,15 @@ package graft.core
   */
 object PhraseMatcher {
 
-  /** Exact phrase: exists p with posLists(i) containing p + i for all i.
-    * Scans the first (rarest-if-caller-sorted) list, binary-searches the
-    * rest at the offset-adjusted target.
+  /** Exact phrase with explicit QUERY positions (Lucene PhraseQuery
+    * add(term, position)): exists p with posLists(i) containing
+    * p + offsets(i) - offsets(0) for all i. Stop words removed from the
+    * query leave holes in `offsets` exactly like StopFilter position
+    * increments leave holes in the indexed positions, so "state of art"
+    * matches with offsets (0, 2). `offsets == null` means consecutive.
     */
-  def exactMatch(posLists: Array[Array[Int]]): Boolean = {
+  def exactMatch(posLists: Array[Array[Int]],
+      offsets: Array[Int] = null): Boolean = {
     val n = posLists.length
     if (n == 0) return false
     if (n == 1) return posLists(0).length > 0
@@ -27,7 +31,8 @@ object PhraseMatcher {
       var all = true
       var i = 1
       while (i < n && all) {
-        if (java.util.Arrays.binarySearch(posLists(i), p0 + i) < 0) all = false
+        val gap = if (offsets == null) i else offsets(i) - offsets(0)
+        if (java.util.Arrays.binarySearch(posLists(i), p0 + gap) < 0) all = false
         i += 1
       }
       if (all) return true
@@ -36,15 +41,18 @@ object PhraseMatcher {
     false
   }
 
-  /** Two-term sloppy phrase: exists (pa, pb) with |pb - pa - 1| <= slop —
-    * the move-count distance for a two-term phrase ("b a" needs slop 2,
-    * "a x b" needs slop 1), matching Lucene's documented slop behavior.
+  /** Two-term sloppy phrase: exists (pa, pb) with |pb - pa - gap| <= slop,
+    * where `gap` is the query-position distance (1 for adjacent terms;
+    * larger when stop words were removed between them) — the move-count
+    * distance ("b a" needs slop 2, "a x b" needs slop 1), matching
+    * Lucene's documented slop behavior.
     */
-  def sloppyMatch2(a: Array[Int], b: Array[Int], slop: Int): Boolean = {
+  def sloppyMatch2(a: Array[Int], b: Array[Int], slop: Int,
+      gap: Int = 1): Boolean = {
     var i = 0
     while (i < a.length) {
-      val lo = a(i) + 1 - slop
-      val hi = a(i) + 1 + slop
+      val lo = a(i) + gap - slop
+      val hi = a(i) + gap + slop
       var idx = java.util.Arrays.binarySearch(b, lo)
       if (idx < 0) idx = -idx - 1
       if (idx < b.length && b(idx) <= hi) return true

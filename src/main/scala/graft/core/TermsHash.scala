@@ -220,22 +220,9 @@ final class TermsHash(stopWords: Set[String],
     }
   }
 
-  /** The term's flat positional delta stream (sized exactly), or null when
-    * positions are off. Aligned with the postings/tf stream: posting i owns
-    * the next tfs(i) deltas.
+  /** foreachTerm variant that also hands over the sized positional stream
+    * (posting i owns the next tfs(i) deltas).
     */
-  def positionsOf(term: String): Array[Int] = {
-    if (!trackPositions) return null
-    var id = 0
-    while (id < numTerms) {
-      if (termArr(id) == term)
-        return java.util.Arrays.copyOf(postPos(id), postPosN(id))
-      id += 1
-    }
-    null
-  }
-
-  /** foreachTerm variant that also hands over the sized positional stream. */
   def foreachTermWithPositions(
       f: (String, Array[Long], Array[Int], Array[Byte], Int, Long, Array[Int]) => Unit): Unit = {
     var id = 0

@@ -214,12 +214,31 @@ object Index {
       cfg: IndexConfig = IndexConfig()): Seq[SnapshotMeta] = {
     val snaps = SnapshotStore.read(indexDir).toBuffer
     if (!snaps.exists(_.incrementId == batchId.toInt)) {
+      // a base index built from a >4096-partition scan occupies docPartition
+      // ids that batchId*span would alias — refuse rather than silently
+      // merge two different documents under one docId
+      val maxPart = maxDocPartition(batch.sparkSession, snaps.toSeq)
+      require(batchId * BatchPartitionSpan > maxPart,
+        s"batch $batchId would reuse docPartition ids <= $maxPart already " +
+          s"committed in $indexDir; use batchId > ${maxPart / BatchPartitionSpan}")
       snaps += commitIncrement(batch, indexDir, batchId.toInt,
         basePartition = batchId.toInt * BatchPartitionSpan, cfg, snaps.toSeq,
         partitionCap = BatchPartitionSpan)
       SnapshotStore.write(indexDir, snaps.toSeq)
     }
     snaps.toSeq
+  }
+
+  /** Largest docPartition referenced by any committed docId (-1 if none):
+    * a docmeta-column agg, used to keep append docId spaces disjoint.
+    */
+  private def maxDocPartition(spark: SparkSession,
+      snaps: Seq[SnapshotMeta]): Int = {
+    import spark.implicits._
+    if (snaps.isEmpty) -1
+    else spark.read.parquet(snaps.map(_.docMetaDir): _*)
+      .agg(max($"docId")).as[Option[Long]].head()
+      .map(CorpusIds.partitionOf).getOrElse(-1)
   }
 
   private def commitIncrement(slice: Dataset[SourceDoc], indexDir: String,
@@ -325,13 +344,21 @@ object Index {
       if (posFlat == null) p.posBytes
       else {
         // per-doc delta groups are self-contained (first delta is the
-        // absolute position), so kept docs' groups survive verbatim
+        // absolute position), so kept docs' groups survive verbatim.
+        // Single linear arraycopy pass — iterator.slice would rescan from
+        // the stream head per posting (O(postings x positions))
         val offsets = new Array[Int](tfs.length)
         var o = 0
         var j = 0
         while (j < tfs.length) { offsets(j) = o; o += tfs(j); j += 1 }
-        val out = keep.iterator.flatMap(i =>
-          posFlat.iterator.slice(offsets(i), offsets(i) + tfs(i))).toArray
+        var total = 0
+        keep.foreach(i => total += tfs(i))
+        val out = new Array[Int](total)
+        var w = 0
+        keep.foreach { i =>
+          System.arraycopy(posFlat, offsets(i), out, w, tfs(i))
+          w += tfs(i)
+        }
         graft.core.IntCodec.encode(out)
       }
     p.copy(
@@ -455,7 +482,12 @@ object Index {
       newDocs: Dataset[SourceDoc],
       cfg: IndexConfig = IndexConfig()): Seq[SnapshotMeta] = {
     deleteByTerm(spark, indexDir, rawTerm)
-    val nextInc = SnapshotStore.read(indexDir).map(_.incrementId).max + 1
+    val snaps = SnapshotStore.read(indexDir)
+    // next free increment id AND a batch base above every committed
+    // docPartition (a wide base build occupies low batchId ranges)
+    val nextInc = math.max(
+      snaps.map(_.incrementId).max + 1,
+      maxDocPartition(spark, snaps) / BatchPartitionSpan + 1)
     appendBatch(newDocs, indexDir, nextInc.toLong, cfg)
   }
 

@@ -168,9 +168,12 @@ object DocSearchOps {
         r.postings.where(col("term").isin(terms.toSeq: _*))
       else
         r.postings.join(broadcast(terms.toSeq.toDF("term")), "term")
-    matching.as[TermPostings]
+    val ids = matching.as[TermPostings]
       .flatMap(tp => tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
       .distinct().toDF("docId")
+    // live-docs filter: postings keep tombstoned docs until compaction
+    if (!r.hasTombstones) ids
+    else ids.join(r.tombstones.toDF("docId"), Seq("docId"), "left_anti")
   }
 
   /** DisjunctionMaxQuery (edismax core): max + tb*(sum-max) combine
@@ -263,8 +266,11 @@ object DocSearchOps {
     */
   def matchAllDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val r = reader(spark, sfDir)
-    r.docMeta.select(col("path").cast("long").as("doc_id"),
-        lit(1.0).as("score"))
+    val live =
+      if (!r.hasTombstones) r.docMeta.toDF()
+      else r.docMeta.toDF()
+        .join(r.tombstones.toDF("docId"), Seq("docId"), "left_anti")
+    live.select(col("path").cast("long").as("doc_id"), lit(1.0).as("score"))
       .orderBy(asc("doc_id"))
   }
 

@@ -249,7 +249,17 @@ object QueryEngine {
       stopWords: Set[String] = Analyzer.EnglishStopWords): Dataset[Long] = {
     val spark = reader.spark
     import spark.implicits._
-    val terms = rawTerms.flatMap(Analyzer.analyze(_, stopWords))
+    // tokenize keeping a running query-position counter; stop words advance
+    // it but emit nothing — the query-side mirror of the index's StopFilter
+    // position-increment holes, so "state of art" verifies at offsets (0,2)
+    var qpos = 0
+    val withOffsets: Seq[(String, Int)] = rawTerms.flatMap { raw =>
+      Analyzer.tokenize(raw).map { tok =>
+        val p = qpos; qpos += 1; (tok, p)
+      }
+    }.filterNot { case (t, _) => stopWords.contains(t) }
+    val terms = withOffsets.map(_._1)
+    val offsets = withOffsets.map(_._2).toArray
     require(terms.nonEmpty, s"no indexable terms in $rawTerms")
     require(terms.distinct.size == terms.size,
       s"conjunction/phrase terms must be distinct: $terms")
@@ -263,11 +273,11 @@ object QueryEngine {
           BucketTermBlocks(bucket, tp.term, bs.sortBy(_.firstDocId))
         }
     }
-    val termsB = spark.sparkContext.broadcast(terms.toArray)
+    val termsB = spark.sparkContext.broadcast((terms.toArray, offsets))
     val slopLocal = slop
     val matched: Dataset[Long] = buckets.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) =>
-        val qTerms = termsB.value
+        val (qTerms, qOffsets) = termsB.value
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
         rows.foreach { r =>
           byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) ++= r.blocks
@@ -286,8 +296,9 @@ object QueryEngine {
               val posLists = iters.map(_.positions())
               require(posLists.forall(_ != null),
                 "positional query over an index built without indexPositions")
-              if (slopLocal == 0) PhraseMatcher.exactMatch(posLists)
-              else PhraseMatcher.sloppyMatch2(posLists(0), posLists(1), slopLocal)
+              if (slopLocal == 0) PhraseMatcher.exactMatch(posLists, qOffsets)
+              else PhraseMatcher.sloppyMatch2(posLists(0), posLists(1),
+                slopLocal, qOffsets(1) - qOffsets(0))
             }
           BmwScorer.conjunctionIterator(iters, accept)
         }

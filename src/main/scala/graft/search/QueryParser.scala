@@ -344,29 +344,42 @@ object QueryParser {
       }
     }
 
-    def walk(n: QNode, mode: Mode): Either[String, Unit] = n match {
+    // `root`: AND may promote its children to MUST only at the top level
+    // ("a AND b" == +a +b); a nested AND under an OR ("c OR (a AND b)")
+    // cannot be expressed in the flat QuerySpec and must be rejected —
+    // flattening it would silently invert semantics. Nested ORs under the
+    // SHOULD default are safe to flatten: the match set is identical and
+    // BM25 clause scores add associatively.
+    def walk(n: QNode, mode: Mode, root: Boolean): Either[String, Unit] = n match {
       case t: QTerm => addTerm(t, mode)
-      case QRequired(c) => walk(c, if (mode == Not) Not else Must)
+      case QRequired(c) => walk(c, if (mode == Not) Not else Must, root = false)
       case QProhibited(c) =>
-        if (mode == Not) Left("double negation unsupported") else walk(c, Not)
+        if (mode == Not) Left("double negation unsupported")
+        else walk(c, Not, root = false)
       case QNot(c) =>
-        if (mode == Not) Left("double negation unsupported") else walk(c, Not)
+        if (mode == Not) Left("double negation unsupported")
+        else walk(c, Not, root = false)
       case QAnd(cs) =>
-        if (mode == Not) Left("negated conjunction unsupported")
+        if (mode != Should || !root)
+          Left("nested conjunction unsupported in the flat QuerySpec")
         else cs.foldLeft[Either[String, Unit]](Right(())) {
-          (acc, c) => acc.flatMap(_ => walk(c, if (mode == Should) Must else mode))
+          (acc, c) => acc.flatMap(_ => walk(c, Must, root = false))
         }
       case QOr(cs) =>
-        cs.foldLeft[Either[String, Unit]](Right(())) {
-          (acc, c) => acc.flatMap(_ => walk(c, mode))
+        if (mode != Should)
+          Left("disjunction under a required/negated clause unsupported")
+        else cs.foldLeft[Either[String, Unit]](Right(())) {
+          // children of an OR are not root: an AND inside an OR branch
+          // ("c OR (a AND b)") is not expressible flat
+          (acc, c) => acc.flatMap(_ => walk(c, Should, root = false))
         }
-      case QGroup(None, e, None) => walk(e, mode)
+      case QGroup(None, e, None) => walk(e, mode, root)
       case _: QGroup => Left("field-scoped or boosted groups unsupported")
       case _: QPhrase => Left("phrase needs searchPhrase")
       case _: QRange => Left("range needs the range operator")
     }
 
-    walk(node, Should).map { _ =>
+    walk(node, Should, root = true).map { _ =>
       QuerySpec(qid, should = should, must = must, mustNot = mustNot, k = k,
         langFilter = langFilter, boosts = boosts)
     }

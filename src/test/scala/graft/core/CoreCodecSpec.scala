@@ -320,5 +320,10 @@ class CoreCodecSpec extends AnyFunSuite {
     assert(!PhraseMatcher.sloppyMatch2(Array(4), Array(3), 1))
     assert(PhraseMatcher.sloppyMatch2(Array(1, 48), Array(49), 0))
     assert(!PhraseMatcher.sloppyMatch2(Array(1, 50), Array(49), 0))
+    // stop-word holes: query positions (0, 2) for "state [of] art"
+    assert(PhraseMatcher.exactMatch(Array(Array(5), Array(7)), Array(0, 2)))
+    assert(!PhraseMatcher.exactMatch(Array(Array(5), Array(6)), Array(0, 2)))
+    assert(PhraseMatcher.sloppyMatch2(Array(5), Array(7), 0, gap = 2))
+    assert(!PhraseMatcher.sloppyMatch2(Array(5), Array(6), 0, gap = 2))
   }
 }

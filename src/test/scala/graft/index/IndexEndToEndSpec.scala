@@ -293,6 +293,35 @@ class IndexEndToEndSpec extends AnyFunSuite {
     }.map(_._1).toSet
     assert(gotConj == expConj)
     assert(gotSloppy.subsetOf(gotConj))
+
+    // stop-word hole: a phrase "w0 <stop> w2" must match at query offsets
+    // (0, 2) against the hole-preserving index positions
+    val triple = keyed.iterator.flatMap { case (_, text) =>
+      Analyzer.tokenize(text).sliding(3).find(w =>
+        Analyzer.EnglishStopWords(w(1)) &&
+          !Analyzer.EnglishStopWords(w(0)) && !Analyzer.EnglishStopWords(w(2)) &&
+          w(0) != w(2))
+    }.toSeq.headOption
+    triple.foreach { w =>
+      val gotHole = QueryEngine.matchAllTerms(reader, w.toSeq, slop = 0)
+        .collect().toSet
+      // Lucene semantics: the stop word is NOT indexed, so the hole matches
+      // ANY token at that position — "state of art" also matches
+      // "state in art". The naive oracle mirrors that: w0 at i, w2 at i+2.
+      val expHole = keyed.iterator.filter { case (_, text) =>
+        val t = Analyzer.tokenize(text)
+        t.indices.exists(i => t(i) == w(0) &&
+          i + 2 < t.length && t(i + 2) == w(2))
+      }.map(_._1).toSet
+      assert(expHole.nonEmpty)
+      assert(gotHole == expHole, s"hole-aware phrase mismatch for ${w.toSeq}")
+      // and the strict interpretation is a subset of what we return
+      val strict = keyed.iterator.filter { case (_, text) =>
+        Analyzer.tokenize(text).sliding(3).exists(_.sameElements(w))
+      }.map(_._1).toSet
+      assert(strict.subsetOf(gotHole))
+    }
+    assert(triple.nonEmpty, "corpus unexpectedly has no <word stop word> triple")
   }
 
   test("distributed top-k merge is rank-identical to the driver merge") {

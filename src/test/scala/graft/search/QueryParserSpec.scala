@@ -302,5 +302,14 @@ a:b:c~2.0
     assert(lower(parse("\"a phrase\""), "p").isLeft)
     assert(lower(parse("[a TO z]"), "r").isLeft)
     assert(lower(parse("roam~"), "z").isLeft)
+    // nested boolean shapes the flat QuerySpec cannot express must REJECT,
+    // not silently flatten with inverted semantics
+    assert(lower(parse("a AND (b OR c)"), "n1").isLeft)
+    assert(lower(parse("c OR (a AND b)"), "n2").isLeft)
+    assert(lower(parse("A AND B OR C AND D"), "n3").isLeft)
+    assert(lower(parse("+(a b)"), "n4").isLeft)
+    // ...while equivalent flat shapes still lower
+    assert(parseToSpec("(stream AND batch)", "g1").must == Seq("stream", "batch"))
+    assert(parseToSpec("a (b c)", "g2").should == Seq("a", "b", "c"))
   }
 }
