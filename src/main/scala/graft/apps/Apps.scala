@@ -56,12 +56,16 @@ object BuildIndexApp {
     val indexDir = args(1)
     val numDocs = if (args.length > 2) args(2).toLong else 5000L
     val increments = if (args.length > 3) args(3).toInt else 1
+    // optional 5th arg "positions": index positional postings too
+    val positions = args.length > 4 && args(4) == "positions"
     val spark = SparkEnv.session("graft-build")
     import spark.implicits._
-    CorpusGen.ensure(spark, corpusDir, numDocs)
+    CorpusGen.ensure(spark, corpusDir, numDocs,
+      numPartitions = sys.env.getOrElse("SPARK_GRAFT_CORPUS_PARTS", "32").toInt)
     val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
     val t0 = System.nanoTime()
-    val snaps = Index.build(corpus, indexDir, IndexConfig(), increments)
+    val snaps = Index.build(corpus, indexDir,
+      IndexConfig(indexPositions = positions), increments)
     val secs = (System.nanoTime() - t0) / 1e9
     val docs = snaps.map(_.docCount).sum
     println(f"[graft] built ${snaps.size} snapshot(s), $docs docs in $secs%.2f s " +

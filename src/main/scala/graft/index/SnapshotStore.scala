@@ -372,7 +372,10 @@ object Index {
   }
 
   def compact(spark: SparkSession, indexDir: String, outDir: String,
-      cfg: IndexConfig = IndexConfig()): Seq[SnapshotMeta] = {
+      cfg: IndexConfig = IndexConfig(),
+      /** test seam: tombstone count above which the distributed cogroup
+        * replaces the sorted-array broadcast. */
+      tombstoneBroadcastMax: Long = TombstoneBroadcastMax): Seq[SnapshotMeta] = {
     import spark.implicits._
     val r = reader(spark, indexDir)
     val segDirs = r.snapshots.map(s =>
@@ -385,7 +388,7 @@ object Index {
     val (docMeta, partials) =
       if (nTomb == 0L) {
         (allMeta, allPartials)
-      } else if (nTomb <= TombstoneBroadcastMax) {
+      } else if (nTomb <= tombstoneBroadcastMax) {
         // sorted-array broadcast: 8 bytes/delete, binary-search membership
         val dead = r.tombstones.collect()
         java.util.Arrays.sort(dead)

@@ -337,6 +337,57 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(viaDriver == viaShuffle)
   }
 
+  test("compaction: distributed tombstone cogroup == broadcast path, positions survive") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    // positions ON so compaction exercises the positional strip path
+    val cfg = IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300,
+      indexPositions = true)
+    val baseDir = s"$workDir/index_cmp_base"
+    Index.build(corpus, baseDir, cfg, increments = 2)
+    // phrase witness BEFORE deletion (first adjacent non-stop pair of doc 0)
+    val reader0 = Index.reader(spark, baseDir)
+    val keyed = spark.read.parquet(s"$corpusDir/corpus.parquet").join(
+      reader0.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+      .select($"docId", $"content").as[(Long, String)].collect()
+    val toks0 = Analyzer.tokenize(keyed.head._2)
+    val phrase = toks0.sliding(2).find(p => p(0) != p(1) &&
+      !Analyzer.EnglishStopWords(p(0)) && !Analyzer.EnglishStopWords(p(1))).get.toSeq
+
+    val phraseBefore = QueryEngine.matchAllTerms(
+      Index.reader(spark, baseDir), phrase, slop = 0).collect().toSet
+    val deleted = QueryEngine.search(Index.reader(spark, baseDir),
+      Seq(graft.QuerySpec("d", should = Seq("qzx_handler_77"), k = 1000)))
+      .collect().map(_.docId).toSet
+    val nDel = Index.deleteByTerm(spark, baseDir, "qzx_handler_77")
+    assert(nDel > 0)
+
+    def canonical(dir: String) = {
+      val cr = Index.reader(spark, dir)
+      (cr.stats,
+        cr.postings.collect().toSeq
+          .map(tp => (tp.term, tp.df, tp.totalTf,
+            tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1).toSeq))
+          .sortBy(t => (t._1, t._4.headOption.getOrElse(0L))))
+    }
+    // broadcast path (default threshold) vs forced distributed cogroup
+    val viaB = s"$workDir/index_cmp_bcast"
+    val viaD = s"$workDir/index_cmp_dist"
+    Index.compact(spark, baseDir, viaB, cfg)
+    Index.compact(spark, baseDir, viaD, cfg, tombstoneBroadcastMax = 0L)
+    val (statsB, postB) = canonical(viaB)
+    val (statsD, postD) = canonical(viaD)
+    assert(statsB == statsD)
+    assert(postB == postD, "distributed tombstone path diverged from broadcast")
+
+    // positional phrase still answers identically on the compacted index
+    // (deleted docs removed; stripDeleted preserved surviving positions)
+    val phraseAfter = QueryEngine.matchAllTerms(
+      Index.reader(spark, viaD), phrase, slop = 0).collect().toSet
+    assert(phraseAfter == (phraseBefore -- deleted))
+    assert(phraseAfter.nonEmpty)
+  }
+
   test("minimumNumberShouldMatch: engine == naive oracle, filter bites") {
     import spark.implicits._
     val reader = Index.reader(spark, indexDir)
