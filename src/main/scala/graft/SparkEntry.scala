@@ -82,6 +82,7 @@ object SparkEntry {
     // -- similarity search --
     "ann_brute_force" -> (AnnOps.annBruteForce(_, _)),
     "ann_ivf_exact" -> (AnnOps.annIvf(_, _)),
+    "dedup_embedding" -> ((s, d) => AnnOps.dedupEmbedding(s, d)),
     // -- multimodal plumbing --
     "multimodal_meta" -> (MultimodalOps.mediaMeta(_, _)),
     "multimodal_frames" -> (MultimodalOps.frameSample(_, _)),
@@ -602,6 +603,20 @@ object SparkEntry {
 
     "ann_brute_force" -> AnnSql,
     "ann_ivf_exact" -> AnnSql, // nprobe == nlist -> exact, same oracle
+    // embedding-cosine near-dup: exhaustive pair scan over the corpus plus
+    // the planted exact copies (vec 0..4 at id+1,000,000)
+    "dedup_embedding" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+         |      FROM ev a JOIN ev b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM p
+         |WHERE cos >= 0.99 ORDER BY vec_a, vec_b""".stripMargin,
 
     "stream_window_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

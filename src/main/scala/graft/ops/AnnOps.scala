@@ -111,6 +111,46 @@ object AnnOps {
     })
   }
 
+  /** Embedding-cosine near-duplicate pairs (the vector-space member of the
+    * dedup family): vectors 0..4 are planted as exact copies at
+    * vec_id+1,000,000 (the corpus has no natural embedding dupes), and the
+    * op returns pairs with cosine >= `threshold`.
+    *
+    * Size switch, like Lucene's MultiTermQuery rewrite methods: up to
+    * `exactPairLimit` vectors the pair scan is EXHAUSTIVE (exactly what the
+    * DuckDB oracle computes); above it, candidates are blocked by shared
+    * k-means cell before the exact cosine verify — same-cell blocking finds
+    * every exact-copy pair by construction (identical vectors assign
+    * identically) and trades bounded recall for never running an all-pairs
+    * join at 10^12-vector scale.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.99, exactPairLimit: Long = 10000L): DataFrame = {
+    val e0 = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val planted = e0.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val e = e0.unionByName(planted)
+
+    val pairs =
+      if (e.count() <= exactPairLimit) {
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      } else {
+        // cell-blocked: join within k-means cells only
+        val cents = spark.read.parquet(s"${ivfDir(spark, sfDir, 8)}/centroids")
+        val assigned = assign(
+          e.select(col("vec_id"), col("embedding")), cents)
+        assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+      }
+    pairs
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineExpr("a.embedding", "b.embedding").as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(asc("vec_a"), asc("vec_b"))
+  }
+
   /** IVF ANN over the k-means cell layout: queries rank the centroids,
     * probe only the `nprobe` nearest cells (partition-pruned scan of the
     * cell-partitioned table), brute-force within. nprobe == nlist is exact

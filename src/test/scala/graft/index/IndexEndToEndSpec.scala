@@ -486,6 +486,29 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(marker.map(_.docId).toSeq == Seq(newId))
   }
 
+  test("appendBatch refuses batch ids that would alias committed docIds") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    val cfg = IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300)
+    val dir = s"$workDir/index_guard"
+    val slice = corpus.limit(50)
+    Index.build(slice, dir, cfg)
+    // batch 2 lives at docPartitions >= 8192 — fine
+    Index.appendBatch(corpus.limit(10), dir, 2L, cfg)
+    // batch 1 (base 4096) is now BELOW the committed max docPartition
+    val ex = intercept[IllegalArgumentException] {
+      Index.appendBatch(corpus.limit(10), dir, 1L, cfg)
+    }
+    assert(ex.getMessage.contains("docPartition"))
+    // updateByTerm picks a safe id on its own (above batch 2's range)
+    val upd = Seq(SourceDoc("r", "p", "c", "en",
+      "guard_marker_token qzx_handler_77")).toDS()
+    Index.updateByTerm(spark, dir, "qzx_handler_77", upd, cfg)
+    val hits = QueryEngine.search(Index.reader(spark, dir),
+      Seq(graft.QuerySpec("g", should = Seq("guard_marker_token")))).collect()
+    assert(hits.length == 1)
+  }
+
   test("skew: salted merge splits hot terms, bounded slices, correct union") {
     import spark.implicits._
     // every doc contains `return` (Keywords pool) -> df == NumDocs > hotTermDf

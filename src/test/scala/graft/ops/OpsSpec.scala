@@ -79,6 +79,23 @@ class OpsSpec extends AnyFunSuite {
     assert(cells.length > 1, "vectors not partitioned by cell")
   }
 
+  test("embedding near-dup: exact and cell-blocked paths find planted copies") {
+    def plantedFound(df: org.apache.spark.sql.DataFrame): Int = {
+      val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0L until 5L).count(id => pairs.contains((id, id + 1000000L)))
+    }
+    val exact = AnnOps.dedupEmbedding(spark, sf)
+    assert(plantedFound(exact) == 5)
+    // force the cell-blocked path: identical copies share a cell by
+    // construction, so every planted pair must survive blocking
+    val blocked = AnnOps.dedupEmbedding(spark, sf, exactPairLimit = 1)
+    assert(plantedFound(blocked) == 5)
+    // blocked candidates are a subset of the exhaustive result
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b.subsetOf(e))
+  }
+
   test("LSH bucket cap bounds degenerate-bucket pair counts") {
     import spark.implicits._
     // 1000 identical docs: uncapped this is ~500k pairs; cap=20 bounds it
