@@ -96,7 +96,7 @@ object Bench {
     // the sandbox VM has bursty multi-second co-tenant noise: INTERLEAVE the
     // parallelism levels (lo, hi, AND max) across the rounds and take each
     // level's min, so a noisy window cannot bias one level's every sample
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
     val samples = (1 to rounds).map { r =>
       (buildOnce(scaleLo, s"lo$scaleLo", warm = r == 1),
         buildOnce(scaleHi, s"hi$scaleHi", warm = r == 1),

@@ -533,6 +533,29 @@ object Index {
     def termDict: DataFrame =
       spark.read.parquet(snapshots.map(_.termDictDir): _*)
 
+    private val termDfCache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+    /** Global df per term (summed across salt slices + snapshots), cached
+      * per reader — Lucene's TermStatistics gathering at createWeight time.
+      * Repeat queries over a reader skip the lookup job entirely; the cache
+      * dies with the reader, so NRT appends (which open a new reader)
+      * never serve stale stats. Unknown terms cache df=0.
+      */
+    def termDfs(terms: Seq[String]): Map[String, Long] = {
+      import org.apache.spark.sql.functions.{col, sum}
+      import spark.implicits._
+      val missing = terms.distinct.filterNot(termDfCache.containsKey)
+      if (missing.nonEmpty) {
+        val fetched = termDict.where(col("term").isin(missing: _*))
+          .groupBy(col("term")).agg(sum(col("df")))
+          .as[(String, Long)].collect().toMap
+        missing.foreach(t =>
+          termDfCache.put(t, java.lang.Long.valueOf(fetched.getOrElse(t, 0L))))
+      }
+      terms.map(t => t -> termDfCache.get(t).longValue()).toMap
+    }
+
     private val fieldStatsCache =
       new java.util.concurrent.ConcurrentHashMap[String, IndexStats]()
 

@@ -131,14 +131,23 @@ object AnnOps {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val e = e0.unionByName(planted)
 
+    val n = e.count()
     val pairs =
-      if (e.count() <= exactPairLimit) {
+      if (n <= exactPairLimit) {
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       } else {
-        // cell-blocked: join within k-means cells only
-        val cents = spark.read.parquet(s"${ivfDir(spark, sfDir, 8)}/centroids")
-        val assigned = assign(
-          e.select(col("vec_id"), col("embedding")), cents)
+        // cell-blocked: join within k-means cells only, cell granularity
+        // scaled so a cell holds ~1k vectors (quadratic-per-cell stays
+        // ~500k pairs), plus a hard per-cell cap for skewed clusterings
+        val nlist = math.max(8L, n / 1000L).toInt
+        val cellCap = 10000
+        val cents = spark.read
+          .parquet(s"${ivfDir(spark, sfDir, nlist)}/centroids")
+        val assigned = assign(e.select(col("vec_id"), col("embedding")), cents)
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("cent_id")).orderBy(col("vec_id"))))
+          .where(col("rn") <= cellCap)
+          .drop("rn")
         assigned.as("a").join(assigned.as("b"),
           col("a.cent_id") === col("b.cent_id") &&
             col("a.vec_id") < col("b.vec_id"))

@@ -97,12 +97,9 @@ object QueryEngine {
     val p = reader.postings.where($"term".isin(allTerms: _*))
 
     // global per-term stats across salt slices + snapshots == Lucene's
-    // TermStatistics gathering at createWeight time — read from the slim
-    // term dictionary (point-pushdown scan of (term, df) only)
-    val termDf: Map[String, Long] =
-      reader.termDict.where($"term".isin(allTerms: _*))
-        .groupBy($"term").agg(sum($"df"))
-        .as[(String, Long)].collect().toMap
+    // TermStatistics gathering at createWeight time — slim-termdict lookup,
+    // cached on the reader so repeat terms skip the job
+    val termDf: Map[String, Long] = reader.termDfs(allTerms)
     val stats = reader.stats
     // per-field collection stats: extra analyzed fields score against their
     // OWN avgdl (Lucene keeps norms + stats per field)
