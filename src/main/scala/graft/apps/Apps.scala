@@ -74,6 +74,25 @@ object BuildIndexApp {
   }
 }
 
+/** Time one named SparkEntry operator at a scale factor (repeatedly).
+  * args: <opName> [sfDir] [runs]
+  */
+object TimeOpApp {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkEnv.session("graft-timeop")
+    val fn = graft.SparkEntry.queries(name)
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[graft] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
+
 /** Run queries against a built index.
   * args: <indexDir> [qid or 'all' or free terms...]
   */

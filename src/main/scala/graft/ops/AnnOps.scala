@@ -46,17 +46,48 @@ object AnnOps {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
-  /** Assign every vector to its nearest centroid by cosine (centroids
-    * broadcast; one narrow pass over the corpus).
+  /** Assign every vector to its nearest centroid by cosine: the centroid
+    * matrix is tiny (nlist x dim), so it rides a broadcast into a NARROW
+    * typed map — no crossJoin, no shuffle of the embedding column (the
+    * windowed-crossJoin formulation moved gigabytes per Lloyd iteration).
+    * Ties break toward the lowest cent_id, scanning in cent_id order.
     */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("ccos"), asc("cent_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosineExpr("embedding", "cvec"))
-      .withColumn("crank", row_number().over(wAssign))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cArr: Array[(Int, Array[Double])] = cents
+      .select(col("cent_id"), col("cvec")).as[(Int, Seq[Double])]
+      .collect().map { case (i, v) => (i, v.toArray) }.sortBy(_._1)
+    val cNorm = cArr.map { case (_, v) =>
+      math.sqrt(v.map(x => x * x).sum)
+    }
+    val cB = spark.sparkContext.broadcast((cArr, cNorm))
+    e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val (cs, norms) = cB.value
+        val v = new Array[Double](emb.length)
+        var i = 0
+        var vn = 0.0
+        while (i < v.length) {
+          v(i) = emb(i).toDouble; vn += v(i) * v(i); i += 1
+        }
+        vn = math.sqrt(vn)
+        var best = -1
+        var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)._2
+          var dot = 0.0
+          var j = 0
+          while (j < cv.length && j < v.length) { dot += v(j) * cv(j); j += 1 }
+          val denom = vn * norms(c)
+          val cos = if (denom == 0) 0.0 else dot / denom
+          if (cos > bestCos) { bestCos = cos; best = cs(c)._1 }
+          c += 1
+        }
+        (id, emb, best)
+      }
+      .toDF("vec_id", "embedding", "cent_id")
   }
 
   /** Deterministic seeded k-means (Lloyd): init = the first `nlist`
@@ -84,7 +115,7 @@ object AnnOps {
     cents
   }
 
-  private val IvfVersion = "v1"
+  private val IvfVersion = "v2" // v2: scalar-map assignment (no crossJoin)
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build (once, cached on disk) the IVF layout for (sfDir, nlist):
@@ -131,32 +162,64 @@ object AnnOps {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val e = e0.unionByName(planted)
 
+    import spark.implicits._
     val n = e.count()
-    val pairs =
+    // blocking key: one global cell in exact mode (exhaustive pair scan ==
+    // the DuckDB oracle); k-means cells above the limit. Either way the
+    // pair scan runs as tight primitive loops inside mapPartitions — a
+    // Catalyst zip_with/aggregate cosine costs ~25us and an array alloc
+    // PER PAIR, which made even a 2M-pair exact scan take ~50 s.
+    val (blocked, cellCap) =
       if (n <= exactPairLimit) {
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        (e.select(lit(0).as("cent_id"), col("vec_id"), col("embedding")),
+          Int.MaxValue)
       } else {
-        // cell-blocked: join within k-means cells only, cell granularity
-        // scaled so a cell holds ~1k vectors (quadratic-per-cell stays
-        // ~500k pairs), plus a hard per-cell cap for skewed clusterings
+        // Heavily clustered corpora concentrate members into few effective
+        // cells (k-means cannot split a tight natural cluster), so the hard
+        // per-cell cap is what bounds the quadratic work: cap^2/2 pairs per
+        // cell, trading recall on members beyond the cap — the standard
+        // LSH/blocking compromise.
         val nlist = math.max(8L, n / 1000L).toInt
-        val cellCap = 10000
         val cents = spark.read
           .parquet(s"${ivfDir(spark, sfDir, nlist)}/centroids")
-        val assigned = assign(e.select(col("vec_id"), col("embedding")), cents)
-          .withColumn("rn", row_number().over(Window
-            .partitionBy(col("cent_id")).orderBy(col("vec_id"))))
-          .where(col("rn") <= cellCap)
-          .drop("rn")
-        assigned.as("a").join(assigned.as("b"),
-          col("a.cent_id") === col("b.cent_id") &&
-            col("a.vec_id") < col("b.vec_id"))
+        (assign(e.select(col("vec_id"), col("embedding")), cents)
+          .select(col("cent_id"), col("vec_id"), col("embedding")), 1500)
       }
-    pairs
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineExpr("a.embedding", "b.embedding").as("cos"))
-      .where(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+    val thr = threshold
+    // EXPLICIT repartition on the cell key: the per-row downstream work is
+    // quadratic in the cell size, which AQE's size-based coalescing cannot
+    // see (groupByKey alone got coalesced to 2 tasks)
+    val parts = e.sparkSession.sessionState.conf.numShufflePartitions
+    blocked
+      .repartition(parts, col("cent_id"))
+      .as[(Int, Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cells = it.toArray.groupBy(_._1)
+        cells.iterator.flatMap { case (_, rows) =>
+          val members = rows.sortBy(_._2).take(cellCap).map { case (_, id, emb) =>
+            val v = emb.toArray.map(_.toDouble)
+            var s = 0.0
+            var i = 0
+            while (i < v.length) { s += v(i) * v(i); i += 1 }
+            (id, v, math.sqrt(s))
+          }
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1) until members.length
+            (ia, va, na) = members(i)
+            (ib, vb, nb) = members(j)
+            cos = {
+              var dot = 0.0
+              var k = 0
+              while (k < va.length && k < vb.length) { dot += va(k) * vb(k); k += 1 }
+              if (na * nb == 0) 0.0 else dot / (na * nb)
+            }
+            if cos >= thr
+            // HALF_UP at 4 decimals, like Spark round()/the DuckDB oracle
+          } yield (ia, ib, math.floor(cos * 10000 + 0.5) / 10000)
+        }
+      }
+      .toDF("vec_a", "vec_b", "cos")
       .orderBy(asc("vec_a"), asc("vec_b"))
   }
 
