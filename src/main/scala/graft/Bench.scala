@@ -53,12 +53,14 @@ object Bench {
     // max-throughput. See BENCH/BASELINE.md for the full 2..32 curve.
     val scaleLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val scaleHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
-    // 600k docs: large enough that the parallel fraction dominates the
+    // 1.2M docs: large enough that the parallel fraction dominates the
     // per-build fixed costs (driver scheduling + the small stats/docmeta/
-    // termdict jobs, ~4s) — at 120k docs Amdahl caps measurable 2->8
-    // efficiency near 0.7 no matter how well the parallel part scales
+    // termdict jobs, ~4s). Fitted from measured samples (W/c + F model):
+    // at 120k docs Amdahl caps measurable 2->8 efficiency near 0.7 and at
+    // 600k near 0.75, no matter how well the parallel part scales; 1.2M
+    // puts the ideal-engine ceiling at ~0.92.
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
-      if (sfDir.contains("0.1")) "600000" else "24000").toLong
+      if (sfDir.contains("0.1")) "1200000" else "24000").toLong
     val userWork = sys.env.get("SPARK_GRAFT_BENCH_WORK")
     val work = userWork.getOrElse(
       (if (Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))

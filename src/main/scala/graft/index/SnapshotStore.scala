@@ -293,15 +293,18 @@ object Index {
 
     // slim term dictionary: re-read only (term, df, totalTf) — parquet is
     // columnar so the blocks bytes are never touched — aggregate the salt
-    // slices and write term-SORTED (row-group min/max stats then serve
-    // point/prefix pushdown). At a 10^9-term vocabulary this is a small
-    // (term, 3 longs) shuffle, nothing like the postings merge.
+    // slices and sort WITHIN the hash partitions the groupBy already
+    // produced: row groups then carry tight contiguous term ranges, which
+    // is what point/prefix pushdown prunes on, without paying a global
+    // range-sort's sampling job (one fewer fixed-cost job per increment).
+    // At a 10^9-term vocabulary this is a small (term, 3 longs) shuffle,
+    // nothing like the postings merge.
     val tDict = System.nanoTime()
     spark.read.parquet(s"$incDir/postings")
       .groupBy($"term")
       .agg(sum($"df").as("df"), sum($"totalTf").as("ttf"),
         count(lit(1)).as("slices"))
-      .sort($"term")
+      .sortWithinPartitions($"term")
       .write.mode("overwrite").parquet(s"$incDir/termdict")
     logPhase(s"inc=$inc termdict", tDict)
 
