@@ -42,6 +42,13 @@ object SparkEntry {
     "search_sql_expr" -> (DocSearchOps.searchSqlExpr(_, _)),
     "search_parsed" -> ((s, d) => DocSearchOps.searchParsed(s, d)),
     "search_parsed_filter" -> ((s, d) => DocSearchOps.searchParsedFilter(s, d)),
+    "search_parsed_nested" -> ((s, d) => DocSearchOps.searchParsedNested(s, d)),
+    "search_phrase_scored" -> ((s, d) => DocSearchOps.searchPhraseScored(s, d)),
+    "search_phrase_sloppy3" -> ((s, d) => DocSearchOps.searchPhraseSloppyScored(s, d)),
+    "search_fuzzy_docs" -> ((s, d) => DocSearchOps.searchFuzzyDocs(s, d)),
+    "search_term_range" -> ((s, d) => DocSearchOps.searchTermRange(s, d)),
+    "search_after_score" -> (DocSearchOps.searchAfterScore(_, _)),
+    "facet_search_domain" -> (DocSearchOps.facetSearchDomain(_, _)),
     "suggest_terms" -> ((s, d) => DocSearchOps.suggestTerms(s, d)),
     "search_regex" -> ((s, d) => DocSearchOps.searchRegex(s, d)),
     "search_highlight" -> ((s, d) => DocSearchOps.searchHighlight(s, d)),
@@ -64,6 +71,8 @@ object SparkEntry {
     "stream_unique" -> (RelationalOps.streamUnique(_, _)),
     "stream_select_having" -> (RelationalOps.streamSelectHaving(_, _)),
     "collapse_top1" -> (RelationalOps.collapseTop1(_, _)),
+    "collapse_topk" -> ((s, d) => RelationalOps.collapseTopK(s, d)),
+    "expand_groups" -> ((s, d) => RelationalOps.expandGroups(s, d)),
     "solr_join" -> (RelationalOps.solrJoin(_, _)),
     "timeseries_daily" -> (RelationalOps.timeseriesDaily(_, _)),
     "sessionize" -> (RelationalOps.sessionize(_, _)),
@@ -118,7 +127,9 @@ object SparkEntry {
   private def bm25Sql(scored: Seq[String], musts: Seq[String],
       nots: Seq[String] = Nil, lang: Option[String] = None, k: Int = 10,
       boosts: Map[String, Double] = Map.empty,
-      dismaxTb: Option[Double] = None, minShouldMatch: Int = 0): String = {
+      dismaxTb: Option[Double] = None, minShouldMatch: Int = 0,
+      /** searchAfter page: skip the first `offset` ranks, re-rank 1..k. */
+      offset: Int = 0): String = {
     val termsIn = scored.map(t => s"'$t'").mkString(", ")
     val havings = Seq.newBuilder[String]
     if (musts.nonEmpty) {
@@ -172,15 +183,35 @@ object SparkEntry {
        |  GROUP BY tf.doc_id
        |  $mustFilter
        |)
-       |SELECT rank, doc_id, score FROM (
+       |SELECT rank - $offset AS rank, doc_id, score FROM (
        |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        |         doc_id, round(score, 4) AS score
        |  FROM sc)
-       |WHERE rank <= $k ORDER BY rank""".stripMargin
+       |WHERE rank > $offset AND rank <= $offset + $k ORDER BY rank""".stripMargin
   }
 
   private val QualityTokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+
+  /** BM25 scaffolding shared by the scored-query oracles: per-doc term
+    * freq, SmallFloat-quantized doc length, collection stats.
+    */
+  private val Bm25Ctes: String =
+    """tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+      |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+      |        END AS qdl FROM dl),
+      |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+      |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl)""".stripMargin
+
+  /** Raw token POSITIONS (stop words keep their slot — the oracle mirror of
+    * StopFilter position-increment holes): pp(doc_id, pos, term).
+    */
+  private val PosCtes: String =
+    s"""tkp AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+       |pp AS (SELECT doc_id, CAST(i AS INT) AS pos, toks[i + 1] AS term
+       |       FROM tkp, unnest(range(len(toks))) AS r(i))""".stripMargin
 
   /** EnglishMinimalStemmer (S-stemmer) as SQL — mirrors
     * Analyzer.minimalStem exactly (suffix CASE logic only).
@@ -295,8 +326,10 @@ object SparkEntry {
          |ORDER BY doc_id LIMIT 200""".stripMargin,
     "match_all_docs" ->
       "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents ORDER BY doc_id",
-    // ClassicSimilarity: idf = 1+ln((N+1)/(df+1)), squared; tf = sqrt(freq);
-    // lengthNorm = 1/sqrt(quantized dl) — same SmallFloat bucketing
+    // ClassicSimilarity (Lucene 8.11 TFIDFScorer): weight = idf =
+    // 1+ln((N+1)/(df+1)) applied ONCE (the idf^2 queryNorm composition died
+    // in Lucene 7); tf = sqrt(freq); lengthNorm = 1/sqrt(quantized dl) —
+    // same SmallFloat bucketing
     "search_classic_tfidf" ->
       s"""WITH $TokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -308,7 +341,7 @@ object SparkEntry {
          |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
          |sc AS (
          |  SELECT tf.doc_id,
-         |         sum(pow(1 + ln((st.n + 1.0) / (dfs.df + 1.0)), 2)
+         |         sum((1 + ln((st.n + 1.0) / (dfs.df + 1.0)))
          |             * sqrt(tf.tf) / sqrt(qdl.qdl)) AS score
          |  FROM tf JOIN dfs ON tf.term = dfs.term
          |       JOIN qdl ON tf.doc_id = qdl.doc_id
@@ -379,6 +412,135 @@ object SparkEntry {
     // "+merge window^2.5 -error" through the text query parser
     "search_parsed" -> bm25Sql(Seq("merge", "window"), Seq("merge"),
       nots = Seq("error"), boosts = Map("window" -> 2.5)),
+    // compositional tree: '+(merge OR sort) "key order" wind* -lang:fr' —
+    // required nested disjunction (BM25 sum over matching members), an
+    // optional SCORED phrase (freq-scored, weight = idf(key)+idf(order)),
+    // an optional constant-score wildcard expansion (wind* -> {window},
+    // +1.0), and a prohibited lang filter
+    "search_parsed_nested" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |$PosCtes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |base AS (SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |         FROM tf JOIN dfs ON tf.term = dfs.term
+         |              JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |         GROUP BY tf.doc_id),
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'order'),
+         |pf AS (SELECT a.doc_id, count(*) * 1.0 AS pf
+         |       FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |       GROUP BY a.doc_id),
+         |pdfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('key', 'order') GROUP BY term),
+         |pw AS (SELECT sum(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))) AS w FROM pdfs),
+         |wnd AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+         |sc AS (SELECT base.doc_id,
+         |       base.score
+         |       + coalesce(pw.w * pf.pf / (pf.pf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)), 0)
+         |       + CASE WHEN wnd.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS score
+         |       FROM base
+         |            JOIN documents dd ON dd.doc_id = base.doc_id AND dd.lang <> 'fr'
+         |            JOIN qdl ON qdl.doc_id = base.doc_id
+         |            CROSS JOIN st CROSS JOIN pw
+         |            LEFT JOIN pf ON pf.doc_id = base.doc_id
+         |            LEFT JOIN wnd ON wnd.doc_id = base.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // scored exact phrase "key order": phrase freq = adjacency count,
+    // weight = idf(key) + idf(order), BM25-shaped freq saturation
+    "search_phrase_scored" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |$PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'order'),
+         |pf AS (SELECT a.doc_id, count(*) * 1.0 AS pf
+         |       FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |       GROUP BY a.doc_id),
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('key', 'order') GROUP BY term),
+         |w AS (SELECT sum(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))) AS w FROM dfs),
+         |sc AS (SELECT pf.doc_id,
+         |       w.w * pf.pf / (pf.pf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |       FROM pf CROSS JOIN w CROSS JOIN st
+         |            JOIN qdl ON qdl.doc_id = pf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // scored 3-term sloppy phrase "key order sort"~2: anchored total
+    // displacement d(p0) = min|p_order-(p0+1)| + min|p_sort-(p0+2)|,
+    // freq = sum of 1/(d+1) over anchors with d <= 2
+    "search_phrase_sloppy3" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |$PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'order'),
+         |c AS (SELECT doc_id, pos FROM pp WHERE term = 'sort'),
+         |d1 AS (SELECT a.doc_id, a.pos, min(abs(b.pos - (a.pos + 1))) AS d1
+         |       FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY a.doc_id, a.pos),
+         |d2 AS (SELECT a.doc_id, a.pos, min(abs(c.pos - (a.pos + 2))) AS d2
+         |       FROM a JOIN c ON a.doc_id = c.doc_id GROUP BY a.doc_id, a.pos),
+         |pf AS (SELECT d1.doc_id, sum(1.0 / (d1.d1 + d2.d2 + 1)) AS pf
+         |       FROM d1 JOIN d2 ON d1.doc_id = d2.doc_id AND d1.pos = d2.pos
+         |       WHERE d1.d1 + d2.d2 <= 2 GROUP BY d1.doc_id),
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('key', 'order', 'sort') GROUP BY term),
+         |w AS (SELECT sum(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))) AS w FROM dfs),
+         |sc AS (SELECT pf.doc_id,
+         |       w.w * pf.pf / (pf.pf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |       FROM pf CROSS JOIN w CROSS JOIN st
+         |            JOIN qdl ON qdl.doc_id = pf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // fuzzy 'sort'~2 as RANKED DOCS: dictionary expansion by edit distance,
+    // per-term boost 1 - dist/min(len, 4), BM25 sum over matching expansions
+    "search_fuzzy_docs" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+         |        HAVING levenshtein(term, 'sort') <= 2),
+         |sc AS (SELECT tf.doc_id,
+         |       sum((1 - levenshtein(tf.term, 'sort') * 1.0 / least(length(tf.term), 4))
+         |           * ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN dfs ON tf.term = dfs.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |       GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // TermRangeQuery [fast TO key]: docs containing any dictionary term in
+    // the range, constant-score set semantics
+    "search_term_range" ->
+      s"""WITH $TokCte
+         |SELECT DISTINCT doc_id FROM tok
+         |WHERE term >= 'fast' AND term <= 'key'
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+    // searchAfter score cursor: page 2 (ranks 11..20 re-ranked 1..10) of
+    // the (merge, sort, window) ranking
+    "search_after_score" -> bm25Sql(Seq("merge", "sort", "window"), Nil,
+      offset = 10),
+    // facet over a query's MATCH DOMAIN (q = stream AND batch): lang
+    // terms-facet + tokenCount stat, computed only over matching docs
+    "facet_search_domain" ->
+      s"""WITH $TokCte,
+         |m AS (SELECT doc_id FROM tok WHERE term IN ('stream', 'batch')
+         |      GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+         |tc AS (SELECT doc_id,
+         |       len(list_filter($QualityTokSql, x -> x NOT IN ($StopSql))) AS token_count
+         |       FROM documents)
+         |SELECT d.lang, count(*) AS cnt,
+         |       CAST(sum(tc.token_count) AS BIGINT) AS sum_tokens
+         |FROM m JOIN documents d ON d.doc_id = m.doc_id
+         |       JOIN tc ON tc.doc_id = m.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // "scan table +lang:en": lang filter lowered from field syntax
     "search_parsed_filter" -> bm25Sql(Seq("scan", "table"), Nil, lang = Some("en")),
     "search_prefix" ->
@@ -501,6 +663,18 @@ object SparkEntry {
         |  SELECT event_type, event_id, value,
         |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "collapse_topk" ->
+      """SELECT event_type, CAST(rn AS INT) AS rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "expand_groups" ->
+      """SELECT event_type, winner_event_id, CAST(rn AS INT) AS rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
+        |         first_value(event_id) OVER (PARTITION BY event_type ORDER BY value DESC, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS winner_event_id
+        |  FROM events) WHERE rn > 1 AND rn <= 3 ORDER BY event_type, rn""".stripMargin,
     "solr_join" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

@@ -15,22 +15,31 @@ trait Similarity extends Serializable {
   def normTable(avgdl: Double): Array[Double]
   /** Hot-path score: weight x tf x table(normByte). */
   def score(weight: Double, tf: Int, normVal: Double): Double
+  /** Fractional-frequency score — phrase queries feed a possibly
+    * fractional freq (sloppy matches weigh 1/(distance+1), Lucene
+    * SloppyPhraseMatcher.sloppyWeight). Must agree with `score` at
+    * integer freq, and stay monotone in freq for bound admissibility.
+    */
+  def scoreFreq(weight: Double, freq: Double, normVal: Double): Double
 }
 
-/** Lucene ClassicSimilarity (pre-BM25 TF-IDF)
-  * [B lucene/core/src/java/org/apache/lucene/search/similarities/ClassicSimilarity.java]:
-  * idf = 1 + ln((docCount+1)/(df+1)), squared per Lucene's query-weight x
-  * field-weight composition; tf = sqrt(freq); lengthNorm = 1/sqrt(dl) over
-  * the SAME SmallFloat-quantized doc length the index stores. Increasing in
-  * tf, decreasing in dl, so the impact skylines stay admissible.
+/** Lucene 8.11 ClassicSimilarity (pre-BM25 TF-IDF)
+  * [B lucene/core/src/java/org/apache/lucene/search/similarities/ClassicSimilarity.java,
+  * TFIDFSimilarity.java#TFIDFScorer]:
+  * idf = 1 + ln((docCount+1)/(df+1)) applied ONCE — queryWeight =
+  * boost * idf, score = queryWeight * sqrt(freq) * lengthNorm. (The
+  * pre-Lucene-7 idf^2 query-weight x field-weight composition died with
+  * queryNorm in LUCENE-7347; round-2 shipped the squared form, flagged by
+  * ADVICE r2 and fixed here with the oracle in lockstep.) tf = sqrt(freq);
+  * lengthNorm = 1/sqrt(dl) over the SAME SmallFloat-quantized doc length
+  * the index stores. Increasing in tf, decreasing in dl, so the impact
+  * skylines stay admissible.
   */
 final case class ClassicSimilarity() extends Similarity {
   def idf(df: Long, docCount: Long): Double =
     1.0 + math.log((docCount + 1.0) / (df + 1.0))
-  override def weight(df: Long, docCount: Long, boost: Double): Double = {
-    val i = idf(df, docCount)
-    boost * i * i
-  }
+  override def weight(df: Long, docCount: Long, boost: Double): Double =
+    boost * idf(df, docCount)
   override def normTable(avgdl: Double): Array[Double] =
     Array.tabulate(256) { i =>
       val dl = SmallFloatUtil.LengthTable(i).toDouble
@@ -38,6 +47,8 @@ final case class ClassicSimilarity() extends Similarity {
     }
   override def score(weight: Double, tf: Int, normVal: Double): Double =
     weight * math.sqrt(tf.toDouble) * normVal
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double =
+    weight * math.sqrt(freq) * normVal
 }
 
 /** BM25 with Lucene 8.11 semantics
@@ -71,6 +82,8 @@ final case class Bm25(k1: Double = 1.2, b: Double = 0.75) extends Similarity {
   override def normTable(avgdl: Double): Array[Double] = normCache(avgdl)
   override def score(weight: Double, tf: Int, normVal: Double): Double =
     weight * tf / (tf + normVal)
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double =
+    weight * freq / (freq + normVal)
 
   /** Per-norm-byte denominator cache: k1 * (1 - b + b * dl / avgdl). */
   def normCache(avgdl: Double): Array[Double] =

@@ -27,11 +27,23 @@ object BmwScorer {
     * (k = Int.MaxValue, e.g. phrase-candidate gathering) costs only what it
     * actually holds.
     */
-  final class TopKHeap(k: Int) {
+  final class TopKHeap(k: Int,
+      /** searchAfter cursor [B .../search/IndexSearcher.java#searchAfter]:
+        * only hits STRICTLY after (afterScore, afterDoc) in ranking order
+        * (score desc, docId asc) are admitted — deep pages re-run the query
+        * with the previous page's last hit as the cursor and never see
+        * earlier hits. Defaults admit everything.
+        */
+      afterScore: Double = Double.PositiveInfinity,
+      afterDoc: Long = -1L) {
     require(k > 0)
     private var scores = new Array[Double](math.min(k, 1024))
     private var docs = new Array[Long](math.min(k, 1024))
     private var n = 0
+
+    /** true when (score, docId) ranks at-or-before the cursor. */
+    @inline private def beforeCursor(score: Double, docId: Long): Boolean =
+      score > afterScore || (score == afterScore && docId <= afterDoc)
 
     private def ensureCapacity(): Unit = {
       if (n == scores.length && n < k) {
@@ -66,6 +78,7 @@ object BmwScorer {
 
     /** Insert; docIds arrive ascending so equal scores never displace. */
     def offer(score: Double, docId: Long): Unit = {
+      if (beforeCursor(score, docId)) return
       ensureCapacity()
       if (!full) {
         scores(n) = score; docs(n) = docId; n += 1
@@ -87,6 +100,7 @@ object BmwScorer {
       * worst — the ascending-docId shortcut in `offer` would drop it.
       */
     def offerUnordered(score: Double, docId: Long): Unit = {
+      if (beforeCursor(score, docId)) return
       if (!full) offer(score, docId)
       else if (score > scores(0) ||
         (score == scores(0) && docId < docs(0))) {
@@ -254,6 +268,15 @@ object BmwScorer {
     }
 
     def score(): Double = sim.score(weight, tfs(pos), cache(norms(pos) & 0xff))
+
+    /** Doc-length norm value (decoded cache entry) of the CURRENT posting —
+      * norms are per-doc, so any aligned term's entry is the doc's norm;
+      * phrase scoring reads it here (PhraseWeight scores phraseFreq against
+      * the field norm, [B .../search/PhraseWeight.java]).
+      */
+    def normValue: Double = cache(norms(pos) & 0xff)
+    /** Term frequency of the CURRENT posting. */
+    def termFreq: Int = tfs(pos)
   }
 
   /** Top-k pure disjunction via block-max WAND; `accept` folds in metadata

@@ -128,7 +128,13 @@ case class QuerySpec(
     /** BooleanQuery.setMinimumNumberShouldMatch (edismax mm): docs matching
       * fewer SHOULD clauses are rejected.
       */
-    minShouldMatch: Int = 0)
+    minShouldMatch: Int = 0,
+    /** Score-cursor deep paging (IndexSearcher.searchAfter): only hits
+      * strictly after (score, docId) in ranking order are returned, so
+      * page N+1 re-runs the query with page N's last hit here and pages
+      * concatenate into the full ranking without rescanning.
+      */
+    searchAfter: Option[(Double, Long)] = None)
 
 /** Global collection statistics needed by BM25 (broadcast at query time). */
 case class IndexStats(docCount: Long, sumTotalTermFreq: Long) {

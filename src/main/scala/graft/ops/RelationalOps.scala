@@ -179,6 +179,41 @@ object RelationalOps {
       .orderBy(asc("event_type"))
   }
 
+  /** Solr grouping with group.limit > 1 (top-k per group) — the shape
+    * CollapsingQParserPlugin can't give and grouping does
+    * [B solr/core/src/java/org/apache/solr/search/Grouping.java]: top-3
+    * events per type by (value desc, event_id asc), rank included.
+    */
+  def collapseTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc("value"), asc("event_id"))
+    t(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+      .orderBy(asc("event_type"), asc("rn"))
+  }
+
+  /** Solr ExpandComponent
+    * [B solr/core/src/java/org/apache/solr/handler/component/ExpandComponent.java]:
+    * after collapsing to the top-1 winner per group, return the next rows
+    * of each collapsed group (ranks 2..1+n) keyed by their group's winner —
+    * the "expand the collapsed docs" response section.
+    */
+  def expandGroups(spark: SparkSession, sfDir: String, n: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc("value"), asc("event_id"))
+    t(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("winner_event_id",
+        first(col("event_id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("rn") > 1 && col("rn") <= 1 + n)
+      .select(col("event_type"), col("winner_event_id"), col("rn"),
+        col("event_id"), col("value"))
+      .orderBy(asc("event_type"), asc("rn"))
+  }
+
   /** Solr query-time join {!join from=c_custkey to=o_custkey} == semi-join
     * domain change [B solr/core/src/java/org/apache/solr/search/JoinQParserPlugin.java].
     */

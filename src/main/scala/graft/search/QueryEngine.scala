@@ -79,6 +79,12 @@ object QueryEngine {
     */
   val MergeCollectMax: Long = 100000L
 
+  /** Per-query heap honoring the searchAfter score cursor, if any. */
+  private def heapFor(q: QuerySpec): BmwScorer.TopKHeap = q.searchAfter match {
+    case Some((s, d)) => new BmwScorer.TopKHeap(q.k, s, d)
+    case None => new BmwScorer.TopKHeap(q.k)
+  }
+
   def search(reader: Index.Reader, rawQueries: Seq[QuerySpec],
       sim: graft.core.Similarity = Bm25(),
       stopWords: Set[String] = Analyzer.EnglishStopWords,
@@ -193,7 +199,7 @@ object QueryEngine {
                     d => java.util.Arrays.binarySearch(allowed, d) >= 0 &&
                       live(d) && notEx(d)
                 }
-                val heap = new BmwScorer.TopKHeap(q.k)
+                val heap = heapFor(q)
                 val tb = q.dismaxTiebreak.getOrElse(-1.0)
                 if (q.must.nonEmpty)
                   // most-selective-first == highest maxScore (lowest df) first
@@ -224,13 +230,120 @@ object QueryEngine {
       }.toSeq
       spark.createDataset(merged)
     } else {
-      val kB = spark.sparkContext.broadcast(kByQid)
+      val qB = spark.sparkContext.broadcast(queries.map(q => q.qid -> q).toMap)
       perBucket.groupByKey(_.qid).flatMapGroups { (qid, hits) =>
-        val heap = new BmwScorer.TopKHeap(kB.value(qid))
+        val heap = heapFor(qB.value(qid))
         hits.foreach(h => heap.offerUnordered(h.score, h.docId))
         heap.drain().iterator.map { case (d, s) => ScoredDoc(qid, d, s) }
       }
     }
+  }
+
+  /** Execute a compositional clause TREE (nested booleans, scored phrases,
+    * pre-expanded multi-term clauses, lang filter clauses) — the execution
+    * path for everything the flat QuerySpec cannot express (VERDICT r2
+    * next-1). Same distributed shape as `search`: pushed-down postings scan
+    * on the tree's terms, per-bucket scorer-tree evaluation (two-phase:
+    * approximate, confirm, score), exact global top-k merge. Lang filters
+    * ride the same BucketFilter channel but surface as unscored clauses
+    * (so they compose at ANY tree position, including mustNot); delete
+    * tombstones stay an accept-time filter. The tree must already be
+    * analyzed/lowered (QueryLowering) — no query-side re-analysis here.
+    */
+  def searchTree(reader: Index.Reader, qid: String, root: ClauseNode,
+      k: Int = 10, sim: graft.core.Similarity = Bm25(),
+      searchAfter: Option[(Double, Long)] = None): Dataset[ScoredDoc] = {
+    val spark = reader.spark
+    import spark.implicits._
+
+    val allTerms = ClauseNode.terms(root).distinct
+    if (allTerms.isEmpty) return spark.emptyDataset[ScoredDoc]
+    val p = reader.postings.where($"term".isin(allTerms: _*))
+    val termDf: Map[String, Long] = reader.termDfs(allTerms)
+    val stats = reader.stats
+    val fieldAvgdl: Map[String, Double] = allTerms.flatMap(fieldOf).distinct
+      .map(f => f -> reader.fieldStats(f).avgdl).toMap
+    val statsB = spark.sparkContext.broadcast(
+      (termDf, stats, root, sim, fieldAvgdl, k, searchAfter))
+
+    val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
+      tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
+        .map { case (bucket, bs) =>
+          BucketTermBlocks(bucket, tp.term, bs.sortBy(_.firstDocId))
+        }
+    }
+
+    val filterLangs = ClauseNode.langs(root).distinct
+    val langFilters: Dataset[BucketFilter] =
+      if (filterLangs.isEmpty) spark.emptyDataset[BucketFilter]
+      else reader.docMeta
+        .where($"lang".isin(filterLangs: _*))
+        .map(m => (CorpusIds.partitionOf(m.docId), m.lang, m.docId))
+        .toDF("bucket", "lang", "docId")
+        .groupBy($"bucket", $"lang")
+        .agg(sort_array(collect_list($"docId")).as("docIds"))
+        .as[BucketFilter]
+    val filters: Dataset[BucketFilter] =
+      if (!reader.hasTombstones) langFilters
+      else langFilters.unionByName(reader.tombstones
+        .map(d => (CorpusIds.partitionOf(d), DeletedKey, d))
+        .toDF("bucket", "lang", "docId")
+        .groupBy($"bucket", $"lang")
+        .agg(sort_array(collect_list($"docId")).as("docIds"))
+        .as[BucketFilter])
+
+    val perBucket: Dataset[ScoredDoc] = buckets
+      .groupByKey(_.bucket)
+      .cogroup(filters.groupByKey(_.bucket)) { (_, blockRows, filterRows) =>
+        val (dfMap, st, tree, sim, fAvgdl, kk, cursor) = statsB.value
+        val cache = sim.normTable(st.avgdl)
+        val fieldCaches: Map[String, Array[Double]] =
+          fAvgdl.map { case (f, a) => f -> sim.normTable(a) }
+        def cacheFor(term: String): Array[Double] =
+          fieldOf(term).flatMap(fieldCaches.get).getOrElse(cache)
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
+        blockRows.foreach { r =>
+          byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) ++= r.blocks
+        }
+        if (byTerm.isEmpty) Iterator.empty
+        else {
+          val allowedByLang: Map[String, Array[Long]] =
+            filterRows.map(f => f.lang -> f.docIds).toMap
+          // fresh iterator per clause: clauses cursor independently even
+          // when they reference the same term
+          def mkIter(term: String, boost: Double): Option[BmwScorer.TermIterator] =
+            byTerm.get(term).map { bs =>
+              val blocks = bs.sortBy(_.firstDocId).toArray
+              val w = sim.weight(dfMap.getOrElse(term, 0L), st.docCount, boost)
+              new BmwScorer.TermIterator(w, cacheFor(term), blocks, 0, sim)
+            }
+          val scorer = ClauseScorers.build(tree, mkIter,
+            l => allowedByLang.getOrElse(l, Array.emptyLongArray),
+            t => sim.weight(dfMap.getOrElse(t, 0L), st.docCount, 1.0), sim)
+          if (scorer eq ClauseScorers.EmptyScorer) Iterator.empty
+          else {
+            val deleted = allowedByLang.getOrElse(DeletedKey, Array.emptyLongArray)
+            val live: Long => Boolean =
+              if (deleted.isEmpty) _ => true
+              else d => java.util.Arrays.binarySearch(deleted, d) < 0
+            val heap = cursor match {
+              case Some((s, d)) => new BmwScorer.TopKHeap(kk, s, d)
+              case None => new BmwScorer.TopKHeap(kk)
+            }
+            var d = scorer.nextDoc()
+            while (d != BmwScorer.NoMoreDocs) {
+              if (live(d) && scorer.matches()) heap.offer(scorer.score(), d)
+              d = scorer.nextDoc()
+            }
+            heap.drain().iterator.map { case (doc, s) => ScoredDoc(qid, doc, s) }
+          }
+        }
+      }
+
+    // exact global merge (small k: one driver RTT, same as `search`)
+    val merged = perBucket.collect()
+      .sortBy(s => (-s.score, s.docId)).take(k).toSeq
+    spark.createDataset(merged)
   }
 
   /** Distributed unscored conjunction over the index: docIds containing ALL
@@ -258,12 +371,11 @@ object QueryEngine {
     val terms = withOffsets.map(_._1)
     val offsets = withOffsets.map(_._2).toArray
     require(terms.nonEmpty, s"no indexable terms in $rawTerms")
-    require(terms.distinct.size == terms.size,
-      s"conjunction/phrase terms must be distinct: $terms")
-    if (slop > 0) require(terms.size == 2,
-      "sloppy phrase verification supports exactly 2 terms (SloppyPhraseMatcher scope)")
+    // duplicate terms are fine (ADVICE r2 #4): each query offset gets its
+    // own iterator over the same posting blocks, and the position lists
+    // simply repeat at several offsets
 
-    val p = reader.postings.where($"term".isin(terms: _*))
+    val p = reader.postings.where($"term".isin(terms.distinct: _*))
     val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
       tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
         .map { case (bucket, bs) =>
@@ -294,8 +406,7 @@ object QueryEngine {
               require(posLists.forall(_ != null),
                 "positional query over an index built without indexPositions")
               if (slopLocal == 0) PhraseMatcher.exactMatch(posLists, qOffsets)
-              else PhraseMatcher.sloppyMatch2(posLists(0), posLists(1),
-                slopLocal, qOffsets(1) - qOffsets(0))
+              else PhraseMatcher.sloppyFreq(posLists, qOffsets, slopLocal) > 0
             }
           BmwScorer.conjunctionIterator(iters, accept)
         }

@@ -1,0 +1,269 @@
+package graft.search
+
+import graft.core.Analyzer
+import graft.index.Index
+import org.apache.spark.sql.functions._
+import QueryParser._
+import ClauseNode._
+
+/** Lowers the FULL parsed query grammar to an executable ClauseNode tree —
+  * Lucene's Query.rewrite stage
+  * [B lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java#rewrite]:
+  * nested boolean shapes stay nested, and multi-term query types expand
+  * against the term dictionary HERE, bounded by `MaxExpansions`
+  * (BooleanQuery.maxClauseCount's role — Lucene throws TooManyClauses
+  * above it [B .../search/BooleanQuery.java], and so do we). Expansion
+  * scans read only the slim termdict table; the bounded result (<= cap
+  * terms) is embedded in the broadcast tree, exactly the footprint of a
+  * Lucene rewritten query.
+  *
+  * Replaces QueryParser.lower's flat subset for execution: every accept
+  * case of the grammar corpus now lowers (QueryParserSpec drives both).
+  */
+object QueryLowering {
+
+  /** BooleanQuery.maxClauseCount analogue: dictionary expansions larger
+    * than this reject loudly instead of building an unbounded clause list.
+    */
+  val MaxExpansions = 1024
+
+  /** FuzzyQuery.defaultMaxExpansions: fuzzy keeps the nearest 50 terms. */
+  val MaxFuzzyExpansions = 50
+
+  final case class TooManyClauses(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** parse + lower in one step. */
+  def parseAndLower(reader: Index.Reader, query: String,
+      stopWords: Set[String] = Analyzer.EnglishStopWords): ClauseNode =
+    lower(reader, QueryParser.parse(query), stopWords)
+
+  def lower(reader: Index.Reader, node: QNode,
+      stopWords: Set[String] = Analyzer.EnglishStopWords): ClauseNode =
+    walk(reader, node, None, 1.0, stopWords)
+      .getOrElse(BoolNode()) // all clauses analyzed away -> matches nothing
+
+  // ---- recursive lowering ----------------------------------------------------
+
+  private def walk(r: Index.Reader, n: QNode, field: Option[String],
+      boost: Double, stop: Set[String]): Option[ClauseNode] = n match {
+    case t: QTerm => lowerTerm(r, t, field, boost, stop)
+    case p: QPhrase => lowerPhrase(p, field, boost, stop)
+    case rg: QRange => Some(lowerRange(r, rg, field, boost))
+    case QGroup(f, e, b) =>
+      walk(r, e, f.orElse(field), boost * b.getOrElse(1.0), stop)
+    case QRequired(c) => walk(r, c, field, boost, stop)
+    case QProhibited(c) =>
+      walk(r, c, field, boost, stop).map(x => BoolNode(mustNot = Seq(x)))
+    case QNot(c) =>
+      walk(r, c, field, boost, stop).map(x => BoolNode(mustNot = Seq(x)))
+    case QAnd(cs) => boolOf(r, cs, defaultMust = true, field, boost, stop)
+    case QOr(cs) => boolOf(r, cs, defaultMust = false, field, boost, stop)
+  }
+
+  /** Classify the children of a boolean level: '+' -> MUST, '-'/NOT ->
+    * MUST_NOT, everything else MUST under AND / SHOULD under OR — the
+    * classic QueryParser's clause assembly
+    * [B lucene/queryparser/.../classic/QueryParserBase.java#addClause].
+    * Clauses whose every token is a stop word are dropped silently, like
+    * the analyzer dropping them in Lucene.
+    */
+  private def boolOf(r: Index.Reader, cs: Seq[QNode], defaultMust: Boolean,
+      field: Option[String], boost: Double, stop: Set[String]): Option[ClauseNode] = {
+    val must = Seq.newBuilder[ClauseNode]
+    val should = Seq.newBuilder[ClauseNode]
+    val mustNot = Seq.newBuilder[ClauseNode]
+    cs.foreach {
+      case QRequired(c) => walk(r, c, field, boost, stop).foreach(must += _)
+      case QProhibited(c) => walk(r, c, field, boost, stop).foreach(mustNot += _)
+      case QNot(c) => walk(r, c, field, boost, stop).foreach(mustNot += _)
+      case c =>
+        walk(r, c, field, boost, stop)
+          .foreach(x => if (defaultMust) must += x else should += x)
+    }
+    val (m, s, mn) = (must.result(), should.result(), mustNot.result())
+    if (m.isEmpty && s.isEmpty && mn.isEmpty) None
+    else Some(BoolNode(m, s, mn))
+  }
+
+  /** A clause that matches nothing — Lucene's behavior for a term on a
+    * nonexistent field (the field simply has no postings). Keeps every
+    * grammar accept case executable instead of throwing.
+    */
+  private val MatchNone: ClauseNode = ConstNode(Nil)
+
+  private def lowerTerm(r: Index.Reader, t: QTerm, outerField: Option[String],
+      outerBoost: Double, stop: Set[String]): Option[ClauseNode] = {
+    val field = t.field.orElse(outerField)
+    val boost = outerBoost * t.boost.getOrElse(1.0)
+    field match {
+      case Some("lang") => Some(LangNode(t.text.toLowerCase(java.util.Locale.ROOT)))
+      case None | Some("content") | Some("repo") =>
+        val lowered = t.text.toLowerCase(java.util.Locale.ROOT)
+        val isRepo = field.contains("repo")
+        def prefixIfRepo(term: String): String =
+          if (isRepo) graft.index.FieldOf.prefixed("repo", term) else term
+        if (t.wildcard) {
+          Some(ConstNode(expandWildcard(r, lowered,
+            if (isRepo) "repo" else ""), boost))
+        } else if (t.fuzzy.isDefined) {
+          if (isRepo) Some(MatchNone) // no fuzzy over metadata dictionaries
+          else {
+            val terms = Analyzer.analyze(lowered, stop)
+            if (terms.isEmpty) None
+            else {
+              val target = terms.head
+              val expanded = expandFuzzy(r, target, fuzzyEdits(t.fuzzy.get, target))
+              Some(BoolNode(should = expanded.map { case (term, sim) =>
+                TermNode(term, boost * sim)
+              }))
+            }
+          }
+        } else {
+          val terms = Analyzer.analyze(lowered, stop).toSeq.map(prefixIfRepo)
+          terms match {
+            case Seq() => None
+            case Seq(one) => Some(TermNode(one, boost))
+            case many =>
+              // analyzer split one query word into several tokens: classic
+              // parser emits an OR of them (default operator)
+              Some(BoolNode(should = many.map(TermNode(_, boost))))
+          }
+        }
+      // unknown field: no postings, matches nothing (never an error — the
+      // grammar accepts it, so execution must too)
+      case Some(_) => Some(MatchNone)
+    }
+  }
+
+  private def lowerPhrase(p: QPhrase, field: Option[String], outerBoost: Double,
+      stop: Set[String]): Option[ClauseNode] = {
+    val eff = p.field.orElse(field)
+    if (eff.contains("lang"))
+      return Some(LangNode(p.phrase.trim.toLowerCase(java.util.Locale.ROOT)))
+    if (!eff.forall(_ == "content")) return Some(MatchNone)
+    val boost = outerBoost * p.boost.getOrElse(1.0)
+    // stop words advance the position counter but emit nothing — query-side
+    // mirror of StopFilter position-increment holes
+    var qpos = 0
+    val withOffsets = Analyzer.tokenize(p.phrase).toSeq.map { tok =>
+      val at = qpos; qpos += 1; (tok, at)
+    }.filterNot { case (tok, _) => stop.contains(tok) }
+    withOffsets match {
+      case Seq() => None
+      case Seq((one, _)) => Some(TermNode(one, boost))
+      case many => Some(PhraseNode(many.map(_._1), many.map(_._2),
+        p.proximity.getOrElse(0), boost))
+    }
+  }
+
+  /** TermRangeQuery [B lucene/core/src/java/org/apache/lucene/search/TermRangeQuery.java]:
+    * dictionary range expansion -> constant-score disjunction.
+    */
+  private def lowerRange(r: Index.Reader, rg: QRange, field: Option[String],
+      outerBoost: Double): ClauseNode = {
+    if (!rg.field.orElse(field).forall(_ == "content")) return MatchNone
+    val lo = rg.lower.toLowerCase(java.util.Locale.ROOT)
+    val hi = rg.upper.toLowerCase(java.util.Locale.ROOT)
+    val pred =
+      if (rg.inclusive) col("term") >= lo && col("term") <= hi
+      else col("term") > lo && col("term") < hi
+    ConstNode(expandTerms(r, pred, s"range [$lo TO $hi]"),
+      outerBoost * rg.boost.getOrElse(1.0))
+  }
+
+  // ---- dictionary expansion (bounded, slim-termdict only) --------------------
+
+  /** Expand a dictionary predicate to at most MaxExpansions matching terms
+    * (term-ordered); throws TooManyClauses above the cap, like
+    * BooleanQuery.maxClauseCount. The collect is BOUNDED by the cap — the
+    * same footprint as Lucene materializing the rewritten query's terms.
+    */
+  def expandTerms(r: Index.Reader, pred: org.apache.spark.sql.Column,
+      what: String, cap: Int = MaxExpansions,
+      /** content-field expansions exclude extra-field prefixed dictionary
+        * entries (field + Sep + term); field-scoped ones keep them. */
+      includePrefixed: Boolean = false): Seq[String] = {
+    import r.spark.implicits._
+    val scoped =
+      if (includePrefixed) pred
+      else pred && !col("term").contains(graft.index.FieldOf.Sep.toString)
+    val ts = r.termDict.where(scoped)
+      .select(col("term")).distinct()
+      .orderBy(asc("term")).limit(cap + 1).as[String].collect()
+    if (ts.length > cap)
+      throw TooManyClauses(
+        s"$what expands to > $cap terms (maxClauseCount)")
+    ts.toSeq
+  }
+
+  /** Wildcard -> prefix pushdown when the only wildcard is a trailing '*';
+    * regex dictionary scan otherwise
+    * [B lucene/core/src/java/org/apache/lucene/search/WildcardQuery.java].
+    * A non-empty `field` scopes the scan to that extra field's prefixed
+    * dictionary region and expands to the prefixed terms.
+    */
+  def expandWildcard(r: Index.Reader, pattern: String,
+      field: String = ""): Seq[String] = {
+    val fieldPrefix =
+      if (field.isEmpty) "" else field + graft.index.FieldOf.Sep
+    val starOnlyAtEnd = pattern.endsWith("*") &&
+      !pattern.dropRight(1).exists(c => c == '*' || c == '?')
+    val pred =
+      if (starOnlyAtEnd)
+        col("term").startsWith(fieldPrefix + pattern.dropRight(1))
+      else {
+        val pre =
+          if (fieldPrefix.isEmpty) ""
+          else java.util.regex.Pattern.quote(fieldPrefix)
+        col("term").rlike("^" + pre + wildcardRegexBody(pattern) + "$")
+      }
+    expandTerms(r, pred, s"wildcard '$pattern'",
+      includePrefixed = fieldPrefix.nonEmpty)
+  }
+
+  def wildcardRegex(pattern: String): String =
+    "^" + wildcardRegexBody(pattern) + "$"
+
+  private def wildcardRegexBody(pattern: String): String =
+    pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()<>^$|+-=!".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    }
+
+  /** Classic-syntax fuzzy value -> edit budget: >= 1 means literal edits
+    * (capped at 2, LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE); a
+    * legacy similarity float in (0,1) converts via FuzzyQuery.floatToEdits
+    * = floor((1 - sim) * termLength), same cap
+    * [B lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java].
+    */
+  def fuzzyEdits(fuzzy: Double, term: String): Int =
+    if (fuzzy >= 1.0) math.min(fuzzy.toInt, 2)
+    else math.max(1, math.min(((1.0 - fuzzy) * term.length).toInt, 2))
+
+  /** FuzzyQuery expansion: nearest `MaxFuzzyExpansions` dictionary terms
+    * within `maxEdits`, each carrying the FuzzyTermsEnum boost
+    * 1 - editDistance / min(|term|, |target|)
+    * [B lucene/core/src/java/org/apache/lucene/search/FuzzyTermsEnum.java],
+    * so closer terms dominate the rewritten disjunction. Deterministic
+    * keep-order: (distance asc, term asc).
+    */
+  def expandFuzzy(r: Index.Reader, target: String, maxEdits: Int,
+      maxExpansions: Int = MaxFuzzyExpansions): Seq[(String, Double)] = {
+    import r.spark.implicits._
+    r.termDict
+      .where(!col("term").contains(graft.index.FieldOf.Sep.toString))
+      .select(col("term")).distinct()
+      .withColumn("dist", levenshtein(col("term"), lit(target)))
+      .where(col("dist") <= maxEdits)
+      .orderBy(asc("dist"), asc("term"))
+      .limit(maxExpansions)
+      .select(col("term"), col("dist"))
+      .as[(String, Int)].collect().toSeq
+      .map { case (t, d) =>
+        (t, 1.0 - d.toDouble / math.min(t.length, target.length))
+      }
+  }
+}

@@ -326,4 +326,47 @@ class CoreCodecSpec extends AnyFunSuite {
     assert(PhraseMatcher.sloppyMatch2(Array(5), Array(7), 0, gap = 2))
     assert(!PhraseMatcher.sloppyMatch2(Array(5), Array(6), 0, gap = 2))
   }
+
+  test("PhraseMatcher frequencies: exact counts, N-term sloppy 1/(d+1) weighting") {
+    // exact freq counts every valid anchor
+    assert(PhraseMatcher.exactFreq(Array(Array(3, 8, 20), Array(4, 9, 15))) == 2)
+    assert(PhraseMatcher.exactFreq(Array(Array(3), Array(5))) == 0)
+    // duplicate query term: same list at offsets 0 and 1 ("val val")
+    assert(PhraseMatcher.exactFreq(Array(Array(2, 3), Array(2, 3))) == 1)
+    assert(PhraseMatcher.exactFreq(Array(Array(2, 4), Array(2, 4))) == 0)
+    // 2-term sloppy freq == Lucene's 1/(distance+1): d = |pb - pa - gap|
+    assert(PhraseMatcher.sloppyFreq(Array(Array(3), Array(4)), Array(0, 1), 2) == 1.0)
+    assert(PhraseMatcher.sloppyFreq(Array(Array(3), Array(5)), Array(0, 1), 2) == 0.5)
+    // reversed adjacency = distance 2 -> 1/3
+    assert(math.abs(PhraseMatcher.sloppyFreq(
+      Array(Array(4), Array(3)), Array(0, 1), 2) - 1.0 / 3) < 1e-15)
+    // beyond slop contributes nothing
+    assert(PhraseMatcher.sloppyFreq(Array(Array(3), Array(9)), Array(0, 1), 2) == 0.0)
+    // anchors accumulate: two key positions, each with an adjacent match
+    assert(PhraseMatcher.sloppyFreq(
+      Array(Array(3, 10), Array(4, 11)), Array(0, 1), 2) == 2.0)
+    // 3-term: total displacement sums per-term nearest distances
+    // anchor p0=0: order at 1 (d 0), sort at 3 vs expected 2 (d 1) -> d=1
+    assert(PhraseMatcher.sloppyFreq(
+      Array(Array(0), Array(1), Array(3)), Array(0, 1, 2), 2) == 0.5)
+    assert(PhraseMatcher.sloppyFreq(
+      Array(Array(0), Array(1), Array(9)), Array(0, 1, 2), 2) == 0.0)
+    // matches() predicates agree with freq > 0
+    assert(PhraseMatcher.exactMatch(Array(Array(2, 3), Array(2, 3))) ==
+      (PhraseMatcher.exactFreq(Array(Array(2, 3), Array(2, 3))) > 0))
+  }
+
+  test("Similarity.scoreFreq agrees with score at integer freq and stays monotone") {
+    for (sim <- Seq[Similarity](Bm25(), ClassicSimilarity())) {
+      val table = sim.normTable(47.5)
+      for (tf <- Seq(1, 2, 5, 17); nb <- Seq(0, 63, 127, 255)) {
+        val w = sim.weight(13L, 1000L, 1.5)
+        assert(sim.score(w, tf, table(nb)) == sim.scoreFreq(w, tf.toDouble, table(nb)))
+      }
+      // monotone in fractional freq (bound admissibility for sloppy phrases)
+      val w = sim.weight(13L, 1000L, 1.0)
+      val fs = Seq(0.25, 0.5, 1.0, 1.5, 3.0).map(f => sim.scoreFreq(w, f, table(100)))
+      assert(fs.sliding(2).forall { case Seq(a, b) => a < b; case _ => true })
+    }
+  }
 }

@@ -447,7 +447,7 @@ class IndexEndToEndSpec extends AnyFunSuite {
       .withColumn("qdl",
         graft.functions.GraftFunctions.graft_quantized_dl($"tokenCount"))
       .withColumn("idf", lit(1.0) + log(lit(n + 1.0) / ($"df" + lit(1.0))))
-      .withColumn("ts", $"idf" * $"idf" * sqrt($"tf") / sqrt($"qdl"))
+      .withColumn("ts", $"idf" * sqrt($"tf") / sqrt($"qdl"))
       .groupBy($"docId").agg(sum($"ts").as("score"))
       .orderBy(desc("score"), asc("docId")).limit(30)
       .as[(Long, Double)].collect()
@@ -531,4 +531,203 @@ class IndexEndToEndSpec extends AnyFunSuite {
       .where($"content".contains("return")).count()
     assert(unionDf == naiveDf)
   }
+
+  // ---- round 3: compositional clause-tree execution --------------------------
+
+  test("clause tree: flat boolean shapes are rank-identical to the WAND path") {
+    import graft.search.{ClauseNode, QueryLowering}
+    import ClauseNode._
+    val reader = Index.reader(spark, indexDir)
+    def canon(hits: Array[ScoredDoc]): Seq[(Long, Long)] = hits.toSeq
+      .map(h => (h.docId, math.round(h.score * 1e9))).sortBy(x => (-x._2, x._1))
+    // (flat QuerySpec, equivalent tree) pairs over disjoint term sets
+    val cases: Seq[(QuerySpec, ClauseNode)] = Seq(
+      (QuerySpec("t1", should = Seq("return", "yield", "match"), k = 20),
+        BoolNode(should = Seq(TermNode("return"), TermNode("yield"), TermNode("match")))),
+      (QuerySpec("t2", must = Seq("class", "extends"), k = 20),
+        BoolNode(must = Seq(TermNode("class"), TermNode("extends")))),
+      (QuerySpec("t3", must = Seq("import"), mustNot = Seq("catch"), k = 20),
+        BoolNode(must = Seq(TermNode("import")),
+          mustNot = Seq(TermNode("catch")))),
+      (QuerySpec("t4", should = Seq("struct", "enum"), k = 20,
+        boosts = Map("struct" -> 2.5)),
+        BoolNode(should = Seq(TermNode("struct", 2.5), TermNode("enum")))),
+      (QuerySpec("t5", should = Seq("func", "chan", "defer"), k = 20,
+        minShouldMatch = 2),
+        BoolNode(should = Seq(TermNode("func"), TermNode("chan"), TermNode("defer")),
+          minShouldMatch = 2)))
+    for ((flat, tree) <- cases) {
+      val viaWand = canon(QueryEngine.search(reader, Seq(flat)).collect())
+      val viaTree = canon(QueryEngine.searchTree(reader, flat.qid, tree, flat.k).collect())
+      assert(viaTree == viaWand, s"${flat.qid}: tree != WAND")
+    }
+  }
+
+  test("clause tree: nested boolean (a AND b) OR c matches an independent naive computation") {
+    import spark.implicits._
+    import graft.search.ClauseNode._
+    val reader = Index.reader(spark, indexDir)
+    val (a, b, c) = ("class", "extends", "defer")
+    val tree = BoolNode(should = Seq(
+      BoolNode(must = Seq(TermNode(a), TermNode(b))), TermNode(c)))
+    val hits = QueryEngine.searchTree(reader, "nest", tree, k = 30).collect()
+      .map(h => h.docId -> h.score).toMap
+
+    // independent: per-doc tf from raw text, idf from counted dfs, BM25 by
+    // the published formula, combine per the tree semantics
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+      .select($"docId", $"content").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val stats = reader.stats
+    val bm = graft.core.Bm25()
+    val cache = bm.normCache(stats.avgdl)
+    def tfOf(text: String): Map[String, Int] =
+      Analyzer.analyze(text).groupBy(identity).view.mapValues(_.length).toMap
+    val tfs = keyed.map { case (id, text) => id -> tfOf(text) }
+    val dfs = Seq(a, b, c).map(t => t -> tfs.count(_._2.contains(t)).toLong).toMap
+    val expected = tfs.flatMap { case (id, tf) =>
+      val nb = SmallFloatUtil.intToByte4(tf.values.sum)
+      def s(t: String): Double =
+        bm.score(bm.idf(dfs(t), stats.docCount), tf(t), nb, cache)
+      val inner = if (tf.contains(a) && tf.contains(b)) Some(s(a) + s(b)) else None
+      val cPart = if (tf.contains(c)) Some(s(c)) else None
+      if (inner.isEmpty && cPart.isEmpty) None
+      else Some(id -> (inner.getOrElse(0.0) + cPart.getOrElse(0.0)))
+    }.sortBy { case (id, sc) => (-sc, id) }.take(30)
+    assert(expected.nonEmpty)
+    for ((id, sc) <- expected) {
+      assert(hits.contains(id), s"doc $id missing from tree result")
+      assert(math.abs(hits(id) - sc) < 1e-9, s"doc $id: ${hits(id)} != $sc")
+    }
+  }
+
+  test("clause tree: scored exact + sloppy phrase freq matches a naive position scan") {
+    import spark.implicits._
+    import graft.search.ClauseNode._
+    val reader = Index.reader(spark, indexDir)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+      .select($"docId", $"content").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // deterministic phrase: the corpus's first two adjacent non-stop tokens
+    val toks0 = Analyzer.tokenize(keyed.minBy(_._1)._2)
+    val Seq(pa, pb) = toks0.take(2).toSeq
+    assert(!Analyzer.EnglishStopWords(pa) && !Analyzer.EnglishStopWords(pb))
+
+    val stats = reader.stats
+    val bm = graft.core.Bm25()
+    val cache = bm.normCache(stats.avgdl)
+    // naive: raw token positions (stop words keep their slot), freq by a
+    // plain nested loop (no PhraseMatcher), BM25 scoreFreq by formula
+    def posOf(text: String, t: String): Array[Int] =
+      Analyzer.tokenize(text).zipWithIndex.filter(_._1 == t).map(_._2)
+    def naive(slop: Int): Map[Long, Double] = {
+      val dfa = keyed.count(k => posOf(k._2, pa).nonEmpty).toLong
+      val dfb = keyed.count(k => posOf(k._2, pb).nonEmpty).toLong
+      val w = bm.idf(dfa, stats.docCount) + bm.idf(dfb, stats.docCount)
+      keyed.flatMap { case (id, text) =>
+        val (xs, ys) = (posOf(text, pa), posOf(text, pb))
+        val freq: Double =
+          if (slop == 0) xs.count(p => ys.contains(p + 1)).toDouble
+          else xs.map { p =>
+            if (ys.isEmpty) Int.MaxValue.toDouble
+            else ys.map(y => math.abs(y - (p + 1))).min.toDouble
+          }.filter(_ <= slop).map(d => 1.0 / (d + 1.0)).sum
+        if (freq <= 0 || xs.isEmpty || ys.isEmpty) None
+        else {
+          val dl = Analyzer.analyze(text).length
+          val nb = SmallFloatUtil.intToByte4(dl)
+          Some(id -> (w * freq / (freq + cache(nb & 0xff))))
+        }
+      }.toMap
+    }
+    for (slop <- Seq(0, 2)) {
+      val tree = PhraseNode(Seq(pa, pb), Seq(0, 1), slop)
+      val hits = QueryEngine.searchTree(reader, s"ph$slop", tree, k = 25).collect()
+      val expTop = naive(slop).toSeq.sortBy { case (id, sc) => (-sc, id) }.take(25)
+      assert(hits.nonEmpty, s"slop=$slop found nothing")
+      val got = hits.map(h => (h.docId, math.round(h.score * 1e9)))
+        .sortBy(x => (-x._2, x._1)).toSeq
+      val want = expTop.map { case (id, sc) => (id, math.round(sc * 1e9)) }
+      assert(got == want, s"slop=$slop: $got != $want")
+    }
+  }
+
+  test("grammar corpus: every accept case lowers AND executes through the tree") {
+    import graft.search.{GrammarCorpus, QueryLowering}
+    val reader = Index.reader(spark, indexDir)
+    var tooMany = 0
+    val failures = GrammarCorpus.accepts.flatMap { q =>
+      try {
+        val tree = QueryLowering.parseAndLower(reader, q)
+        QueryEngine.searchTree(reader, "g", tree, k = 3).collect()
+        None
+      } catch {
+        // a documented reject, not a failure: Lucene throws TooManyClauses
+        // for exactly these over-broad expansions ([a TO z] over a 5000-term
+        // vocabulary blows maxClauseCount there too)
+        case _: QueryLowering.TooManyClauses => tooMany += 1; None
+        case e: Throwable => Some(s"'$q': ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"accept cases failed to execute:\n${failures.mkString("\n")}")
+    assert(tooMany < GrammarCorpus.accepts.size / 10,
+      s"unexpectedly many maxClauseCount rejects: $tooMany")
+  }
+
+  test("expansion budget: oversized multi-term rewrite rejects like maxClauseCount") {
+    import graft.search.QueryLowering
+    val reader = Index.reader(spark, indexDir)
+    intercept[QueryLowering.TooManyClauses] {
+      QueryLowering.expandTerms(reader, col("term").startsWith("ident_"),
+        "test", cap = 16)
+    }
+    // within budget: expansion works and is term-ordered
+    val few = QueryLowering.expandTerms(reader,
+      col("term").startsWith("ident_000"), "test")
+    assert(few.nonEmpty && few == few.sorted)
+  }
+
+  test("searchAfter score cursor: three pages concatenate into the top-30") {
+    val reader = Index.reader(spark, indexDir)
+    val terms = Seq("return", "match", "yield")
+    def canon(hits: Array[ScoredDoc]) = hits.toSeq
+      .sortBy(h => (-h.score, h.docId)).map(h => (h.docId, math.round(h.score * 1e9)))
+    val full = canon(QueryEngine.search(reader,
+      Seq(QuerySpec("f", should = terms, k = 30))).collect())
+    var cursor: Option[(Double, Long)] = None
+    val pages = (1 to 3).flatMap { i =>
+      val page = QueryEngine.search(reader, Seq(QuerySpec(s"p$i",
+        should = terms, k = 10, searchAfter = cursor))).collect()
+        .sortBy(h => (-h.score, h.docId))
+      cursor = Some((page.last.score, page.last.docId))
+      page.map(h => (h.docId, math.round(h.score * 1e9)))
+    }
+    assert(pages == full)
+  }
+
+  test("duplicate-term sloppy phrase executes (ADVICE r2 #4)") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+    // "val ... val" within slop 3: any doc using `val` twice close together
+    val hits = QueryEngine.matchAllTerms(reader, Seq("val", "val"), slop = 3)
+      .collect()
+    // naive: two raw positions p1 < p2 with |p2 - (p1 + 1)| <= 3
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+      .select($"docId", $"content").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = keyed.filter { case (_, text) =>
+      val ps = Analyzer.tokenize(text).zipWithIndex.filter(_._1 == "val").map(_._2)
+      ps.exists(p1 => ps.exists(p2 => math.abs(p2 - (p1 + 1)) <= 3))
+    }.map(_._1).toSet
+    assert(hits.toSet == expect)
+    assert(hits.nonEmpty)
+  }
 }
+

@@ -9,10 +9,13 @@ import QueryParser._
   * 75-278 (accept), 280-313 (reject)] — the success strings come from the
   * Lucene query-parser syntax doc + TestQueryParser.java per [G 74].
   */
-class QueryParserSpec extends AnyFunSuite {
-
+/** The grammar corpus, shared: IndexEndToEndSpec lowers + executes
+  * every accept case through QueryLowering/searchTree (VERDICT r2
+  * next-1 done-criterion).
+  */
+object GrammarCorpus {
   // [G 75-278] success tests, verbatim (comments stripped)
-  private val accepts: Seq[String] = raw"""
+  val accepts: Seq[String] = raw"""
 a and b
 a and not b
 a and !b
@@ -215,6 +218,11 @@ a:the OR a:foo
 a:woo OR a:the
 "the wizard of ozzy"
 """.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+}
+
+class QueryParserSpec extends AnyFunSuite {
+
+  private val accepts = GrammarCorpus.accepts
 
   // [G 280-313] failure tests, verbatim (comments stripped)
   private val rejects: Seq[String] = raw"""
