@@ -445,7 +445,14 @@ object Index {
     * the read path just filters (D10, SURVEY.md §1.1). Appends to the
     * tombstones parquet atomically-enough for a single writer.
     */
-  def deleteByTerm(spark: SparkSession, indexDir: String, rawTerm: String): Long = {
+  /** Above this many live delta generations, a delete folds them into one
+    * (bounding reader-side union fan-in without making every delete pay an
+    * O(total-tombstones) rewrite — VERDICT r2 what's-wrong #3).
+    */
+  val TombstoneFoldEvery = 64
+
+  def deleteByTerm(spark: SparkSession, indexDir: String, rawTerm: String,
+      foldEvery: Int = TombstoneFoldEvery): Long = {
     import spark.implicits._
     // normalize like query parsing does — postings store analyzed terms
     val analyzed = graft.core.Analyzer.analyze(rawTerm)
@@ -456,24 +463,56 @@ object Index {
     val hit = r.postings.where(org.apache.spark.sql.functions.col("term") === term)
       .flatMap(tp => tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
       .distinct()
-    // crash-safe swap: write a new versioned dir, atomically replace the
-    // pointer file, then GC the old dir — readers never observe a window
-    // with missing tombstones
-    val gen = currentTombstoneGen(indexDir)
-    val newDir = s"$indexDir/tombstones_v${gen + 1}"
-    val current = gen match {
-      case 0 => hit.toDF("docId")
-      case g => spark.read.parquet(s"$indexDir/tombstones_v$g")
-        .unionByName(hit.toDF("docId")).distinct()
-    }
-    current.write.mode("overwrite").parquet(newDir)
+
+    // DELTA generations (Lucene's per-commit .liv generation files
+    // [B lucene/core/src/java/org/apache/lucene/index/PendingDeletes.java]):
+    // each delete appends ONLY its own docIds as tombstones_v{G+1}; readers
+    // union the live gens, so N sequential deletes cost O(sum of deltas),
+    // not O(N * total). Crash-safe publish: parquet lands first, then the
+    // pointer file is atomically replaced — readers never observe a window
+    // with missing tombstones. Duplicate docIds across gens are harmless
+    // (membership is by binary search / anti-join).
+    val (base, cur) = tombstoneGens(indexDir)
+    val newDir = s"$indexDir/tombstones_v${cur + 1}"
+    hit.toDF("docId").write.mode("overwrite").parquet(newDir)
     val n = spark.read.parquet(newDir).count()
+    if (n == 0) { // deleting an absent term is a no-op, like IndexWriter
+      deleteRecursively(Paths.get(newDir))
+      return 0L
+    }
+    publishTombstonePointer(indexDir, base, cur + 1)
+
+    // fold: too many live gens -> union+distinct into ONE new gen, publish,
+    // GC the old delta dirs (amortized O(total / foldEvery) per delete)
+    if (cur + 1 - base + 1 > foldEvery) {
+      val dirs = (base to cur + 1).map(g => s"$indexDir/tombstones_v$g")
+      val foldDir = s"$indexDir/tombstones_v${cur + 2}"
+      spark.read.parquet(dirs: _*).distinct()
+        .write.mode("overwrite").parquet(foldDir)
+      publishTombstonePointer(indexDir, cur + 2, cur + 2)
+      dirs.foreach(d => deleteRecursively(Paths.get(d)))
+    }
+    n
+  }
+
+  private def publishTombstonePointer(indexDir: String, base: Int, cur: Int): Unit = {
     val tmp = Paths.get(indexDir, "tombstones.current.tmp")
-    Files.writeString(tmp, (gen + 1).toString)
+    Files.writeString(tmp, s"$cur $base")
     Files.move(tmp, Paths.get(indexDir, "tombstones.current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    if (gen > 0) deleteRecursively(Paths.get(s"$indexDir/tombstones_v$gen"))
-    n
+  }
+
+  /** (base, current) live tombstone generation range; (1, 0) = none.
+    * Pointer format "cur base"; a bare "cur" (pre-delta layout) means the
+    * single dir v{cur} holds the full set — base = cur.
+    */
+  private[index] def tombstoneGens(indexDir: String): (Int, Int) = {
+    val ptr = Paths.get(indexDir, "tombstones.current")
+    if (!Files.exists(ptr)) return (1, 0)
+    val parts = Files.readString(ptr).trim.split("\\s+")
+    val cur = parts(0).toInt
+    val base = if (parts.length > 1) parts(1).toInt else cur
+    (base, cur)
   }
 
   /** Atomic-enough update-by-term (IndexWriter.updateDocument
@@ -497,10 +536,8 @@ object Index {
     appendBatch(newDocs, indexDir, nextInc.toLong, cfg)
   }
 
-  private[index] def currentTombstoneGen(indexDir: String): Int = {
-    val ptr = Paths.get(indexDir, "tombstones.current")
-    if (Files.exists(ptr)) Files.readString(ptr).trim.toInt else 0
-  }
+  private[index] def currentTombstoneGen(indexDir: String): Int =
+    tombstoneGens(indexDir)._2
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
@@ -576,15 +613,23 @@ object Index {
         IndexStats(stats.docCount, ttf)
       })
 
-    /** Deleted docIds ("live docs" complement), empty if none. */
+    /** Deleted docIds ("live docs" complement), empty if none: the UNION of
+      * the live delta generations (duplicates possible and harmless — every
+      * consumer does membership, not counting).
+      */
     def tombstones: Dataset[Long] = {
       import spark.implicits._
-      val gen = Index.currentTombstoneGen(indexDir)
-      if (gen > 0) spark.read.parquet(s"$indexDir/tombstones_v$gen").as[Long]
+      val (base, cur) = Index.tombstoneGens(indexDir)
+      if (cur >= base)
+        spark.read.parquet(
+          (base to cur).map(g => s"$indexDir/tombstones_v$g"): _*).as[Long]
       else spark.emptyDataset[Long]
     }
 
-    def hasTombstones: Boolean = Index.currentTombstoneGen(indexDir) > 0
+    def hasTombstones: Boolean = {
+      val (base, cur) = Index.tombstoneGens(indexDir)
+      cur >= base
+    }
   }
 
   def reader(spark: SparkSession, indexDir: String): Reader =

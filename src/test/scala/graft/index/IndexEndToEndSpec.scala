@@ -197,19 +197,21 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val deletedIds = before.map(_.docId).toSet
     assert(other.nonEmpty && !other.exists(h => deletedIds.contains(h.docId)))
 
-    // a second delete merges tombstone generations (crash-safe pointer swap)
+    // a second delete appends its own DELTA generation (crash-safe pointer)
     val n2 = Index.deleteByTerm(spark, delDir, "ident_4999")
-    assert(n2 > nDeleted) // union of both terms' docs
+    assert(n2 > 0)
     assert(graft.search.QueryEngine.search(Index.reader(spark, delDir),
       Seq(graft.QuerySpec("n2", should = Seq("ident_4999")))).collect().isEmpty)
-    // un-analyzed input is normalized like query parsing
-    assert(Index.deleteByTerm(spark, delDir, "  QZX_Handler_77 ") == n2)
+    // un-analyzed input is normalized like query parsing; a repeat delete
+    // returns the same term's df again (content-idempotent delta)
+    assert(Index.deleteByTerm(spark, delDir, "  QZX_Handler_77 ") == nDeleted)
 
     // compaction physically removes them and updates stats
+    val totalDead = Index.reader(spark, delDir).tombstones.distinct().count()
     val compDir = s"$workDir/index_compacted"
     Index.compact(spark, delDir, compDir, cfg)
     val cr = Index.reader(spark, compDir)
-    assert(cr.stats.docCount == NumDocs - n2)
+    assert(cr.stats.docCount == NumDocs - totalDead)
     assert(!cr.hasTombstones)
     assert(graft.search.QueryEngine.search(cr, Seq(q)).collect().isEmpty)
     // audit: postings never reference a deleted docId
@@ -223,7 +225,7 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val comp2 = s"$workDir/index_compacted2"
     Index.compact(spark, compDir, comp2, cfg)
     val cr2 = Index.reader(spark, comp2)
-    assert(cr2.stats.docCount == NumDocs - n2 - n3)
+    assert(cr2.stats.docCount == NumDocs - totalDead - n3)
     assert(graft.search.QueryEngine.search(cr2,
       Seq(graft.QuerySpec("g", should = Seq("ident_0000")))).collect().isEmpty)
   }
@@ -729,5 +731,47 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(hits.toSet == expect)
     assert(hits.nonEmpty)
   }
-}
 
+  test("tombstone DELTA generations: O(delta) appends, fold bounds fan-in (churn)") {
+    import spark.implicits._
+    val dir = s"$workDir/index_churn"
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    Index.build(corpus, dir,
+      IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300), increments = 1)
+    val terms = Seq("class", "import", "struct", "enum", "defer")
+    val reader0 = Index.reader(spark, dir)
+    val dfs = terms.map(t => t -> reader0.termDfs(Seq(t))(t)).toMap
+    assert(dfs.values.forall(_ > 0))
+
+    // foldEvery = 4: the 5th delete folds the deltas into one generation
+    val deltas = terms.take(4).map(t =>
+      t -> Index.deleteByTerm(spark, dir, t, foldEvery = 4))
+    // each delete wrote ONLY its own docIds — the per-gen parquet row count
+    // equals that term's df, independent of how many deletes preceded it
+    // (the O(deletas) vs O(N*total) churn evidence)
+    val (base1, cur1) = Index.tombstoneGens(dir)
+    assert((base1, cur1) == (1, 4))
+    for ((g, (t, n)) <- (1 to 4).zip(deltas)) {
+      assert(n == dfs(t), s"delta $t: $n != df ${dfs(t)}")
+      assert(spark.read.parquet(s"$dir/tombstones_v$g").count() == n)
+    }
+
+    val n5 = Index.deleteByTerm(spark, dir, terms(4), foldEvery = 4)
+    assert(n5 == dfs(terms(4)))
+    val (base2, cur2) = Index.tombstoneGens(dir)
+    assert(base2 == cur2, s"expected folded single gen, got ($base2, $cur2)")
+    assert(base2 > 4)
+    // old delta dirs are GC'd
+    assert(!Files.exists(Paths.get(s"$dir/tombstones_v1")))
+
+    // read-your-writes across the fold: every deleted term stays gone, and
+    // the folded set is the distinct union of the five deltas
+    val r = Index.reader(spark, dir)
+    for (t <- terms)
+      assert(graft.search.QueryEngine.search(r,
+        Seq(graft.QuerySpec(t, should = Seq(t)))).collect().isEmpty)
+    val corpusHit = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .where(terms.map(t => $"content".contains(t)).reduce(_ || _)).count()
+    assert(r.tombstones.distinct().count() == corpusHit)
+  }
+}
