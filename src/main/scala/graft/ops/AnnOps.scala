@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import scala.collection.mutable
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label). Brute-force cosine top-k as the exactness baseline;
@@ -188,15 +189,31 @@ object AnnOps {
     val thr = threshold
     // EXPLICIT repartition on the cell key: the per-row downstream work is
     // quadratic in the cell size, which AQE's size-based coalescing cannot
-    // see (groupByKey alone got coalesced to 2 tasks)
+    // see (groupByKey alone got coalesced to 2 tasks). The within-partition
+    // sort makes each cell a contiguous run, so the task streams ONE cell's
+    // first `cellCap` members at a time (excess run rows are drained, not
+    // buffered) instead of buffering its whole input (round-2 `it.toArray`).
     val parts = e.sparkSession.sessionState.conf.numShufflePartitions
     blocked
       .repartition(parts, col("cent_id"))
+      .sortWithinPartitions(col("cent_id"), col("vec_id"))
       .as[(Int, Long, Seq[Float])]
       .mapPartitions { it =>
-        val cells = it.toArray.groupBy(_._1)
-        cells.iterator.flatMap { case (_, rows) =>
-          val members = rows.sortBy(_._2).take(cellCap).map { case (_, id, emb) =>
+        val rows = it.buffered
+        val cellRuns = new Iterator[Array[(Int, Long, Seq[Float])]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Array[(Int, Long, Seq[Float])] = {
+            val cell = rows.head._1
+            val buf = mutable.ArrayBuffer.empty[(Int, Long, Seq[Float])]
+            while (rows.hasNext && rows.head._1 == cell) {
+              val r = rows.next()
+              if (buf.length < cellCap) buf += r
+            }
+            buf.toArray
+          }
+        }
+        cellRuns.flatMap { rows =>
+          val members = rows.map { case (_, id, emb) =>
             val v = emb.toArray.map(_.toDouble)
             var s = 0.0
             var i = 0

@@ -99,16 +99,62 @@ object DedupOps {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     var i = 0
     while (i + 2 < toks.length) {
-      val base = fnv1a64(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), 0L)
-      var k = 0
-      while (k < NumHashes) {
-        val h = xs64(base + k.toLong * 0x9e3779b97f4a7c15L)
-        if (h < sig(k)) sig(k) = h
-        k += 1
-      }
+      minhashMix(toks(i) + " " + toks(i + 1) + " " + toks(i + 2), sig)
       i += 1
     }
     sig
+  }
+
+  /** Signature over a prepared shingle set (identical to minhashSignature on
+    * the same doc: min over a set ignores duplicate shingles). Lets callers
+    * that already materialized shingles (ngramJaccard) skip a second
+    * tokenize+shingle pass over the corpus.
+    */
+  def minhashSignatureOfShingles(shingles: Seq[String]): Array[Long] = {
+    if (shingles.isEmpty) return null
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingles.foreach(minhashMix(_, sig))
+    sig
+  }
+
+  @inline private def minhashMix(shingle: String, sig: Array[Long]): Unit = {
+    val base = fnv1a64(shingle, 0L)
+    var k = 0
+    while (k < NumHashes) {
+      val h = xs64(base + k.toLong * 0x9e3779b97f4a7c15L)
+      if (h < sig(k)) sig(k) = h
+      k += 1
+    }
+  }
+
+  /** Bucket-cap drop witness of the LAST minhashPairs/dedupSimhash action on
+    * this JVM: number of (band, bucket) members silently dropped by
+    * `bucketCap`. The "result equals the exhaustive oracle scan" guarantee
+    * holds iff this reads 0 after the action (task retries may overcount,
+    * but zero is exact) — on a skewed corpus with a degenerate bucket the
+    * engine legitimately under-recalls versus the uncapped oracle, and this
+    * counter is what makes that divergence observable instead of silent.
+    */
+  @volatile var lastBucketCapDrops: Option[org.apache.spark.util.LongAccumulator] = None
+
+  /** Cap each (band, bucket) to its `bucketCap` lowest-docId members,
+    * counting dropped members into `lastBucketCapDrops` (nondeterministic
+    * UDF: runs post-window, no pushdown to lose).
+    */
+  private def capBuckets(banded: DataFrame, bucketCap: Int, tag: String): DataFrame = {
+    val spark = banded.sparkSession
+    val dropAcc = spark.sparkContext.longAccumulator(s"$tag-bucket-cap-drops")
+    lastBucketCapDrops = Some(dropAcc)
+    val keep = udf { rn: Int =>
+      if (rn > bucketCap) dropAcc.add(1L)
+      rn <= bucketCap
+    }.asNondeterministic()
+    banded
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
+      .where(keep(col("rn")))
+      .drop("rn")
   }
 
   /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket join.
@@ -118,24 +164,29 @@ object DedupOps {
     * to cap^2 candidate pairs instead of going quadratic in the bucket
     * size. At the default >= 25/32 threshold the banding has guaranteed
     * recall (see MinhashThreshold), so the result equals the exhaustive
-    * pair scan the DuckDB oracle runs.
+    * pair scan the DuckDB oracle runs — PROVIDED no bucket overflowed the
+    * cap, which `lastBucketCapDrops` == 0 witnesses after the action.
     */
   def dedupMinhashLsh(spark: SparkSession, sfDir: String,
       threshold: Double = MinhashThreshold, bucketCap: Int = 10000): DataFrame =
     minhashPairs(augmentedDocs(spark, sfDir), threshold, bucketCap)
 
-  /** Core MinHash-LSH pipeline over any (doc_id, text) frame. */
+  /** Core MinHash-LSH pipeline over any (doc_id, text) frame; `presigged`
+    * optionally supplies a precomputed (doc_id, sig) frame (ngramJaccard
+    * reuses its shingle pass this way).
+    */
   def minhashPairs(docs: DataFrame,
-      threshold: Double = MinhashThreshold, bucketCap: Int = 10000): DataFrame = {
+      threshold: Double = MinhashThreshold, bucketCap: Int = 10000,
+      presigged: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs
+    val sigs = presigged.getOrElse(docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         Option(minhashSignature(text)).map(s => (id, s))
       }
-      .toDF("doc_id", "sig")
+      .toDF("doc_id", "sig"))
 
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
@@ -145,12 +196,7 @@ object DedupOps {
 
     // degenerate-bucket guard: keep the lowest-docId `bucketCap` members of
     // each (band, bucket) — bounded pairs per bucket at 100 TB skew
-    val capped = bands
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
-      .where(col("rn") <= bucketCap)
-      .drop("rn")
+    val capped = capBuckets(bands, bucketCap, "minhash-lsh")
 
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
@@ -195,8 +241,9 @@ object DedupOps {
   /** SimHash near-dup pairs: 4x16-bit band blocking (Hamming <= 3 within
     * 64 bits guarantees one identical 16-bit band — pigeonhole, so recall
     * is exactly 1 and the result equals the oracle's exhaustive Hamming
-    * scan), then exact Hamming verify per bucket. `bucketCap` bounds
-    * degenerate buckets like the MinHash path.
+    * scan, iff `lastBucketCapDrops` == 0 after the action), then exact
+    * Hamming verify per bucket. `bucketCap` bounds degenerate buckets like
+    * the MinHash path.
     */
   def dedupSimhash(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
@@ -209,15 +256,10 @@ object DedupOps {
     // unsigned shift, NOT div: for negative simhashes, truncating division
     // does not preserve "identical band bits => identical bucket", which
     // the pigeonhole recall guarantee needs
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = capBuckets(sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
         "b -> shiftrightunsigned(simhash, b * 16) % 65536)"))
-        .as(Seq("band", "bucket")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
-      .where(col("rn") <= bucketCap)
-      .drop("rn")
+        .as(Seq("band", "bucket"))), bucketCap, "simhash")
 
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -232,21 +274,40 @@ object DedupOps {
 
   /** Exact n-gram Jaccard verification over the MinHash-LSH candidates
     * (never a global cross join): recompute true shingle-set Jaccard for
-    * each candidate pair and keep those >= `threshold`. Candidates come
-    * from the guaranteed-recall LSH stage, so the output equals "pairs with
-    * est >= 25/32 AND exact J >= threshold" — exhaustively checkable.
+    * each candidate pair and keep those >= `threshold`.
+    *
+    * SEMANTICS (the `candidateGate` parameter makes the two-stage contract
+    * explicit, per round-2 advice): the output is exactly "pairs with
+    * signature agreement >= candidateGate AND exact 3-gram Jaccard >=
+    * threshold". At the default gate (25/32) the LSH banding has pigeonhole
+    * recall, so that set is exhaustively checkable by an uncapped oracle
+    * scan; a LOWER gate admits more candidates but banding recall for
+    * est < 25/32 is probabilistic, so pairs may be missed — callers chasing
+    * pure "J >= threshold" semantics should know the gate dominates.
+    *
+    * One corpus pass: shingles are materialized once (persisted), the
+    * MinHash signature is derived from the SAME shingle arrays
+    * (minhashSignatureOfShingles), and the verify joins reuse the cached
+    * frame — round 2 double-paid the tokenize+shingle work.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      candidateGate: Double = MinhashThreshold): DataFrame = {
+    import spark.implicits._
     val shingles = augmentedDocs(spark, sfDir)
       .withColumn("toks", TextOps.tokensCol(col("text")))
+      .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
         array_distinct(expr(
           "transform(sequence(0, size(toks) - 3), " +
             "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingles"))
-      .where(size(col("toks")) >= 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = dedupMinhashLsh(spark, sfDir)
+    val sigs = shingles.as[(Long, Seq[String])]
+      .map { case (id, sh) => (id, minhashSignatureOfShingles(sh)) }
+      .toDF("doc_id", "sig")
+    val candidates = minhashPairs(shingles /* unused when presigged */,
+        threshold = candidateGate, presigged = Some(sigs))
       .select(col("doc_a"), col("doc_b"))
 
     candidates

@@ -104,10 +104,17 @@ class OpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val n = DedupOps.minhashPairs(docs, bucketCap = 20).count()
     assert(n == 20L * 19 / 2, s"expected capped pair count, got $n")
+    // the cap-drop witness fired: 980 dropped members x 8 bands
+    val drops = DedupOps.lastBucketCapDrops.get.value
+    assert(drops >= 980L * 8, s"cap drops not accounted: $drops")
     // the cap keeps the lowest doc_ids, so the canonical keeper survives
     val pairs = DedupOps.minhashPairs(docs, bucketCap = 20)
       .agg(min("doc_a")).head().getLong(0)
     assert(pairs == 0L)
+    // on the real corpus no bucket overflows -> exhaustive-recall guarantee
+    // holds and the witness reads zero
+    DedupOps.dedupMinhashLsh(spark, sf).count()
+    assert(DedupOps.lastBucketCapDrops.get.value == 0L)
   }
 
   test("plan shapes: broadcast join for small dims, pushdown on postings") {
