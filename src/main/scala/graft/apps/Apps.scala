@@ -21,6 +21,10 @@ object SparkEnv {
       .config("spark.sql.shuffle.partitions", (2 * cpus.toInt).toString)
       .config("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // segments write partitions by kind (2 values): concurrent writers
+      // skip the per-task sort-by-partition-key that buffered whole task
+      // outputs (GC-heavy) before the write
+      .config("spark.sql.maxConcurrentOutputFileWriters", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // master only when not provided by spark-submit

@@ -172,6 +172,33 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(rs.size == 3 && rs.forall(_.lineage.nonEmpty))
   }
 
+  test("broadcast-join salting (hotMapMax=0) == driver-map salting, bit-identical") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    // low hotTermDf so real salting happens; hotMapMax = 0 forces the
+    // Right(hotDf) broadcast-join path for EVERY hot term
+    val mapCfg = IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300)
+    val joinCfg = mapCfg.copy(hotMapMax = 0)
+    val mapDir = s"$workDir/index_salt_map"
+    val joinDir = s"$workDir/index_salt_join"
+    Index.build(corpus, mapDir, mapCfg)
+    Index.build(corpus, joinDir, joinCfg)
+
+    def canonical(dir: String): Seq[(String, Int, Long, Long, Seq[Long])] =
+      Index.reader(spark, dir).postings.collect().toSeq
+        .map(tp => (tp.term, tp.salt, tp.df, tp.totalTf,
+          tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1).toSeq))
+        .sortBy(t => (t._1, t._2))
+    val a = canonical(mapDir)
+    val b = canonical(joinDir)
+    assert(a.size == b.size, s"postings row counts differ: ${a.size} vs ${b.size}")
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // stats identical too (docmeta-observe path is shared)
+    val (sa, sb) = (SnapshotStore.read(mapDir).head, SnapshotStore.read(joinDir).head)
+    assert(sa.docCount == sb.docCount && sa.sumTotalTermFreq == sb.sumTotalTermFreq)
+    assert(sa.docCount > 0 && sa.sumTotalTermFreq > 0)
+  }
+
   test("delete-by-term tombstones + forceMerge compaction") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]

@@ -321,3 +321,22 @@ a:b:c~2.0
     assert(parseToSpec("a (b c)", "g2").should == Seq("a", "b", "c"))
   }
 }
+
+/** Unit tests for the chunked bucket-filter channel reassembly. */
+class FilterChannelSpec extends AnyFunSuite {
+  test("assembleFilters concatenates chunks sorted, grouped by lang") {
+    def bf(lang: String, chunk: Long, ids: Long*) =
+      BucketFilter(0, lang, chunk, ids.toArray)
+    // chunks arrive unordered (shuffle order is arbitrary)
+    val rows = Iterator(
+      bf("en", 2L, 131072L, 131080L),
+      bf("en", 0L, 5L, 9L),
+      bf("fr", 1L, 65536L),
+      bf("en", 1L, 65540L, 70000L))
+    val m = QueryEngine.assembleFilters(rows)
+    assert(m("en").toSeq == Seq(5L, 9L, 65540L, 70000L, 131072L, 131080L))
+    assert(m("fr").toSeq == Seq(65536L))
+    // binary-search ready: strictly ascending
+    m.values.foreach(a => assert(a.toSeq == a.toSeq.sorted))
+  }
+}
