@@ -33,8 +33,11 @@ object SparkEntry {
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
     "match_all_docs" -> (DocSearchOps.matchAllDocs(_, _)),
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
+    "search_lm_dirichlet" -> (DocSearchOps.searchLmDirichlet(_, _)),
+    "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "search_edismax_qf" -> (DocSearchOps.searchEdismaxQf(_, _)),
     "search_stemmed_bm25" -> ((s, d) => DocSearchOps.searchStemmed(s, d)),
+    "search_porter_bm25" -> ((s, d) => DocSearchOps.searchPorter(s, d)),
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
@@ -352,6 +355,58 @@ object SparkEntry {
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // LM Dirichlet (mu=2000): per-term contribution clamped at 0, summed
+    // over matched query terms; p(t|C) = (ttf+1)/(sumTtf+2), dl is the
+    // SmallFloat-quantized doc length (qdl), sumTtf = sum of post-stop dl
+    "search_lm_dirichlet" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT sum(dl) FROM dl) AS sumttf),
+         |ttfs AS (SELECT term, count(*) AS ttf FROM tok
+         |         WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(greatest(0, ln(1 + tf.tf / (2000.0 * (ttfs.ttf + 1.0) / (st.sumttf + 2.0)))
+         |             + ln(2000.0 / (qdl.qdl + 2000.0)))) AS score
+         |  FROM tf JOIN ttfs ON tf.term = ttfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // block join to parents: BM25 MUST(merge, window) over children, then
+    // ScoreMode.Max + child count rolled up per parent `source`
+    "block_join_parent" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'window') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id
+         |        HAVING count(DISTINCT CASE WHEN tf.term IN ('merge', 'window')
+         |               THEN tf.term END) = 2)
+         |SELECT d.source, round(max(sc.score), 4) AS parent_score,
+         |       count(*) AS n_children
+         |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |GROUP BY d.source
+         |ORDER BY parent_score DESC, d.source""".stripMargin,
     // stemmed analyzer chain: query "merges windows" -> stems (merge,
     // window) scored over the stemmed-token index (dl unchanged — stemming
     // is 1:1 on tokens)
@@ -367,6 +422,37 @@ object SparkEntry {
          |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
          |dfs AS (SELECT term, count(*) AS df FROM tf
          |        WHERE term IN ('merge', 'window') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // full Porter chain: query "merged queries" -> stems (merg, queri)
+    // scored over the Porter-stemmed index. The oracle inlines the Porter
+    // map of the documents vocabulary as a CASE (only 6 of 31 tokens
+    // change; PorterStemmerSpec pins the mapping against the published
+    // algorithm, and drifts there must move this CASE in lockstep).
+    "search_porter_bm25" ->
+      s"""WITH $TokCte,
+         |stok AS (SELECT doc_id, CASE term
+         |  WHEN 'customer' THEN 'custom' WHEN 'merge' THEN 'merg'
+         |  WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl'
+         |  WHEN 'value' THEN 'valu' WHEN 'key' THEN 'kei'
+         |  ELSE term END AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM stok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM stok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merg', 'queri') GROUP BY term),
          |sc AS (SELECT tf.doc_id,
          |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
          |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score

@@ -83,6 +83,14 @@ object Analyzer {
       stopWords: Set[String] = EnglishStopWords): Array[String] =
     analyze(text, stopWords).map(minimalStem)
 
+  /** analyze + full Porter stemming (the PorterStemFilter chain
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/en/PorterStemFilter.java]):
+    * tokenize -> lowercase -> stop -> Porter.
+    */
+  def analyzePorter(text: String,
+      stopWords: Set[String] = EnglishStopWords): Array[String] =
+    analyze(text, stopWords).map(PorterStemmer.stem)
+
   /** Analyzed per-doc term frequencies, terms in sorted order (the per-doc
     * slice of the DWPT-style in-memory inverted index, SURVEY.md §2.3).
     * Returns (sortedTerms, tfs, totalTokenCount-after-stop).

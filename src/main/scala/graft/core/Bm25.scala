@@ -11,6 +11,13 @@ package graft.core
 trait Similarity extends Serializable {
   /** Per-term query weight from collection stats (idf and boost folded). */
   def weight(df: Long, docCount: Long, boost: Double): Double
+  /** Per-term query weight from FULL term statistics — language-model
+    * similarities need the term's total frequency and the collection's
+    * (Lucene's TermStatistics/CollectionStatistics pair, which
+    * createWeight always receives). Default: the df-only weight.
+    */
+  def weightFull(df: Long, ttf: Long, docCount: Long, sumTtf: Long,
+      boost: Double): Double = weight(df, docCount, boost)
   /** Per-norm-byte doc-length component, indexed by normByte & 0xFF. */
   def normTable(avgdl: Double): Array[Double]
   /** Hot-path score: weight x tf x table(normByte). */
@@ -122,5 +129,53 @@ final case class Bm25(k1: Double = 1.2, b: Double = 0.75) extends Similarity {
       i += 1
     }
     best
+  }
+}
+
+/** LM Dirichlet similarity (Zhai & Lafferty 2001, "A study of smoothing
+  * methods for language models applied to ad hoc information retrieval";
+  * [B lucene/core/src/java/org/apache/lucene/search/similarities/LMDirichletSimilarity.java,
+  * LMSimilarity.java#DefaultCollectionModel]):
+  *
+  *   p(t|C)  = (ttf + 1) / (sumTotalTermFreq + 2)   (collection model,
+  *             add-one smoothed so unseen terms keep a finite score)
+  *   score   = ln(1 + tf / (mu * p(t|C))) + ln(mu / (dl + mu)),
+  *             clamped at 0 (negative LM scores would break top-k
+  *             accounting; same clamp the reference applies)
+  *
+  * dl is the SmallFloat-quantized doc length the index stores. The score is
+  * non-decreasing in tf and non-increasing in dl, so the stored (tf, norm)
+  * impact skylines stay admissible and the UNMODIFIED block-max WAND engine
+  * runs this model — the third Similarity implementation through the SPI.
+  *
+  * The additive shape is folded into the SPI as: weightFull returns
+  * mu * p(t|C) (the per-term smoothing mass), normTable holds the
+  * ln(mu / (dl + mu)) doc-length component, and score combines them.
+  * Query boosts are not separable in this encoding — require boost == 1
+  * (Lucene multiplies the whole sum by boost; reject loudly rather than
+  * silently misrank).
+  */
+final case class LmDirichlet(mu: Double = 2000.0) extends Similarity {
+  require(mu > 0, s"invalid LM Dirichlet mu=$mu")
+
+  override def weight(df: Long, docCount: Long, boost: Double): Double =
+    throw new UnsupportedOperationException(
+      "LmDirichlet needs full term stats — engine must call weightFull")
+  override def weightFull(df: Long, ttf: Long, docCount: Long, sumTtf: Long,
+      boost: Double): Double = {
+    require(boost == 1.0,
+      s"LmDirichlet supports boost == 1 only (got $boost)")
+    mu * (ttf + 1.0) / (sumTtf + 2.0)
+  }
+  override def normTable(avgdl: Double): Array[Double] =
+    Array.tabulate(256) { i =>
+      val dl = SmallFloatUtil.LengthTable(i).toDouble
+      math.log(mu / (dl + mu))
+    }
+  override def score(weight: Double, tf: Int, normVal: Double): Double =
+    scoreFreq(weight, tf.toDouble, normVal)
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double = {
+    val s = math.log(1.0 + freq / weight) + normVal
+    if (s > 0.0) s else 0.0
   }
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object DocSearchOps {
 
-  private val Version = "v5" // bump to invalidate cached indexes on format change
+  private val Version = "v6" // bump to invalidate cached indexes on format change
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
 
   def reader(spark: SparkSession, sfDir: String): Index.Reader =
@@ -101,6 +101,47 @@ object DocSearchOps {
     val terms = graft.core.Analyzer.analyzeStemmed(rawQuery).toSeq
     rankDf(r, QueryEngine.search(r,
       Seq(QuerySpec("stem", should = terms)), stopWords = Set.empty))
+  }
+
+  /** Porter-analyzer index (full PorterStemFilter chain, vs the minimal
+    * S-stemmer above): same pre-analyzed-corpus composition, cached
+    * separately. "queries"/"merged"/"tables" all conflate onto their stems.
+    */
+  def porterReader(spark: SparkSession, sfDir: String): Index.Reader =
+    porterCache.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_porterindex_${Version}_$safe"
+      if (index.SnapshotStore.read(dir).isEmpty) {
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(
+            col("source").as("repo"),
+            col("doc_id").cast("string").as("path"),
+            lit("").as("commit"),
+            col("lang"),
+            col("text").as("content"))
+          .as[SourceDoc]
+          .map(d => d.copy(content =
+            graft.core.Analyzer.analyzePorter(d.content).mkString(" ")))
+        Index.build(corpus, dir,
+          IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000,
+            stopWords = Set.empty))
+      }
+      Index.reader(spark, dir)
+    })
+
+  private val porterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
+
+  /** Porter-stemmed BM25 search: inflected query forms ("merged queries")
+    * score the merg/queri stem postings.
+    */
+  def searchPorter(spark: SparkSession, sfDir: String,
+      rawQuery: String = "merged queries"): DataFrame = {
+    val r = porterReader(spark, sfDir)
+    val terms = graft.core.Analyzer.analyzePorter(rawQuery).toSeq
+    rankDf(r, QueryEngine.search(r,
+      Seq(QuerySpec("porter", should = terms)), stopWords = Set.empty))
   }
 
   /** Single-term BM25 top-10 (TermQuery == degenerate WAND). */
@@ -287,6 +328,34 @@ object DocSearchOps {
   def searchClassic(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("classic", should = Seq("merge", "sort")),
       sim = graft.core.ClassicSimilarity())
+
+  /** LM Dirichlet ranking through the UNMODIFIED WAND engine — the third
+    * Similarity implementation (language-model family), consuming the full
+    * (df, ttf) term statistics via Similarity.weightFull.
+    */
+  def searchLmDirichlet(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("lmd", should = Seq("merge", "sort")),
+      sim = graft.core.LmDirichlet())
+
+  /** Block join, parent side (ToParentBlockJoinQuery with ScoreMode.Max
+    * [B lucene/join/src/java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java;
+    * solr BlockJoinParentQParser]): children = documents, parents = their
+    * `source` repo. The child query scores ALL matching children (k covers
+    * the corpus — block join aggregates, it does not truncate), then a
+    * distributed groupBy rolls max(child score) + child count up to each
+    * parent. At 100 TB the rollup is one shuffle of (repo, score) pairs.
+    */
+  def blockJoinParent(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    val hits = QueryEngine.search(r,
+      Seq(QuerySpec("bj", must = Seq("merge", "window"), k = 50000)))
+    hits.join(r.docMeta.select(col("docId"), col("repo")), "docId")
+      .groupBy(col("repo"))
+      .agg(round(max(col("score")), 4).as("parent_score"),
+        count(lit(1)).as("n_children"))
+      .select(col("repo").as("source"), col("parent_score"), col("n_children"))
+      .orderBy(desc("parent_score"), asc("source"))
+  }
 
   /** Multi-field scoring (edismax `qf` weighting core): one query mixing a
     * content clause with a weighted clause on the `repo` metadata field,
