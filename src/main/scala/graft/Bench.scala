@@ -130,20 +130,28 @@ object Bench {
 
     // the sandbox VM has bursty multi-second co-tenant noise: INTERLEAVE the
     // parallelism levels (lo, hi, AND max) across the rounds and take each
-    // level's min, so a noisy window cannot bias one level's every sample
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
-    val samples = (1 to rounds).map { r =>
+    // level's min, so a noisy window cannot bias one level's every sample.
+    // The hi/max builds are short (~20-30 s) and so more likely to be fully
+    // swallowed by one burst — sample them TWICE per round (cheap), which
+    // doubles the chances the min sees a quiet window.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "7").toInt
+    val losB = Seq.newBuilder[Double]
+    val hisB = Seq.newBuilder[Double]
+    val maxsB = Seq.newBuilder[Double]
+    for (r <- 1 to rounds) {
       quiesce(s"lo r$r")
-      val lo = buildOnce(scaleLo, s"lo$scaleLo", warm = r == 1)
-      quiesce(s"hi r$r")
-      val hi = buildOnce(scaleHi, s"hi$scaleHi", warm = r == 1)
-      quiesce(s"max r$r")
-      val mx = buildOnce(opsCores, s"max$opsCores", warm = r == 1)
-      (lo, hi, mx)
+      losB += buildOnce(scaleLo, s"lo$scaleLo", warm = r == 1)
+      for (i <- 1 to 2) {
+        quiesce(s"hi r$r.$i")
+        hisB += buildOnce(scaleHi, s"hi$scaleHi", warm = r == 1 && i == 1)
+        quiesce(s"max r$r.$i")
+        maxsB += buildOnce(opsCores, s"max$opsCores", warm = r == 1 && i == 1)
+      }
     }
-    val tLo = samples.map(_._1).min
-    val tHi = samples.map(_._2).min
-    val tMax = samples.map(_._3).min
+    val (los, his, maxs) = (losB.result(), hisB.result(), maxsB.result())
+    val tLo = los.min
+    val tHi = his.min
+    val tMax = maxs.min
     val thrLo = benchDocs / tLo
     val thrHi = benchDocs / tHi
     val eff = (thrHi / thrLo) / (scaleHi.toDouble / scaleLo)
@@ -177,9 +185,9 @@ object Bench {
         s""""secs_lo":${j(tLo)},"secs_hi":${j(tHi)},""" +
         s""""files_per_sec_lo":${j(thrLo)},"files_per_sec_hi":${j(thrHi)},""" +
         s""""scaling_efficiency":${j(eff)},""" +
-        s""""scaling_samples_lo":[${samples.map(x => j(x._1)).mkString(",")}],""" +
-        s""""scaling_samples_hi":[${samples.map(x => j(x._2)).mkString(",")}],""" +
-        s""""scaling_samples_max":[${samples.map(x => j(x._3)).mkString(",")}],""" +
+        s""""scaling_samples_lo":[${los.map(j).mkString(",")}],""" +
+        s""""scaling_samples_hi":[${his.map(j).mkString(",")}],""" +
+        s""""scaling_samples_max":[${maxs.map(j).mkString(",")}],""" +
         s""""cores_max":$opsCores,"secs_max":${j(tMax)},""" +
         s""""files_per_sec_max":${j(benchDocs / tMax)}}"""
     val latJson =

@@ -34,6 +34,7 @@ object SparkEntry {
     "match_all_docs" -> (DocSearchOps.matchAllDocs(_, _)),
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
     "search_lm_dirichlet" -> (DocSearchOps.searchLmDirichlet(_, _)),
+    "search_dfr_inb2" -> (DocSearchOps.searchDfr(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "search_edismax_qf" -> (DocSearchOps.searchEdismaxQf(_, _)),
     "search_stemmed_bm25" -> ((s, d) => DocSearchOps.searchStemmed(s, d)),
@@ -380,6 +381,31 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // DFR I(n)B2: weight = (ttf+1)/df * log2((N+1)/(df+0.5)), per-doc
+    // tfn = tf * log2(1 + avgdl/qdl), score = weight * tfn/(tfn+1)
+    "search_dfr_inb2" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |stats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+         |          FROM (SELECT doc_id, term FROM tok) GROUP BY term),
+         |dfs AS (SELECT term, df, ttf FROM stats WHERE term IN ('merge', 'sort')),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(((dfs.ttf + 1.0) / dfs.df) * (ln((st.n + 1.0) / (dfs.df + 0.5)) / ln(2))
+         |            * (tf.tf * (ln(1 + st.avgdl / qdl.qdl) / ln(2)))
+         |            / (tf.tf * (ln(1 + st.avgdl / qdl.qdl) / ln(2)) + 1.0)) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // block join to parents: BM25 MUST(merge, window) over children, then
     // ScoreMode.Max + child count rolled up per parent `source`

@@ -179,3 +179,45 @@ final case class LmDirichlet(mu: Double = 2000.0) extends Similarity {
     if (s > 0.0) s else 0.0
   }
 }
+
+/** DFR I(n)B2 similarity (Amati & van Rijsbergen 2002, "Probabilistic
+  * models of information retrieval based on measuring the divergence from
+  * randomness"; [B lucene/core/src/java/org/apache/lucene/search/similarities/DFRSimilarity.java,
+  * BasicModelIn.java, AfterEffectB.java, NormalizationH2.java]):
+  *
+  *   tfn   = tf * log2(1 + c * avgdl / dl)          (normalization H2, c=1)
+  *   inf   = tfn * log2((N + 1) / (df + 0.5))       (basic model I(n))
+  *   gain  = (ttf + 1) / (df * (tfn + 1))           (after-effect B)
+  *   score = boost * gain * inf
+  *
+  * The product factors as [boost * (ttf+1)/df * log2((N+1)/(df+0.5))] *
+  * tfn/(tfn+1) — so weightFull carries the bracket (per-term), normTable
+  * carries the per-doc-length log2(1 + c*avgdl/dl), and score combines
+  * them. tfn/(tfn+1) is increasing in tfn; tfn is increasing in tf and
+  * decreasing in dl — the impact-skyline monotonicity contract holds and
+  * the UNMODIFIED WAND engine runs the model (fourth Similarity impl).
+  */
+final case class DfrInB2(c: Double = 1.0) extends Similarity {
+  require(c > 0, s"invalid DFR H2 c=$c")
+  private val Ln2 = math.log(2.0)
+
+  override def weight(df: Long, docCount: Long, boost: Double): Double =
+    throw new UnsupportedOperationException(
+      "DfrInB2 needs full term stats — engine must call weightFull")
+  override def weightFull(df: Long, ttf: Long, docCount: Long, sumTtf: Long,
+      boost: Double): Double =
+    if (df <= 0) 0.0
+    else boost * ((ttf + 1.0) / df) *
+      (math.log((docCount + 1.0) / (df + 0.5)) / Ln2)
+  override def normTable(avgdl: Double): Array[Double] =
+    Array.tabulate(256) { i =>
+      val dl = SmallFloatUtil.LengthTable(i).toDouble
+      if (dl <= 0) 0.0 else math.log(1.0 + c * avgdl / dl) / Ln2
+    }
+  override def score(weight: Double, tf: Int, normVal: Double): Double =
+    scoreFreq(weight, tf.toDouble, normVal)
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double = {
+    val tfn = freq * normVal
+    weight * tfn / (tfn + 1.0)
+  }
+}

@@ -337,6 +337,13 @@ object DocSearchOps {
     searchDf(spark, sfDir, QuerySpec("lmd", should = Seq("merge", "sort")),
       sim = graft.core.LmDirichlet())
 
+  /** DFR I(n)B2 ranking — fourth Similarity through the SPI (divergence-
+    * from-randomness family), same unmodified WAND engine.
+    */
+  def searchDfr(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("dfr", should = Seq("merge", "sort")),
+      sim = graft.core.DfrInB2())
+
   /** Block join, parent side (ToParentBlockJoinQuery with ScoreMode.Max
     * [B lucene/join/src/java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java;
     * solr BlockJoinParentQParser]): children = documents, parents = their
