@@ -161,14 +161,20 @@ object Bench {
     val reader = Index.reader(s, s"$work/index_max$opsCores")
     // warm-up (JIT + parquet footer caches)
     QueryEngine.search(reader, ReferenceQueries.all.take(3)).count()
+    // two passes, per-query min: the latency phase is seconds-long and a
+    // single co-tenant burst would otherwise write the whole percentile row
     val latencies = ReferenceQueries.all.map { q =>
-      val (_, secs) = time(QueryEngine.search(reader, Seq(q)).count())
-      q.qid -> secs
+      val runs = (1 to 2).map { _ =>
+        time(QueryEngine.search(reader, Seq(q)).count())._2
+      }
+      q.qid -> runs.min
     }
     val sorted = latencies.map(_._2).sorted
     val p50 = sorted(sorted.size / 2)
     val p95 = sorted(math.min(sorted.size - 1, (sorted.size * 95) / 100))
-    val (_, batchSecs) = time(QueryEngine.search(reader, ReferenceQueries.all).count())
+    val batchSecs = (1 to 2).map { _ =>
+      time(QueryEngine.search(reader, ReferenceQueries.all).count())._2
+    }.min
 
     // per-operator timings at sfDir (each op includes its full plan;
     // DocSearchOps builds its index once, on the first search op)

@@ -55,8 +55,13 @@ object BmwScorer {
 
     def size: Int = n
     def full: Boolean = n == k
-    /** Current threshold: kth best score, or 0 while not full (scores > 0). */
-    def theta: Double = if (full) scores(0) else 0.0
+    /** Current threshold: kth best score, or -inf while not full. (-inf,
+      * not 0: LM Dirichlet's clamped model scores exactly 0, and a
+      * 0-threshold would prune zero-score docs the collector must still
+      * admit while filling — Lucene sets minCompetitiveScore only once
+      * the queue is full for the same reason.)
+      */
+    def theta: Double = if (full) scores(0) else Double.NegativeInfinity
 
     @inline private def worse(i: Int, j: Int): Boolean =
       scores(i) < scores(j) || (scores(i) == scores(j) && docs(i) > docs(j))

@@ -162,6 +162,42 @@ class BmwScorerSpec extends AnyFunSuite {
     }
   }
 
+  test("all four Similarity impls run the WAND engine rank-identical to naive") {
+    // LM Dirichlet and DFR consume full (df, ttf, sumTtf) stats via
+    // weightFull; their non-linear score shapes must still satisfy the
+    // impact-skyline bound contract, which this dueling pass verifies
+    val sims: Seq[Similarity] =
+      Seq(Bm25(), ClassicSimilarity(), LmDirichlet(), DfrInB2())
+    forAll(corpusGen, n = 30) { c =>
+      val sumTtf = c.values.map(_.map(_._2.toLong).sum).sum
+      val terms = c.keys.toSeq.sorted
+      for (sim <- sims; blockSize <- Seq(4, 128)) {
+        val table = sim.normTable(avgdl)
+        def wOf(t: String): Double = {
+          val ps = c(t)
+          sim.weightFull(ps.length.toLong, ps.map(_._2.toLong).sum,
+            docCount, sumTtf, 1.0)
+        }
+        def it(t: String): BmwScorer.TermIterator = {
+          val ps = c(t)
+          val blocks: Array[PostingBlock] =
+            if (ps.isEmpty) Array.empty
+            else PostingBlocks.build(ps.map(_._1).toArray,
+              ps.map(_._2).toArray, ps.map(_._3).toArray, blockSize).toArray
+          new BmwScorer.TermIterator(wOf(t), table, blocks, 0, sim)
+        }
+        val heap = new BmwScorer.TopKHeap(10)
+        BmwScorer.wandTopK(terms.map(it).toArray, 10, _ => true, heap)
+        val got = heap.drain().toSeq
+        val perDoc = mutable.HashMap.empty[Long, Double].withDefaultValue(0.0)
+        for (t <- terms; (d, tf, nb) <- c(t))
+          perDoc(d) += sim.score(wOf(t), tf, table(nb & 0xff))
+        val want = perDoc.toSeq.sortBy { case (d, sc) => (-sc, d) }.take(10)
+        assertRankIdentical(got, want)
+      }
+    }
+  }
+
   test("boost scales scores linearly, preserves ranks") {
     forAll(corpusGen, n = 20) { c =>
       val terms = c.keys.toSeq.sorted

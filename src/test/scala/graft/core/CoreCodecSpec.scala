@@ -357,16 +357,22 @@ class CoreCodecSpec extends AnyFunSuite {
   }
 
   test("Similarity.scoreFreq agrees with score at integer freq and stays monotone") {
-    for (sim <- Seq[Similarity](Bm25(), ClassicSimilarity())) {
+    for (sim <- Seq[Similarity](Bm25(), ClassicSimilarity(),
+        LmDirichlet(), DfrInB2())) {
       val table = sim.normTable(47.5)
       for (tf <- Seq(1, 2, 5, 17); nb <- Seq(0, 63, 127, 255)) {
-        val w = sim.weight(13L, 1000L, 1.5)
+        val w = sim.weightFull(13L, 40L, 1000L, 50000L, 1.0)
         assert(sim.score(w, tf, table(nb)) == sim.scoreFreq(w, tf.toDouble, table(nb)))
       }
-      // monotone in fractional freq (bound admissibility for sloppy phrases)
-      val w = sim.weight(13L, 1000L, 1.0)
+      // monotone (non-strictly for clamped models) in fractional freq —
+      // bound admissibility for sloppy phrases
+      val w = sim.weightFull(13L, 40L, 1000L, 50000L, 1.0)
       val fs = Seq(0.25, 0.5, 1.0, 1.5, 3.0).map(f => sim.scoreFreq(w, f, table(100)))
-      assert(fs.sliding(2).forall { case Seq(a, b) => a < b; case _ => true })
+      assert(fs.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+      // non-increasing in doc length: normTable ordering must follow dl
+      val longDocVal = table(SmallFloatUtil.intToByte4(400) & 0xff)
+      val shortDocVal = table(SmallFloatUtil.intToByte4(5) & 0xff)
+      assert(sim.scoreFreq(w, 3.0, longDocVal) <= sim.scoreFreq(w, 3.0, shortDocVal))
     }
   }
 }
