@@ -28,6 +28,7 @@ object SparkEntry {
     "search_dismax" -> (DocSearchOps.searchDismax(_, _)),
     "search_boosted" -> (DocSearchOps.searchBoosted(_, _)),
     "search_phrase" -> ((s, d) => DocSearchOps.searchPhrase(s, d)),
+    "search_span_first" -> ((s, d) => DocSearchOps.searchSpanFirst(s, d)),
     "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
     "search_min_should_match" -> (DocSearchOps.searchMinShouldMatch(_, _)),
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
@@ -51,6 +52,8 @@ object SparkEntry {
     "search_phrase_sloppy3" -> ((s, d) => DocSearchOps.searchPhraseSloppyScored(s, d)),
     "search_fuzzy_docs" -> ((s, d) => DocSearchOps.searchFuzzyDocs(s, d)),
     "search_term_range" -> ((s, d) => DocSearchOps.searchTermRange(s, d)),
+    "search_synonym" -> ((s, d) => DocSearchOps.searchSynonym(s, d)),
+    "search_rerank" -> ((s, d) => DocSearchOps.searchRerank(s, d)),
     "search_after_score" -> (DocSearchOps.searchAfterScore(_, _)),
     "facet_search_domain" -> (DocSearchOps.facetSearchDomain(_, _)),
     "suggest_terms" -> ((s, d) => DocSearchOps.suggestTerms(s, d)),
@@ -635,6 +638,58 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM tok
          |WHERE term >= 'fast' AND term <= 'key'
          |ORDER BY doc_id LIMIT 100""".stripMargin,
+    // SynonymQuery(merge, join): blended stats — pseudo-term freq = sum of
+    // member tfs per doc, df = MAX of member dfs, scored ONCE by BM25
+    "search_synonym" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'join') GROUP BY term),
+         |sdf AS (SELECT max(df) AS df FROM dfs),
+         |stf AS (SELECT doc_id, sum(tf) AS tf FROM tf WHERE term IN ('merge', 'join') GROUP BY doc_id),
+         |sc AS (
+         |  SELECT stf.doc_id,
+         |         ln(1 + (st.n - sdf.df + 0.5) / (sdf.df + 0.5)) * stf.tf
+         |           / (stf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |  FROM stf JOIN qdl ON stf.doc_id = qdl.doc_id
+         |       CROSS JOIN st CROSS JOIN sdf)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // Solr rerank: top-30 window of (merge OR sort), rescored as
+    // firstPass + 2.0 * bm25(window); misses keep their first-pass score
+    "search_rerank" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |df1 AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc1 AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - df1.df + 0.5) / (df1.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |  FROM tf JOIN df1 ON tf.term = df1.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |fw AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM sc1) WHERE rn <= 30),
+         |df2 AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('window') GROUP BY term),
+         |sc2 AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - df2.df + 0.5) / (df2.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |  FROM tf JOIN df2 ON tf.term = df2.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |comb AS (
+         |  SELECT fw.doc_id, fw.score + 2.0 * coalesce(sc2.score, 0) AS score
+         |  FROM fw LEFT JOIN sc2 ON fw.doc_id = sc2.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM comb)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // searchAfter score cursor: page 2 (ranks 11..20 re-ranked 1..10) of
     // the (merge, sort, window) ranking
     "search_after_score" -> bm25Sql(Seq("merge", "sort", "window"), Nil,
@@ -668,6 +723,13 @@ object SparkEntry {
          |  SELECT doc_id, ' ' || array_to_string($QualityTokSql, ' ') || ' ' AS tokstr
          |  FROM documents)
          |WHERE contains(tokstr, ' key order ') ORDER BY doc_id""".stripMargin,
+    // SpanFirstQuery(window, 12): an occurrence whose raw token position p
+    // (stop-word slots counted) satisfies endPosition = p + 1 <= 12
+    "search_span_first" ->
+      s"""WITH $PosCtes
+         |SELECT DISTINCT doc_id FROM pp
+         |WHERE term = 'window' AND pos + 1 <= 12
+         |ORDER BY doc_id""".stripMargin,
     // sloppy phrase "key order"~2: raw token positions (stop words count,
     // mirroring StopFilter position-increment holes), window |pb-pa-1|<=2
     "search_phrase_sloppy" ->

@@ -53,6 +53,35 @@ object PhraseMatcher {
     freq
   }
 
+  /** SpanFirstQuery [B lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java]:
+    * an occurrence of the exact-phrase (or single-term) span whose END
+    * position is <= `end` — Lucene's endPosition is last-token position + 1,
+    * so a 1-term span at position p qualifies iff p + 1 <= end. Anchors are
+    * ascending, so the first anchor past the window proves no match.
+    */
+  def matchFirst(posLists: Array[Array[Int]], offsets: Array[Int],
+      end: Int): Boolean = {
+    val n = posLists.length
+    if (n == 0) return false
+    val span = if (offsets == null) n - 1 else offsets(n - 1) - offsets(0)
+    var c = 0
+    while (c < posLists(0).length) {
+      val p0 = posLists(0)(c)
+      if (p0 + span + 1 > end) return false
+      if (n == 1) return true
+      var all = true
+      var i = 1
+      while (i < n && all) {
+        val gap = if (offsets == null) i else offsets(i) - offsets(0)
+        if (java.util.Arrays.binarySearch(posLists(i), p0 + gap) < 0) all = false
+        i += 1
+      }
+      if (all) return true
+      c += 1
+    }
+    false
+  }
+
   /** Two-term sloppy phrase: exists (pa, pb) with |pb - pa - gap| <= slop,
     * where `gap` is the query-position distance (1 for adjacent terms;
     * larger when stop words were removed between them) — the move-count

@@ -256,6 +256,23 @@ object DocSearchOps {
       .orderBy(asc("doc_id"))
   }
 
+  /** SpanFirstQuery [B lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java]:
+    * docs where the term/phrase span occurs within the first `end` token
+    * positions (endPosition <= end, stop-word slots counted — the classic
+    * "match in the title/lead" span query). Same distributed two-phase
+    * pipeline as phrases, with the position check swapped for the window
+    * test; ascending anchors make the per-doc check early-exit.
+    */
+  def searchSpanFirst(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("window"), end: Int = 12): DataFrame = {
+    val r = reader(spark, sfDir)
+    QueryEngine.matchAllTerms(r, terms, spanEnd = end)
+      .toDF("docId")
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** Sloppy phrase ("a b"~2): positional window match
     * [B lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java]
     * — same distributed two-phase pipeline with |p_b - p_a - 1| <= slop.
@@ -587,6 +604,81 @@ object DocSearchOps {
       .select(col("path").cast("long").as("doc_id"))
       .orderBy(asc("doc_id"))
       .limit(100)
+  }
+
+  /** SynonymQuery [B lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java]:
+    * the member terms score as ONE pseudo-term — per-doc freq is the SUM
+    * of member freqs, document frequency the MAX of member dfs (the
+    * blended TermStatistics SynonymQuery.createWeight builds). Ranks
+    * differently from both OR (which sums two idf-weighted scores) and a
+    * single term; executed by the clause-tree path's SynScorer.
+    */
+  def searchSynonym(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "join")): DataFrame = {
+    val r = reader(spark, sfDir)
+    val tree = graft.search.ClauseNode.SynNode(terms)
+    rankDf(r, graft.search.QueryEngine.searchTree(r, "syn", tree))
+  }
+
+  /** Solr ReRankQParserPlugin [B solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java]:
+    * first pass ranks `reRankDocs` hits with the main query; the rerank
+    * query then rescores ONLY that window, final score = firstPass +
+    * reRankWeight * rerankScore (docs the rerank query misses keep their
+    * first-pass score). The window is coordinator-sized by contract
+    * (Solr holds it in the ReRankCollector), so the candidate set rides a
+    * broadcast; the second pass reads just the rerank terms' postings with
+    * block-range skipping over the sorted candidate ids — never a corpus
+    * scan.
+    */
+  def searchRerank(spark: SparkSession, sfDir: String,
+      mainTerms: Seq[String] = Seq("merge", "sort"),
+      rerankTerms: Seq[String] = Seq("window"),
+      reRankDocs: Int = 30, reRankWeight: Double = 2.0,
+      k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    import spark.implicits._
+    val sim = graft.core.Bm25()
+    val first = QueryEngine.search(r,
+      Seq(QuerySpec("rr", should = mainTerms, k = reRankDocs)), sim).collect()
+    val cand: Array[Long] = first.map(_.docId).sorted
+    val candB = spark.sparkContext.broadcast(cand)
+    val st = r.stats
+    val tstats = r.termStatsMap(rerankTerms)
+    val wByTerm: Map[String, Double] = rerankTerms.map { t =>
+      val (df, ttf) = tstats.getOrElse(t, (0L, 0L))
+      t -> sim.weightFull(df, ttf, st.docCount, st.sumTotalTermFreq, 1.0)
+    }.toMap
+    val wB = spark.sparkContext.broadcast(wByTerm)
+    val cacheB = spark.sparkContext.broadcast(sim.normTable(st.avgdl))
+    val second: Map[Long, Double] =
+      r.postings.where(col("term").isin(rerankTerms: _*)).as[TermPostings]
+        .flatMap { tp =>
+          val cs = candB.value
+          val w = wB.value(tp.term)
+          val cch = cacheB.value
+          tp.blocks.iterator
+            .filter { b => // only decode blocks whose range holds a candidate
+              var idx = java.util.Arrays.binarySearch(cs, b.firstDocId)
+              if (idx < 0) idx = -idx - 1
+              idx < cs.length && cs(idx) <= b.lastDocId
+            }
+            .flatMap { b =>
+              val (docs, tfs, norms) = graft.core.PostingBlocks.decode(b)
+              docs.indices.iterator
+                .filter(i => java.util.Arrays.binarySearch(cs, docs(i)) >= 0)
+                .map(i => (docs(i), sim.score(w, tfs(i), cch(norms(i) & 0xff))))
+            }
+        }
+        .groupByKey(_._1)
+        // sorted before summing: deterministic double accumulation across
+        // shuffle arrival orders (multi-term rerank queries)
+        .mapGroups { (d, it) => (d, it.map(_._2).toArray.sorted.sum) }
+        .collect().toMap
+    val combined = first
+      .map(h => (h.docId, h.score + reRankWeight * second.getOrElse(h.docId, 0.0)))
+      .sortBy { case (d, s) => (-s, d) }.take(k)
+      .map { case (d, s) => ScoredDoc("rerank", d, s) }.toSeq
+    rankDf(r, spark.createDataset(combined))
   }
 
   /** Score-cursor deep paging (VERDICT r2 next-10)

@@ -36,6 +36,17 @@ object ClauseNode {
   final case class PhraseNode(terms: Seq[String], offsets: Seq[Int],
       slop: Int = 0, boost: Double = 1.0) extends ClauseNode
 
+  /** SynonymQuery [B lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java]:
+    * scores N interchangeable terms as ONE pseudo-term — per-doc freq =
+    * sum of the member terms' freqs, document frequency = max of the
+    * members' dfs, total term freq = their sum (exactly the blended
+    * statistics SynonymQuery.createWeight builds). Matching any member
+    * matches the clause; the similarity scores the blended freq once
+    * against the doc norm, so a doc saying "merge" 3× and "join" 2×
+    * scores like a single term with tf 5.
+    */
+  final case class SynNode(terms: Seq[String], boost: Double = 1.0) extends ClauseNode
+
   /** Unscored metadata filter clause (lang == value) — Solr fq / Lucene
     * FILTER occurrence: matches contribute 0 to the score.
     */
@@ -56,6 +67,7 @@ object ClauseNode {
     case TermNode(t, _) => Seq(t)
     case ConstNode(ts, _) => ts
     case PhraseNode(ts, _, _, _) => ts
+    case SynNode(ts, _) => ts
     case LangNode(_) => Nil
     case BoolNode(m, s, mn, _, _) => (m ++ s ++ mn).flatMap(terms)
   }
@@ -185,6 +197,41 @@ object ClauseScorers {
     }
   }
 
+  /** Blended-statistics synonym scorer: approximation = min over members
+    * (any member matches), score = ONE similarity call over the summed
+    * member freqs and the doc's norm (all aligned members carry the same
+    * per-doc norm) [B .../search/SynonymQuery.java#SynonymScorer].
+    */
+  final class SynScorer(its: Array[TermIterator], weight: Double,
+      sim: Similarity) extends Scorer {
+    private var cur = -1L
+    def docId: Long = cur
+    def nextDoc(): Long = advance(if (cur < 0) 0L else cur + 1)
+    def advance(target: Long): Long = {
+      var min = NoMoreDocs
+      var i = 0
+      while (i < its.length) {
+        var d = its(i).docId
+        if (d < target) d = its(i).advance(target)
+        if (d < min) min = d
+        i += 1
+      }
+      cur = min
+      cur
+    }
+    def matches(): Boolean = cur != NoMoreDocs
+    def score(): Double = {
+      var tf = 0L
+      var norm = 0.0
+      var i = 0
+      while (i < its.length) {
+        if (its(i).docId == cur) { tf += its(i).termFreq; norm = its(i).normValue }
+        i += 1
+      }
+      sim.scoreFreq(weight, tf.toDouble, norm)
+    }
+  }
+
   /** Unscored sorted-docId-set clause (lang metadata filter). */
   final class DocSetScorer(ids: Array[Long]) extends Scorer {
     private var i = 0
@@ -298,12 +345,22 @@ object ClauseScorers {
       mkIter: (String, Double) => Option[TermIterator],
       langDocs: String => Array[Long],
       termIdf: String => Double,
-      sim: Similarity): Scorer = node match {
+      sim: Similarity,
+      /** synonym pseudo-term weight from the members' BLENDED stats
+        * (df = max, ttf = sum) — computed where collection stats live.
+        */
+      synWeight: (Seq[String], Double) => Double = (_, _) =>
+        throw new UnsupportedOperationException("no synonym stats provided")
+  ): Scorer = node match {
     case ClauseNode.TermNode(t, b) =>
       mkIter(t, b).map(new TermScorer(_)).getOrElse(EmptyScorer)
     case ClauseNode.ConstNode(ts, b) =>
       val its = ts.flatMap(t => mkIter(t, 1.0))
       if (its.isEmpty) EmptyScorer else new ConstScorer(its.toArray, b)
+    case ClauseNode.SynNode(ts, b) =>
+      val its = ts.flatMap(t => mkIter(t, 1.0))
+      if (its.isEmpty) EmptyScorer
+      else new SynScorer(its.toArray, synWeight(ts, b), sim)
     case ClauseNode.PhraseNode(ts, offs, slop, b) =>
       val its = ts.map(t => mkIter(t, 1.0))
       if (its.exists(_.isEmpty)) EmptyScorer
@@ -317,15 +374,15 @@ object ClauseScorers {
       val ids = langDocs(l)
       if (ids.isEmpty) EmptyScorer else new DocSetScorer(ids)
     case ClauseNode.BoolNode(m, s, mn, msm, b) =>
-      val musts = m.map(build(_, mkIter, langDocs, termIdf, sim))
+      val musts = m.map(build(_, mkIter, langDocs, termIdf, sim, synWeight))
       if (musts.exists(_ eq EmptyScorer)) EmptyScorer
       else {
-        val shoulds = s.map(build(_, mkIter, langDocs, termIdf, sim))
+        val shoulds = s.map(build(_, mkIter, langDocs, termIdf, sim, synWeight))
           .filterNot(_ eq EmptyScorer)
         if (shoulds.length < minShouldOf(msm, musts.nonEmpty, s.nonEmpty)) EmptyScorer
         else if (musts.isEmpty && shoulds.isEmpty) EmptyScorer
         else {
-          val nots = mn.map(build(_, mkIter, langDocs, termIdf, sim))
+          val nots = mn.map(build(_, mkIter, langDocs, termIdf, sim, synWeight))
             .filterNot(_ eq EmptyScorer)
           new BoolScorer(musts.toArray, shoulds.toArray, nots.toArray, msm, b)
         }

@@ -344,7 +344,13 @@ object QueryEngine {
           val scorer = ClauseScorers.build(tree, mkIter,
             l => allowedByLang.getOrElse(l, Array.emptyLongArray),
             t => { val (df, ttf) = dfMap.getOrElse(t, (0L, 0L))
-              sim.weightFull(df, ttf, st.docCount, st.sumTotalTermFreq, 1.0) }, sim)
+              sim.weightFull(df, ttf, st.docCount, st.sumTotalTermFreq, 1.0) }, sim,
+            // SynonymQuery blended stats: df = max over members, ttf = sum
+            (ts, b) => {
+              val stats = ts.map(t => dfMap.getOrElse(t, (0L, 0L)))
+              sim.weightFull(stats.map(_._1).max, stats.map(_._2).sum,
+                st.docCount, st.sumTotalTermFreq, b)
+            })
           if (scorer eq ClauseScorers.EmptyScorer) Iterator.empty
           else {
             val deleted = allowedByLang.getOrElse(DeletedKey, Array.emptyLongArray)
@@ -381,7 +387,14 @@ object QueryEngine {
     */
   def matchAllTerms(reader: Index.Reader, rawTerms: Seq[String],
       slop: Int = -1,
-      stopWords: Set[String] = Analyzer.EnglishStopWords): Dataset[Long] = {
+      stopWords: Set[String] = Analyzer.EnglishStopWords,
+      /** SpanFirstQuery window [B .../search/spans/SpanFirstQuery.java]:
+        * when >= 0, the exact-phrase (or single-term) span must END at a
+        * position <= spanEnd. Mutually exclusive with sloppy matching.
+        */
+      spanEnd: Int = -1): Dataset[Long] = {
+    require(spanEnd < 0 || slop <= 0,
+      "spanFirst wraps an exact span — sloppy windows don't compose here")
     val spark = reader.spark
     import spark.implicits._
     // tokenize keeping a running query-position counter; stop words advance
@@ -409,6 +422,7 @@ object QueryEngine {
     }
     val termsB = spark.sparkContext.broadcast((terms.toArray, offsets))
     val slopLocal = slop
+    val spanEndLocal = spanEnd
     val matched: Dataset[Long] = buckets.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) =>
         val (qTerms, qOffsets) = termsB.value
@@ -425,12 +439,14 @@ object QueryEngine {
               byTerm(t).sortBy(_.firstDocId).toArray)
           }
           val accept: Long => Boolean =
-            if (slopLocal < 0) _ => true
+            if (slopLocal < 0 && spanEndLocal < 0) _ => true
             else { _ =>
               val posLists = iters.map(_.positions())
               require(posLists.forall(_ != null),
                 "positional query over an index built without indexPositions")
-              if (slopLocal == 0) PhraseMatcher.exactMatch(posLists, qOffsets)
+              if (spanEndLocal >= 0)
+                PhraseMatcher.matchFirst(posLists, qOffsets, spanEndLocal)
+              else if (slopLocal == 0) PhraseMatcher.exactMatch(posLists, qOffsets)
               else PhraseMatcher.sloppyFreq(posLists, qOffsets, slopLocal) > 0
             }
           BmwScorer.conjunctionIterator(iters, accept)

@@ -632,6 +632,44 @@ class IndexEndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("clause tree: SynonymQuery blends stats (tf sum, df max) like an independent naive computation") {
+    import spark.implicits._
+    import graft.search.ClauseNode._
+    val reader = Index.reader(spark, indexDir)
+    val (a, b) = ("class", "defer")
+    val hits = QueryEngine.searchTree(reader, "syn", SynNode(Seq(a, b)), k = 30)
+      .collect().map(h => h.docId -> h.score).toMap
+
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+      .select($"docId", $"content").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val stats = reader.stats
+    val bm = graft.core.Bm25()
+    val cache = bm.normCache(stats.avgdl)
+    def tfOf(text: String): Map[String, Int] =
+      Analyzer.analyze(text).groupBy(identity).view.mapValues(_.length).toMap
+    val tfs = keyed.map { case (id, text) => id -> tfOf(text) }
+    val dfs = Seq(a, b).map(t => t -> tfs.count(_._2.contains(t)).toLong).toMap
+    assert(dfs(a) != dfs(b), "pick terms with different dfs for a meaningful test")
+    // SynonymQuery blended stats: ONE idf from the max df, ONE freq = sum
+    val w = bm.idf(dfs.values.max, stats.docCount)
+    val expected = tfs.flatMap { case (id, tf) =>
+      val freq = tf.getOrElse(a, 0) + tf.getOrElse(b, 0)
+      if (freq == 0) None
+      else {
+        val nb = SmallFloatUtil.intToByte4(tf.values.sum)
+        Some(id -> bm.scoreFreq(w, freq.toDouble, cache(nb & 0xff)))
+      }
+    }.sortBy { case (id, sc) => (-sc, id) }.take(30)
+    assert(expected.nonEmpty)
+    for ((id, sc) <- expected) {
+      assert(hits.contains(id), s"doc $id missing from synonym result")
+      assert(math.abs(hits(id) - sc) < 1e-9, s"doc $id: ${hits(id)} != $sc")
+    }
+  }
+
   test("clause tree: scored exact + sloppy phrase freq matches a naive position scan") {
     import spark.implicits._
     import graft.search.ClauseNode._
@@ -683,6 +721,42 @@ class IndexEndToEndSpec extends AnyFunSuite {
       val want = expTop.map { case (id, sc) => (id, math.round(sc * 1e9)) }
       assert(got == want, s"slop=$slop: $got != $want")
     }
+  }
+
+  test("span-first window (term + exact phrase) matches a naive position scan") {
+    import spark.implicits._
+    val reader = Index.reader(spark, indexDir)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
+    val keyed = corpus.join(
+      reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
+      .select($"docId", $"content").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks0 = Analyzer.tokenize(keyed.minBy(_._1)._2)
+    val Seq(pa, pb) = toks0.take(2).toSeq
+    val end = 25
+    // single-term span: an occurrence at raw position p with p + 1 <= end
+    val gotTerm = QueryEngine.matchAllTerms(reader, Seq(pa), spanEnd = end)
+      .collect().sorted.toSeq
+    val wantTerm = keyed.filter { case (_, text) =>
+      Analyzer.tokenize(text).take(end).contains(pa)
+    }.map(_._1).sorted.toSeq
+    assert(wantTerm.nonEmpty)
+    assert(gotTerm == wantTerm)
+    // phrase span: anchor p with tok(p)=pa, tok(p+1)=pb, p + 2 <= end
+    val gotPh = QueryEngine.matchAllTerms(reader, Seq(pa, pb), spanEnd = end)
+      .collect().sorted.toSeq
+    val wantPh = keyed.filter { case (_, text) =>
+      val ts = Analyzer.tokenize(text)
+      ts.zipWithIndex.exists { case (t, i) =>
+        t == pa && i + 2 <= end && i + 1 < ts.length && ts(i + 1) == pb
+      }
+    }.map(_._1).sorted.toSeq
+    assert(wantPh.nonEmpty)
+    assert(gotPh == wantPh)
+    // tighter window prunes: every tighter-window hit is a wider-window hit
+    val tight = QueryEngine.matchAllTerms(reader, Seq(pa), spanEnd = 3)
+      .collect().toSet
+    assert(tight.subsetOf(gotTerm.toSet))
   }
 
   test("grammar corpus: every accept case lowers AND executes through the tree") {
