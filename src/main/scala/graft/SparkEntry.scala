@@ -98,6 +98,7 @@ object SparkEntry {
     // -- similarity search --
     "ann_brute_force" -> (AnnOps.annBruteForce(_, _)),
     "ann_ivf_exact" -> (AnnOps.annIvf(_, _)),
+    "ann_lsh" -> (AnnOps.annLsh(_, _)),
     "dedup_embedding" -> ((s, d) => AnnOps.dedupEmbedding(s, d)),
     // -- multimodal plumbing --
     "multimodal_meta" -> (MultimodalOps.mediaMeta(_, _)),
@@ -297,6 +298,51 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM s)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Random-hyperplane LSH ANN, regenerated bit-for-bit in SQL: the
+    * hyperplane doubles come from the SAME integer formula (inlined as
+    * shortest-roundtrip literals), each sketch dot is a left-associative
+    * 64-term sum exactly matching the engine's sequential loop, banding is
+    * 4 x 4 bits with multiprobe-1 (engine: query-side probe expansion;
+    * oracle: the equivalent Hamming-distance-<=-1 band join), exact cosine
+    * ranks the candidates.
+    */
+  private val LshAnnSql: String = {
+    val planes = AnnOps.lshPlanes(16, 64)
+    val perBand = 4
+    def dotSql(h: Array[Double]): String =
+      h.zipWithIndex.map { case (c, j) =>
+        s"CAST(e.embedding[${j + 1}] AS DOUBLE)*($c)"
+      }.mkString(" + ")
+    val bandExprs = (0 until 4).map { b =>
+      val bits = (0 until perBand).map { j =>
+        val i = b * perBand + j
+        s"(CASE WHEN ${dotSql(planes(i))} >= 0 THEN 1 ELSE 0 END) * ${1 << (perBand - 1 - j)}"
+      }.mkString(" + ")
+      s"$bits AS b$b"
+    }.mkString(",\n  ")
+    s"""WITH sig AS (SELECT e.vec_id,
+       |  $bandExprs
+       |FROM embeddings e),
+       |sb AS (SELECT vec_id, band, bucket FROM (
+       |   SELECT vec_id, 0 AS band, b0 AS bucket FROM sig UNION ALL
+       |   SELECT vec_id, 1, b1 FROM sig UNION ALL
+       |   SELECT vec_id, 2, b2 FROM sig UNION ALL
+       |   SELECT vec_id, 3, b3 FROM sig)),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+       |         FROM sb s JOIN sb q ON s.band = q.band
+       |              AND bit_count(CAST(xor(s.bucket, q.bucket) AS BIGINT)) <= 1
+       |         WHERE q.vec_id IN (0, 1, 2) AND s.vec_id <> q.vec_id),
+       |s AS (SELECT c.query_id, c.vec_id, $CosSql AS cos
+       |      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |           JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) q
+       |             ON q.vec_id = c.query_id)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, round(cos, 4) AS cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   private val LangIdSql: String = {
     val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
@@ -951,6 +997,7 @@ object SparkEntry {
 
     "ann_brute_force" -> AnnSql,
     "ann_ivf_exact" -> AnnSql, // nprobe == nlist -> exact, same oracle
+    "ann_lsh" -> LshAnnSql,
     // embedding-cosine near-dup: exhaustive pair scan over the corpus plus
     // the planted exact copies (vec 0..4 at id+1,000,000)
     "dedup_embedding" ->

@@ -47,6 +47,89 @@ object AnnOps {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** Deterministic random-hyperplane matrix for the cosine LSH sketch
+    * (Charikar 2002, "Similarity estimation techniques from rounding
+    * algorithms"): component (i, j) = ((LCG(i*dim+j) mod 2001) - 1000)
+    * / 1000.0 — plain integer arithmetic so the DuckDB oracle regenerates
+    * the exact same doubles from the same formula.
+    */
+  def lshPlanes(nbits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dim) { (i, j) =>
+      val k = i.toLong * dim + j
+      val h = (1103515245L * k + 12345L) % 2147483648L
+      ((h % 2001L) - 1000L) / 1000.0
+    }
+
+  /** LSH-bucketed ANN — the second scale path beside IVF: 16 sign-of-dot
+    * sketch bits per vector, banded 4 x 4 (same banding idea as MinHash
+    * LSH) with MULTIPROBE on the query side (Lv et al. 2007, "Multi-probe
+    * LSH"): the query additionally probes every band bucket within Hamming
+    * distance `probes` of its own, so candidates = vectors whose band code
+    * differs by <= probes bits in at least one band; exact cosine then
+    * ranks candidates only. The corpus is touched twice map-side (sketch
+    * pass + candidate rank) and emits exactly `bands` rows per vector —
+    * probe expansion multiplies only the tiny query side, and the bucket
+    * join is a broadcast (a handful of query probe rows). Sketch dots are
+    * summed left-to-right so the DuckDB oracle's left-associative sum
+    * reproduces every sign bit-for-bit. Production sizing note: recall
+    * and selectivity trade off via (nbits, bands, probes) — wider bands
+    * (more bits each) keep bucket occupancy, and thus the candidate
+    * fraction, small as the corpus grows.
+    */
+  def annLsh(spark: SparkSession, sfDir: String, k: Int = 10,
+      nbits: Int = 16, bands: Int = 4, probes: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(nbits % bands == 0)
+    val e = emb(spark, sfDir)
+    val perBand = nbits / bands
+    val pB = spark.sparkContext.broadcast(lshPlanes(nbits, 64))
+    val sigs = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        val ps = pB.value
+        val bits = new Array[Int](ps.length)
+        var i = 0
+        while (i < ps.length) {
+          val h = ps(i)
+          var s = 0.0
+          var d = 0
+          while (d < h.length && d < v.length) { s += v(d).toDouble * h(d); d += 1 }
+          bits(i) = if (s >= 0) 1 else 0
+          i += 1
+        }
+        (0 until bands).iterator.map { b =>
+          var code = 0
+          var j = 0
+          while (j < perBand) { code = (code << 1) | bits(b * perBand + j); j += 1 }
+          (id, b, code)
+        }
+      }.toDF("vec_id", "band", "bucket")
+    // query-side probe expansion: every bucket within Hamming <= probes
+    val probesLocal = probes
+    val perBandLocal = perBand
+    val qsigs = sigs.where(col("vec_id").isin(QueryVecIds: _*))
+      .as[(Long, Int, Int)]
+      .flatMap { case (qid, band, code) =>
+        def expand(c: Int, fromBit: Int, left: Int): Iterator[Int] =
+          Iterator.single(c) ++ (if (left == 0) Iterator.empty
+          else (fromBit until perBandLocal).iterator.flatMap(bit =>
+            expand(c ^ (1 << bit), bit + 1, left - 1)))
+        expand(code, 0, probesLocal).map(pc => (qid, band, pc))
+      }.toDF("query_id", "band", "bucket")
+    val cands = sigs.join(broadcast(qsigs), Seq("band", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val queries = e.where(col("vec_id").isin(QueryVecIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    cands.join(e, "vec_id").join(broadcast(queries), "query_id")
+      .withColumn("cos", cosineExpr("embedding", "qvec"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+
   /** Assign every vector to its nearest centroid by cosine: the centroid
     * matrix is tiny (nlist x dim), so it rides a broadcast into a NARROW
     * typed map — no crossJoin, no shuffle of the embedding column (the

@@ -79,6 +79,30 @@ class OpsSpec extends AnyFunSuite {
     assert(cells.length > 1, "vectors not partitioned by cell")
   }
 
+  test("LSH ANN: multiprobe lifts recall, results rank-subset brute force") {
+    val exact = AnnOps.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = AnnOps.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // measured 0.7-1.0 per query at the default 16 bits / 4 bands /
+    // probe-1 on this corpus; floor well below to stay robust
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, f"LSH multiprobe-1 recall $recall%.2f too low")
+    // probe-0 (pure bucket equality) finds strictly fewer or equal
+    val p0 = AnnOps.annLsh(spark, sf, probes = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall0 = (exact intersect p0).size.toDouble / exact.size
+    assert(recall0 <= recall + 1e-9)
+    // every LSH cosine equals the brute-force cosine for that pair (the
+    // rank stage is exact over candidates)
+    val bfCos = AnnOps.annBruteForce(spark, sf, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    AnnOps.annLsh(spark, sf).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bfCos(key) == r.getDouble(3), s"cos mismatch at $key")
+    }
+  }
+
   test("embedding near-dup: exact and cell-blocked paths find planted copies") {
     def plantedFound(df: org.apache.spark.sql.DataFrame): Int = {
       val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
