@@ -54,6 +54,7 @@ object SparkEntry {
     "search_term_range" -> ((s, d) => DocSearchOps.searchTermRange(s, d)),
     "search_synonym" -> ((s, d) => DocSearchOps.searchSynonym(s, d)),
     "search_rerank" -> ((s, d) => DocSearchOps.searchRerank(s, d)),
+    "search_rrf_hybrid" -> ((s, d) => DocSearchOps.searchRrf(s, d)),
     "search_after_score" -> (DocSearchOps.searchAfterScore(_, _)),
     "facet_search_domain" -> (DocSearchOps.facetSearchDomain(_, _)),
     "suggest_terms" -> ((s, d) => DocSearchOps.suggestTerms(s, d)),
@@ -735,6 +736,38 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM comb)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // RRF hybrid: BM25(merge, sort) top-20 ranking fused with the cosine
+    // top-20 ranking against embedding 0 via sum of 1/(60 + rank)
+    "search_rrf_hybrid" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |  FROM tf JOIN dfs ON tf.term = dfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |lex AS (SELECT doc_id, lrank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+         |  FROM sc) WHERE lrank <= 20),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |vec AS (SELECT doc_id, vrank FROM (
+         |  SELECT vec_id AS doc_id,
+         |         row_number() OVER (ORDER BY cos DESC, vec_id) AS vrank
+         |  FROM (SELECT e.vec_id, $CosSql AS cos
+         |        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0))
+         |  WHERE vrank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lrank), 0)
+         |               + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vrank), 0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT rank, doc_id, rrf FROM (
+         |  SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+         |         doc_id, rrf FROM fused)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // searchAfter score cursor: page 2 (ranks 11..20 re-ranked 1..10) of
     // the (merge, sort, window) ranking

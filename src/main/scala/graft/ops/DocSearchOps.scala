@@ -681,6 +681,43 @@ object DocSearchOps {
     rankDf(r, spark.createDataset(combined))
   }
 
+  /** Hybrid lexical+vector search fused by Reciprocal Rank Fusion
+    * (Cormack et al. 2009; the combining strategy Solr ships for
+    * lexical+knn hybrid queries): fused(d) = sum over result lists of
+    * 1 / (kRrf + rank_list(d)), lists being the BM25 top-N ranking and the
+    * cosine top-N ranking of the documents' embeddings against a query
+    * vector. Rank-based integer fusion — no score normalization problem,
+    * and the oracle reproduces it exactly. Both inputs are top-N
+    * coordinator windows (the Solr combiner shape), so fusion is a
+    * broadcast-sized full outer join.
+    */
+  def searchRrf(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "sort"), queryVec: Long = 0L,
+      n: Int = 20, k: Int = 10, kRrf: Int = 60): DataFrame = {
+    val r = reader(spark, sfDir)
+    val lex = rankDf(r, QueryEngine.search(r,
+      Seq(QuerySpec("rrf", should = terms, k = n))))
+      .select(col("doc_id"), col("rank").as("lrank"))
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.where(col("vec_id") === queryVec)
+      .select(col("embedding").as("qvec"))
+    val wv = Window.orderBy(desc("cos"), asc("vec_id"))
+    val vec = e.where(col("vec_id") =!= queryVec).crossJoin(broadcast(q))
+      .withColumn("cos", AnnOps.cosineExpr("embedding", "qvec"))
+      .withColumn("vrank", row_number().over(wv))
+      .where(col("vrank") <= n)
+      .select(col("vec_id").cast("long").as("doc_id"), col("vrank"))
+    val wf = Window.orderBy(desc("rrf"), asc("doc_id"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vrank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("rrf"))
+      .orderBy(asc("rank"))
+  }
+
   /** Score-cursor deep paging (VERDICT r2 next-10)
     * [B lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java#searchAfter]:
     * page 2 of the (merge, sort, window) ranking — re-run with page 1's
