@@ -29,6 +29,11 @@ object SparkEntry {
     "search_boosted" -> (DocSearchOps.searchBoosted(_, _)),
     "search_phrase" -> ((s, d) => DocSearchOps.searchPhrase(s, d)),
     "search_span_first" -> ((s, d) => DocSearchOps.searchSpanFirst(s, d)),
+    "search_span_near" -> ((s, d) => DocSearchOps.searchSpanNear(s, d)),
+    "search_span_not" -> ((s, d) => DocSearchOps.searchSpanNot(s, d)),
+    "search_span_near_unordered" -> ((s, d) =>
+      DocSearchOps.searchSpanNear(s, d,
+        terms = Seq("sort", "merge", "window"), slop = 6, ordered = false)),
     "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
     "search_min_should_match" -> (DocSearchOps.searchMinShouldMatch(_, _)),
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
@@ -38,6 +43,7 @@ object SparkEntry {
     "search_dfr_inb2" -> (DocSearchOps.searchDfr(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "search_edismax_qf" -> (DocSearchOps.searchEdismaxQf(_, _)),
+    "search_edismax_pf" -> ((s, d) => DocSearchOps.searchEdismaxPf(s, d)),
     "search_stemmed_bm25" -> ((s, d) => DocSearchOps.searchStemmed(s, d)),
     "search_porter_bm25" -> ((s, d) => DocSearchOps.searchPorter(s, d)),
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
@@ -58,6 +64,8 @@ object SparkEntry {
     "search_after_score" -> (DocSearchOps.searchAfterScore(_, _)),
     "facet_search_domain" -> (DocSearchOps.facetSearchDomain(_, _)),
     "suggest_terms" -> ((s, d) => DocSearchOps.suggestTerms(s, d)),
+    "suggest_infix" -> ((s, d) => DocSearchOps.suggestInfix(s, d)),
+    "spell_collate" -> ((s, d) => DocSearchOps.spellCollate(s, d)),
     "search_regex" -> ((s, d) => DocSearchOps.searchRegex(s, d)),
     "search_highlight" -> ((s, d) => DocSearchOps.searchHighlight(s, d)),
     "index_term_stats" -> (DocSearchOps.indexTermStats(_, _)),
@@ -89,6 +97,9 @@ object SparkEntry {
     "text_quality" -> (TextOps.qualityScore(_, _)),
     "text_fingerprint" -> (TextOps.fingerprint(_, _)),
     "text_langid" -> (TextOps.langId(_, _)),
+    "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
+    "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
+    "dedup_spans" -> ((s, d) => PipelineOps.dedupSpans(s, d)),
     "text_term_stats" -> (TextOps.termStats(_, _)),
     // -- dedup family --
     "dedup_exact" -> (DedupOps.dedupExact(_, _)),
@@ -193,7 +204,7 @@ object SparkEntry {
        |  $mustFilter
        |)
        |SELECT rank - $offset AS rank, doc_id, score FROM (
-       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
        |         doc_id, round(score, 4) AS score
        |  FROM sc)
        |WHERE rank > $offset AND rank <= $offset + $k ORDER BY rank""".stripMargin
@@ -402,7 +413,7 @@ object SparkEntry {
          |       CROSS JOIN st
          |  GROUP BY tf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
@@ -428,7 +439,7 @@ object SparkEntry {
          |       CROSS JOIN st
          |  GROUP BY tf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
@@ -454,7 +465,7 @@ object SparkEntry {
          |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
          |        GROUP BY tf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // block join to parents: BM25 MUST(merge, window) over children, then
@@ -505,7 +516,7 @@ object SparkEntry {
          |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
          |        GROUP BY tf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // full Porter chain: query "merged queries" -> stems (merg, queri)
@@ -536,7 +547,7 @@ object SparkEntry {
          |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
          |        GROUP BY tf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // multi-field edismax qf: content:merge + repo:src3^2, each clause
@@ -568,7 +579,7 @@ object SparkEntry {
          |          coalesce(c.score, 0) + coalesce(r.score, 0) AS score
          |          FROM csc c FULL OUTER JOIN rsc r ON c.doc_id = r.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM allsc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // "+merge window^2.5 -error" through the text query parser
@@ -609,7 +620,7 @@ object SparkEntry {
          |            LEFT JOIN pf ON pf.doc_id = base.doc_id
          |            LEFT JOIN wnd ON wnd.doc_id = base.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // scored exact phrase "key order": phrase freq = adjacency count,
@@ -630,7 +641,38 @@ object SparkEntry {
          |       FROM pf CROSS JOIN w CROSS JOIN st
          |            JOIN qdl ON qdl.doc_id = pf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // edismax pf: BM25 over should(key, order) + 2.0-boosted exact-phrase
+    // component for docs where "key order" occurs adjacently
+    "search_edismax_pf" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |$PosCtes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('key', 'order') GROUP BY term),
+         |base AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |  FROM tf JOIN dfs ON tf.term = dfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'order'),
+         |pf AS (SELECT a.doc_id, count(*) * 1.0 AS pf
+         |       FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |       GROUP BY a.doc_id),
+         |w AS (SELECT sum(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))) AS w FROM dfs),
+         |sc AS (SELECT base.doc_id,
+         |       base.score
+         |       + coalesce(2.0 * w.w * pf.pf / (pf.pf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)), 0) AS score
+         |       FROM base JOIN qdl ON qdl.doc_id = base.doc_id
+         |            CROSS JOIN st CROSS JOIN w
+         |            LEFT JOIN pf ON pf.doc_id = base.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // scored 3-term sloppy phrase "key order sort"~2: anchored total
@@ -657,7 +699,7 @@ object SparkEntry {
          |       FROM pf CROSS JOIN w CROSS JOIN st
          |            JOIN qdl ON qdl.doc_id = pf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // fuzzy 'sort'~2 as RANKED DOCS: dictionary expansion by edit distance,
@@ -675,7 +717,7 @@ object SparkEntry {
          |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
          |       GROUP BY tf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // TermRangeQuery [fast TO key]: docs containing any dictionary term in
@@ -700,7 +742,7 @@ object SparkEntry {
          |  FROM stf JOIN qdl ON stf.doc_id = qdl.doc_id
          |       CROSS JOIN st CROSS JOIN sdf)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
@@ -719,7 +761,7 @@ object SparkEntry {
          |  GROUP BY tf.doc_id),
          |fw AS (SELECT doc_id, score FROM (
          |  SELECT doc_id, score,
-         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
          |  FROM sc1) WHERE rn <= 30),
          |df2 AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('window') GROUP BY term),
          |sc2 AS (
@@ -733,7 +775,7 @@ object SparkEntry {
          |  SELECT fw.doc_id, fw.score + 2.0 * coalesce(sc2.score, 0) AS score
          |  FROM fw LEFT JOIN sc2 ON fw.doc_id = sc2.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM comb)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
@@ -751,7 +793,7 @@ object SparkEntry {
          |       JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
          |  GROUP BY tf.doc_id),
          |lex AS (SELECT doc_id, lrank FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+         |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS lrank
          |  FROM sc) WHERE lrank <= 20),
          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
          |vec AS (SELECT doc_id, vrank FROM (
@@ -809,6 +851,38 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM pp
          |WHERE term = 'window' AND pos + 1 <= 12
          |ORDER BY doc_id""".stripMargin,
+    // SpanNearQuery(merge, sort; slop=4, ordered): positions in query order,
+    // intervening-slack (pb - pa + 1) - 2 <= 4; greedy chain == EXISTS join
+    "search_span_near" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'sort')
+         |SELECT DISTINCT a.doc_id AS doc_id
+         |FROM a JOIN b ON a.doc_id = b.doc_id
+         |WHERE b.pos > a.pos AND (b.pos - a.pos + 1) - 2 <= 4
+         |ORDER BY doc_id""".stripMargin,
+    // SpanNotQuery(merge, sort; dist=3): an occurrence of 'merge' more than
+    // 3 positions from every 'sort' (docs without 'sort' pass trivially)
+    "search_span_not" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'sort')
+         |SELECT DISTINCT a.doc_id AS doc_id FROM a
+         |WHERE NOT EXISTS (SELECT 1 FROM b
+         |       WHERE b.doc_id = a.doc_id AND abs(b.pos - a.pos) <= 3)
+         |ORDER BY doc_id""".stripMargin,
+    // SpanNearQuery(sort, merge, window; slop=6, unordered): any-order
+    // covering window, slack (max - min + 1) - 3 <= 6
+    "search_span_near_unordered" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'sort'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |c AS (SELECT doc_id, pos FROM pp WHERE term = 'window')
+         |SELECT DISTINCT a.doc_id AS doc_id
+         |FROM a JOIN b ON a.doc_id = b.doc_id
+         |       JOIN c ON a.doc_id = c.doc_id
+         |WHERE (greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) + 1) - 3 <= 6
+         |ORDER BY doc_id""".stripMargin,
     // sloppy phrase "key order"~2: raw token positions (stop words count,
     // mirroring StopFilter position-increment holes), window |pb-pa-1|<=2
     "search_phrase_sloppy" ->
@@ -829,6 +903,25 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok
          |WHERE term LIKE 's%' GROUP BY term
          |ORDER BY df DESC, term LIMIT 8""".stripMargin,
+    // AnalyzingInfixSuggester: completions containing the fragment, by weight
+    "suggest_infix" ->
+      s"""WITH $TokCte
+         |SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |WHERE contains(term, 'or') GROUP BY term
+         |ORDER BY df DESC, term LIMIT 8""".stripMargin,
+    // DirectSpellChecker + collation: best correction per query term by
+    // (edit distance, -df, term); a present term self-matches at dist 0
+    "spell_collate" ->
+      s"""WITH $TokCte,
+         |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         |q AS (SELECT unnest(['mrge', 'sorrt', 'window']) AS qterm),
+         |cand AS (SELECT q.qterm, d.term AS suggestion,
+         |         CAST(levenshtein(q.qterm, d.term) AS BIGINT) AS dist, d.df
+         |         FROM q, dict d WHERE levenshtein(q.qterm, d.term) <= 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qterm
+         |       ORDER BY dist, df DESC, suggestion) AS rk FROM cand)
+         |SELECT qterm, suggestion, dist, df FROM rk WHERE rk = 1
+         |ORDER BY qterm""".stripMargin,
     "search_fuzzy" ->
       s"""WITH $TokCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok
@@ -965,6 +1058,36 @@ object SparkEntry {
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($QualityTokSql)), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" -> LangIdSql,
+    // deterministic hash split: held-out = md5(doc_id) first hex in {0,1}
+    "sample_hash" ->
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+    // benchmark decontamination: training docs sharing an 8-token shingle
+    // with the doc_id % 7 == 0 pseudo-benchmark slice
+    "decontaminate_ngram" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |       md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS sh
+         |       FROM tk, unnest(range(len(toks) - 7)) AS r(i)
+         |       WHERE len(toks) >= 8),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 7 = 0)
+         |SELECT s.doc_id, count(*) AS n_hits
+         |FROM sh s JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id % 7 <> 0
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // exact duplicate-span detection: 16-token spans appearing in >= 2 docs
+    "dedup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |       md5(array_to_string(toks[i + 1 : i + 16], ' ')) AS sh
+         |       FROM tk, unnest(range(len(toks) - 15)) AS r(i)
+         |       WHERE len(toks) >= 16),
+         |shared AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT s.doc_id, count(*) AS dup_spans
+         |FROM sh s JOIN shared u ON s.sh = u.sh
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "text_term_stats" ->
       s"""WITH t AS (SELECT doc_id, unnest($QualityTokSql) AS term FROM documents)
          |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
@@ -1092,7 +1215,7 @@ object SparkEntry {
          |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
          |       GROUP BY tf.doc_id),
          |top AS (SELECT doc_id, round(score, 4) AS score FROM (
-         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc)
          |  WHERE rank <= 5),
          |hl AS (SELECT t.doc_id, t.score, d.text,
          |  least(coalesce(nullif(strpos(lower(d.text), 'merge'), 0), 2147483647),
@@ -1126,7 +1249,7 @@ object SparkEntry {
          |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
          |       GROUP BY tf.doc_id)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin)
   // every queries() entry now has a DuckDB oracle

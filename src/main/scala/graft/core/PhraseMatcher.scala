@@ -113,6 +113,91 @@ object PhraseMatcher {
     d
   }
 
+  /** SpanNearQuery(ordered) over single-term subspans
+    * [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java,
+    * NearSpansOrdered.java]: positions p_0 < p_1 < ... < p_{n-1}, one from
+    * each list IN QUERY ORDER (each next span starts after the previous
+    * ends — single-token spans, so strictly increasing), with total slack
+    * (p_{n-1} - p_0 + 1) - n <= slop. Existence via the greedy minimal
+    * chain: for each anchor p_0 take the smallest qualifying p_i at every
+    * step — minimal end for that anchor, so greedy is exact for existence.
+    */
+  def spanNearOrdered(posLists: Array[Array[Int]], slop: Int): Boolean = {
+    val n = posLists.length
+    if (n == 0) return false
+    if (n == 1) return posLists(0).nonEmpty
+    var c = 0
+    while (c < posLists(0).length) {
+      val p0 = posLists(0)(c)
+      var prev = p0
+      var ok = true
+      var i = 1
+      while (i < n && ok) {
+        // smallest position in list i strictly greater than prev
+        var idx = java.util.Arrays.binarySearch(posLists(i), prev + 1)
+        if (idx < 0) idx = -idx - 1
+        if (idx >= posLists(i).length) ok = false
+        else prev = posLists(i)(idx)
+        i += 1
+      }
+      if (ok && (prev - p0 + 1) - n <= slop) return true
+      c += 1
+    }
+    false
+  }
+
+  /** SpanNearQuery(unordered) over single-term subspans
+    * [B .../queries/spans/NearSpansUnordered.java]: a window containing at
+    * least one position from EVERY list, in any order, with slack
+    * (max - min + 1) - n <= slop. Minimal-window sweep over the merged
+    * position stream (the classic k-list minimal-cover two-pointer): at
+    * each merged position advance the smallest head, tracking the window
+    * that covers all lists.
+    */
+  def spanNearUnordered(posLists: Array[Array[Int]], slop: Int): Boolean = {
+    val n = posLists.length
+    if (n == 0) return false
+    if (n == 1) return posLists(0).nonEmpty
+    val idx = new Array[Int](n)
+    while (true) {
+      var minI = 0
+      var minP = Int.MaxValue
+      var maxP = Int.MinValue
+      var i = 0
+      while (i < n) {
+        if (idx(i) >= posLists(i).length) return false
+        val p = posLists(i)(idx(i))
+        if (p < minP) { minP = p; minI = i }
+        if (p > maxP) maxP = p
+        i += 1
+      }
+      if ((maxP - minP + 1) - n <= slop) return true
+      idx(minI) += 1 // slide: only dropping the window's min can shrink it
+    }
+    false
+  }
+
+  /** SpanNotQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNotQuery.java]
+    * over single-term spans with a symmetric exclusion window (the pre/post
+    * form): SOME occurrence of the include term must sit more than `dist`
+    * positions from EVERY occurrence of the exclude term. Both lists
+    * ascending; a moving lower-bound pointer keeps the scan linear.
+    */
+  def spanNotNear(include: Array[Int], exclude: Array[Int], dist: Int): Boolean = {
+    if (include.isEmpty) return false
+    if (exclude.isEmpty) return true
+    var i = 0
+    var j = 0
+    while (i < include.length) {
+      val p = include(i)
+      // advance j past exclusions entirely below the window
+      while (j < exclude.length && exclude(j) < p - dist) j += 1
+      if (j >= exclude.length || exclude(j) > p + dist) return true
+      i += 1
+    }
+    false
+  }
+
   /** N-term sloppy phrase FREQUENCY — graft's deterministic generalization
     * of Lucene's SloppyPhraseMatcher (whose N-term match enumeration is
     * order-dependent; [B .../search/SloppyPhraseMatcher.java] documents the

@@ -45,7 +45,12 @@ object DocSearchOps {
     * global hits — a k-row single-task sort, not a scale risk.
     */
   private def rankDf(r: Index.Reader, hits: org.apache.spark.sql.Dataset[ScoredDoc]): DataFrame = {
-    val w = Window.orderBy(desc("score"), asc("doc_id"))
+    // rank on the score quantized to 9 decimals: the engine's clause-order
+    // double accumulation and DuckDB's parallel-sum order can differ by
+    // ulps, and an exact-math tie must break on doc_id on BOTH sides
+    // rather than on sub-ulp noise (nondeterministic in the oracle's
+    // parallel aggregation)
+    val w = Window.orderBy(round(col("score"), 9).desc, asc("doc_id"))
     hits.join(r.docMeta.select(col("docId"), col("path")), "docId")
       .withColumn("doc_id", col("path").cast("long"))
       .withColumn("rank", row_number().over(w))
@@ -273,6 +278,45 @@ object DocSearchOps {
       .orderBy(asc("doc_id"))
   }
 
+  /** SpanNearQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java]:
+    * all terms co-occur within a window of total slack <= slop — in query
+    * order (NearSpansOrdered: strictly increasing positions) or any order
+    * (NearSpansUnordered: minimal covering window). Same distributed
+    * two-phase pipeline as phrases; the window check replaces adjacency.
+    */
+  def searchSpanNear(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "sort"), slop: Int = 4,
+      ordered: Boolean = true): DataFrame = {
+    val r = reader(spark, sfDir)
+    QueryEngine.matchAllTerms(r, terms, nearSlop = slop, nearOrdered = ordered)
+      .toDF("docId")
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** SpanNotQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNotQuery.java]
+    * with a symmetric pre/post window: docs where some `include` occurrence
+    * sits more than `dist` positions from every `exclude` occurrence. Docs
+    * without the exclude term qualify trivially (include-docs anti-join
+    * exclude-docs); docs with both run the positional window check — three
+    * narrow passes over two terms' pushed-down postings.
+    */
+  def searchSpanNot(spark: SparkSession, sfDir: String,
+      include: String = "merge", exclude: String = "sort",
+      dist: Int = 3): DataFrame = {
+    val r = reader(spark, sfDir)
+    val withInc = QueryEngine.matchAllTerms(r, Seq(include)).toDF("docId")
+    val withExc = QueryEngine.matchAllTerms(r, Seq(exclude)).toDF("docId")
+    val bothOk = QueryEngine.matchAllTerms(r, Seq(include, exclude),
+      spanNotDist = dist).toDF("docId")
+    withInc.join(withExc, Seq("docId"), "left_anti")
+      .union(bothOk)
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** Sloppy phrase ("a b"~2): positional window match
     * [B lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java]
     * — same distributed two-phase pipeline with |p_b - p_a - 1| <= slop.
@@ -392,6 +436,23 @@ object DocSearchOps {
       should = Seq("merge", repoTerm), boosts = Map(repoTerm -> 2.0)))
   }
 
+  /** edismax pf phrase boost [B solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java]:
+    * the main query's terms score as usual (qf), and documents where the
+    * whole query matches as an exact phrase get an additive boosted phrase
+    * score — the clause tree expresses it directly as
+    * should(term..., phrase^pfBoost), since a phrase match implies the term
+    * matches, exactly Solr's rewritten main-query + pf shape.
+    */
+  def searchEdismaxPf(spark: SparkSession, sfDir: String,
+      qterms: Seq[String] = Seq("key", "order"), pfBoost: Double = 2.0): DataFrame = {
+    val r = reader(spark, sfDir)
+    import graft.search.ClauseNode.{BoolNode, PhraseNode, TermNode}
+    val tree = BoolNode(should =
+      qterms.map(t => TermNode(t)) :+
+        PhraseNode(qterms, qterms.indices, slop = 0, boost = pfBoost))
+    rankDf(r, graft.search.QueryEngine.searchTree(r, "edpf", tree))
+  }
+
   /** Text query language end-to-end: parse Lucene query syntax
     * [B lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/QueryParser.jj]
     * -> QuerySpec -> the same BM25/WAND read path. The default query
@@ -471,7 +532,7 @@ object DocSearchOps {
          |         graft_bm25(tf, nc, ${dfMerge}L, ${stats.docCount}L, ${stats.avgdl}D) AS score
          |       FROM tf WHERE tf > 0)
          |SELECT rank, doc_id, score FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin)
@@ -505,6 +566,47 @@ object DocSearchOps {
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .orderBy(desc("df"), asc("term"))
       .limit(n)
+  }
+
+  /** Infix suggester [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java]:
+    * completions whose term CONTAINS the typed fragment anywhere, ranked by
+    * weight (here df, the usual popularity proxy) — same slim-termdict scan
+    * as the prefix suggester, with the substring predicate swapped in.
+    */
+  def suggestInfix(spark: SparkSession, sfDir: String,
+      infix: String = "or", n: Int = 8): DataFrame = {
+    val r = reader(spark, sfDir)
+    r.termDict.where(col("term").contains(infix))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(n)
+  }
+
+  /** Spell-check collation [B lucene/suggest/src/java/org/apache/lucene/search/spell/DirectSpellChecker.java,
+    * solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java]:
+    * one best correction per query term — minimal edit distance first, then
+    * highest df, then term order (a present term self-matches at distance 0,
+    * so the collated query preserves correctly-spelled words). The dictionary
+    * scan with a levenshtein predicate is the same O(|dict|) trade the fuzzy
+    * expansion documents; the per-term top-1 is a tiny windowed rank over
+    * candidates, never the full dictionary.
+    */
+  def spellCollate(spark: SparkSession, sfDir: String,
+      qterms: Seq[String] = Seq("mrge", "sorrt", "window"),
+      maxEdits: Int = 2): DataFrame = {
+    val r = reader(spark, sfDir)
+    import spark.implicits._
+    val dict = r.termDict.groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val q = qterms.toDF("qterm")
+    val cand = dict.join(broadcast(q),
+        levenshtein(col("qterm"), col("term")) <= maxEdits)
+      .withColumn("dist", levenshtein(col("qterm"), col("term")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qterm"))
+      .orderBy(asc("dist"), desc("df"), asc("term"))
+    cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("qterm"), col("term").as("suggestion"), col("dist"), col("df"))
+      .orderBy(asc("qterm"))
   }
 
   /** Highlighting: snippet extraction around the first hit of the best

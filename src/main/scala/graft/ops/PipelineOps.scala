@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's own surface:
+  * deterministic corpus splitting, benchmark decontamination, and exact
+  * duplicate-span detection. All three are standard pretraining-corpus
+  * hygiene steps (the decontamination / substring-dedup shapes follow the
+  * published "Deduplicating Training Data Makes Language Models Better"
+  * n-gram-overlap formulation), re-expressed as declarative Spark plans:
+  *
+  *  - shingles are built with codegen'd array expressions (no UDFs),
+  *  - every shuffle key is a fixed-width md5 digest, never the raw text,
+  *  - the benchmark side of decontamination is DISTINCT + broadcast-able
+  *    (a benchmark suite is KBs–MBs even when the corpus is 100 TB).
+  */
+object PipelineOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Deterministic hash split (train/holdout): the sample is a pure
+    * function of doc_id via md5, so it is stable across runs, machines,
+    * and re-partitionings — the property that makes held-out splits
+    * reproducible on a 1000-executor cluster. First-hex-digit bucketing
+    * gives 1/16 granularity; `hexDigits` picks the held-out buckets.
+    * Map-only: no shuffle except the presentation sort.
+    */
+  def sampleHash(spark: SparkSession, sfDir: String,
+      hexDigits: Seq[String] = Seq("0", "1")): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .where(col("bucket").isin(hexDigits: _*))
+      .select(col("doc_id"), col("bucket"))
+      .orderBy(asc("doc_id"))
+
+  /** n-token shingle digests for one document's token array: md5 of the
+    * space-joined window at every start offset. Fixed-width keys keep the
+    * downstream shuffle rows small and schema-stable regardless of text.
+    */
+  private def shingleDigests(toks: Column, n: Int): Column =
+    // sequence() flips direction when start > stop, so short docs need an
+    // explicit empty-array branch rather than a negative upper bound
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * `n`-token shingle with the benchmark set. The benchmark here is the
+    * deterministic doc_id % benchMod == 0 slice of the corpus (no external data
+    * in this sandbox); in production it is the actual eval suites. Shape:
+    * benchmark shingles are DISTINCT and tiny -> broadcast semi-ish join;
+    * training side streams. Returns (doc_id, n_hits) per contaminated doc,
+    * n_hits = number of distinct contaminated shingles in that doc.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 8,
+      benchMod: Int = 7): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+    val shingled = d.select(col("doc_id"),
+        explode(shingleDigests(col("toks"), n)).as("sh"))
+      .distinct()
+    val bench = shingled.where(col("doc_id") % benchMod === 0)
+      .select(col("sh")).distinct()
+    shingled.where(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** Exact duplicate-span detection: documents containing an `n`-token
+    * span whose exact text also occurs in ANOTHER document. The
+    * n-gram-granular form of suffix-array substring dedup: emit each
+    * doc's distinct shingle digests, keep digests seen in >= 2 docs,
+    * report (doc_id, dup_spans). One shuffle, keyed on the 16-byte
+    * digest; the self-join never materializes pairs (a groupBy count
+    * stands in for it), so a shingle shared by a million docs costs one
+    * aggregation row, not 10^12 pairs.
+    */
+  def dedupSpans(spark: SparkSession, sfDir: String, n: Int = 16): DataFrame = {
+    val shingled = docs(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingleDigests(col("toks"), n)).as("sh"))
+      .distinct()
+    val shared = shingled.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 2)
+      .select(col("sh"))
+    shingled.join(shared, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"))
+      .orderBy(asc("doc_id"))
+  }
+}

@@ -392,9 +392,28 @@ object QueryEngine {
         * when >= 0, the exact-phrase (or single-term) span must END at a
         * position <= spanEnd. Mutually exclusive with sloppy matching.
         */
-      spanEnd: Int = -1): Dataset[Long] = {
+      spanEnd: Int = -1,
+      /** SpanNearQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java]:
+        * when >= 0, the terms are independent single-token subspans that
+        * must co-occur within a window of total slack <= nearSlop —
+        * in query order when nearOrdered, any order otherwise. Mutually
+        * exclusive with phrase slop and spanFirst.
+        */
+      nearSlop: Int = -1, nearOrdered: Boolean = true,
+      /** SpanNotQuery [B .../queries/spans/SpanNotQuery.java] exclusion
+        * window: when >= 0, exactly 2 terms (include, exclude) and a doc
+        * matches iff some include position is > spanNotDist from every
+        * exclude position. Only covers docs containing BOTH terms — the
+        * caller unions in include-only docs (searchSpanNot).
+        */
+      spanNotDist: Int = -1): Dataset[Long] = {
     require(spanEnd < 0 || slop <= 0,
       "spanFirst wraps an exact span — sloppy windows don't compose here")
+    require(nearSlop < 0 || (slop < 0 && spanEnd < 0),
+      "spanNear terms are independent subspans — phrase/spanFirst don't compose here")
+    require(spanNotDist < 0 ||
+      (slop < 0 && spanEnd < 0 && nearSlop < 0 && rawTerms.size == 2),
+      "spanNot takes exactly (include, exclude) and composes with nothing else")
     val spark = reader.spark
     import spark.implicits._
     // tokenize keeping a running query-position counter; stop words advance
@@ -423,6 +442,9 @@ object QueryEngine {
     val termsB = spark.sparkContext.broadcast((terms.toArray, offsets))
     val slopLocal = slop
     val spanEndLocal = spanEnd
+    val nearSlopLocal = nearSlop
+    val nearOrderedLocal = nearOrdered
+    val spanNotLocal = spanNotDist
     val matched: Dataset[Long] = buckets.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) =>
         val (qTerms, qOffsets) = termsB.value
@@ -439,12 +461,20 @@ object QueryEngine {
               byTerm(t).sortBy(_.firstDocId).toArray)
           }
           val accept: Long => Boolean =
-            if (slopLocal < 0 && spanEndLocal < 0) _ => true
+            if (slopLocal < 0 && spanEndLocal < 0 && nearSlopLocal < 0 &&
+              spanNotLocal < 0) _ => true
             else { _ =>
               val posLists = iters.map(_.positions())
               require(posLists.forall(_ != null),
                 "positional query over an index built without indexPositions")
-              if (spanEndLocal >= 0)
+              if (spanNotLocal >= 0)
+                PhraseMatcher.spanNotNear(posLists(0), posLists(1), spanNotLocal)
+              else if (nearSlopLocal >= 0) {
+                if (nearOrderedLocal)
+                  PhraseMatcher.spanNearOrdered(posLists, nearSlopLocal)
+                else PhraseMatcher.spanNearUnordered(posLists, nearSlopLocal)
+              }
+              else if (spanEndLocal >= 0)
                 PhraseMatcher.matchFirst(posLists, qOffsets, spanEndLocal)
               else if (slopLocal == 0) PhraseMatcher.exactMatch(posLists, qOffsets)
               else PhraseMatcher.sloppyFreq(posLists, qOffsets, slopLocal) > 0

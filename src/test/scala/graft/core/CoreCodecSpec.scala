@@ -327,6 +327,47 @@ class CoreCodecSpec extends AnyFunSuite {
     assert(!PhraseMatcher.sloppyMatch2(Array(5), Array(6), 0, gap = 2))
   }
 
+  test("PhraseMatcher spanNear: ordered chains, unordered minimal windows") {
+    import PhraseMatcher.{spanNearOrdered, spanNearUnordered}
+    // ordered: a@3 .. b@5 -> slack (5-3+1)-2 = 1
+    assert(spanNearOrdered(Array(Array(3), Array(5)), 1))
+    assert(!spanNearOrdered(Array(Array(3), Array(5)), 0))
+    // adjacency is slack 0
+    assert(spanNearOrdered(Array(Array(3), Array(4)), 0))
+    // order matters: b before a never matches ordered
+    assert(!spanNearOrdered(Array(Array(5), Array(3)), 10))
+    // greedy picks the nearest next position, not a later one
+    assert(spanNearOrdered(Array(Array(3), Array(4, 100)), 0))
+    // 3-term chain 2 < 5 < 7: slack (7-2+1)-3 = 3
+    assert(spanNearOrdered(Array(Array(2), Array(5), Array(7)), 3))
+    assert(!spanNearOrdered(Array(Array(2), Array(5), Array(7)), 2))
+    // a later anchor can qualify when the first can't
+    assert(spanNearOrdered(Array(Array(0, 50), Array(51), Array(52)), 0))
+    // unordered: any order within the window
+    assert(spanNearUnordered(Array(Array(5), Array(3)), 1))
+    assert(!spanNearUnordered(Array(Array(5), Array(3)), 0))
+    // 3 terms scattered 7,2,5: window [2,7] slack 3
+    assert(spanNearUnordered(Array(Array(7), Array(2), Array(5)), 3))
+    assert(!spanNearUnordered(Array(Array(7), Array(2), Array(5)), 2))
+    // sweep must find the tight window among decoys
+    assert(spanNearUnordered(
+      Array(Array(0, 40), Array(41, 90), Array(39, 200)), 0))
+    // empty list -> no match
+    assert(!spanNearUnordered(Array(Array(1), Array[Int]()), 100))
+    assert(!spanNearOrdered(Array(Array(1), Array[Int]()), 100))
+    // spanNot: include@10 with exclude@12 is inside dist 3 -> no match...
+    assert(!PhraseMatcher.spanNotNear(Array(10), Array(12), 3))
+    // ...but a second include occurrence far away rescues the doc
+    assert(PhraseMatcher.spanNotNear(Array(10, 50), Array(12), 3))
+    // boundary: |12-10|=2 <= 2 excluded, dist 1 admits
+    assert(!PhraseMatcher.spanNotNear(Array(10), Array(12), 2))
+    assert(PhraseMatcher.spanNotNear(Array(10), Array(12), 1))
+    // no exclusions at all -> include alone matches
+    assert(PhraseMatcher.spanNotNear(Array(5), Array[Int](), 10))
+    // every include bracketed by exclusions -> no match
+    assert(!PhraseMatcher.spanNotNear(Array(10, 20), Array(9, 21), 2))
+  }
+
   test("PhraseMatcher frequencies: exact counts, N-term sloppy 1/(d+1) weighting") {
     // exact freq counts every valid anchor
     assert(PhraseMatcher.exactFreq(Array(Array(3, 8, 20), Array(4, 9, 15))) == 2)
