@@ -64,6 +64,8 @@ object SparkEntry {
     "search_after_score" -> (DocSearchOps.searchAfterScore(_, _)),
     "facet_search_domain" -> (DocSearchOps.facetSearchDomain(_, _)),
     "suggest_terms" -> ((s, d) => DocSearchOps.suggestTerms(s, d)),
+    "term_vectors" -> ((s, d) => DocSearchOps.termVectors(s, d)),
+    "search_elevate" -> ((s, d) => DocSearchOps.searchElevate(s, d)),
     "suggest_infix" -> ((s, d) => DocSearchOps.suggestInfix(s, d)),
     "spell_collate" -> ((s, d) => DocSearchOps.spellCollate(s, d)),
     "search_regex" -> ((s, d) => DocSearchOps.searchRegex(s, d)),
@@ -118,6 +120,7 @@ object SparkEntry {
     // -- Structured Streaming (real streaming queries, drained via
     //    Trigger.AvailableNow into a memory sink) --
     "stream_window_hourly" -> (graft.streaming.StreamingOps.windowedCounts(_, _)),
+    "stream_session_window" -> (graft.streaming.StreamingOps.sessionWindows(_, _)),
     "stream_dedup_events" -> (graft.streaming.StreamingOps.streamDedupEvents(_, _)))
 
   // ---------------------------------------------------------------------
@@ -903,6 +906,34 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok
          |WHERE term LIKE 's%' GROUP BY term
          |ORDER BY df DESC, term LIMIT 8""".stripMargin,
+    // TermVectorComponent: one doc's term-frequency vector
+    "term_vectors" ->
+      s"""WITH t AS (SELECT doc_id, unnest($QualityTokSql) AS term
+         |           FROM documents WHERE doc_id = 42)
+         |SELECT doc_id, term, count(*) AS tf FROM t
+         |GROUP BY doc_id, term ORDER BY term""".stripMargin,
+    // QueryElevationComponent: docs 7, 123 pinned at ranks 1-2 (score 0),
+    // organic BM25 OR(merge, sort) excluding them renumbered from rank 3
+    "search_elevate" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |  FROM tf JOIN dfs ON tf.term = dfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id
+         |       CROSS JOIN st
+         |  WHERE tf.doc_id NOT IN (7, 123)
+         |  GROUP BY tf.doc_id),
+         |org AS (SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) + 2 AS rank,
+         |               doc_id, round(score, 4) AS score FROM sc)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT 1 AS rank, CAST(7 AS BIGINT) AS doc_id, 0.0 AS score
+         |  UNION ALL SELECT 2, CAST(123 AS BIGINT), 0.0
+         |  UNION ALL SELECT rank, doc_id, score FROM org WHERE rank <= 10)
+         |ORDER BY rank""".stripMargin,
     // AnalyzingInfixSuggester: completions containing the fragment, by weight
     "suggest_infix" ->
       s"""WITH $TokCte
@@ -1173,6 +1204,22 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // streaming session windows == batch gap-sessionization; Spark closes a
+    // session at gap >= 30 min (next start not strictly inside the window)
+    "stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, value, ts,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "stream_dedup_events" ->
       """SELECT event_type, count(*) AS cnt FROM (
         |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)

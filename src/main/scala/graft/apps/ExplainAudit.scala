@@ -75,11 +75,12 @@ object ExplainAudit {
           "probe side broadcast — PartitionFilters/dynamic pruning on " +
           "cent_id, so a query touches nprobe/nlist of the data.",
         fmt(AnnOps.annIvf(spark, sfDir, nlist = 8, nprobe = 2))),
-      ("Duplicate-span dedup (one digest-keyed shuffle, no pair join)",
-        "Expect: shingle explosion is a codegen'd Project/Generate (no UDF); " +
-          "the only wide exchanges hash on the fixed-width md5 digest `sh`; " +
-          "shared spans come from a HashAggregate count >= 2, never a " +
-          "self-join of pairs.",
+      ("Duplicate-span dedup (single scan, digest-keyed window)",
+        "Expect: ONE parquet scan of documents (a shared-digest self-join " +
+          "would re-scan + re-explode the corpus — Spark shares no common " +
+          "subplans); shingle explosion is a codegen'd Generate (no UDF); " +
+          "sharer counts come from a Window over the fixed-width md5 digest " +
+          "`sh`; no pair join anywhere.",
         fmt(PipelineOps.dedupSpans(spark, sfDir))),
       ("Benchmark decontamination (broadcast bench side)",
         "Expect: the benchmark shingle set joins via BroadcastHashJoin " +

@@ -568,6 +568,47 @@ object DocSearchOps {
       .limit(n)
   }
 
+  /** TermVectorComponent [B solr/core/src/java/org/apache/solr/handler/component/TermVectorComponent.java,
+    * lucene/core/src/java/org/apache/lucene/index/TermVectors.java]: one
+    * document's term-frequency vector. Lucene stores per-doc vectors at
+    * index time; the Spark-first equivalent derives it from the stored
+    * text on demand (one row-group read via doc_id pushdown — cheaper at
+    * rest than persisting a third copy of every doc's tokens).
+    */
+  def termVectors(spark: SparkSession, sfDir: String,
+      docId: Long = 42L): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === docId)
+      .select(col("doc_id"), explode(TextOps.tokensCol(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(asc("term"))
+
+  /** QueryElevationComponent [B solr/core/src/java/org/apache/solr/handler/component/QueryElevationComponent.java]:
+    * editorially pinned documents first, in configuration order and with
+    * no organic score (Solr's [elevated] docs), then the organic ranking
+    * with the pinned ids excluded and ranks renumbered — the elevate.xml
+    * contract.
+    */
+  def searchElevate(spark: SparkSession, sfDir: String,
+      qterms: Seq[String] = Seq("merge", "sort"),
+      elevated: Seq[Long] = Seq(7L, 123L), k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    import spark.implicits._
+    val organic = rankDf(r, QueryEngine.search(r,
+        Seq(QuerySpec("elev", should = qterms, k = k + elevated.size))))
+      .where(!col("doc_id").isin(elevated: _*))
+    val w = Window.orderBy(asc("rank"))
+    val tail = organic
+      .withColumn("rank2", row_number().over(w) + elevated.size)
+      .where(col("rank2") <= k)
+      .select(col("rank2").as("rank"), col("doc_id"), col("score"))
+    val pinned = elevated.zipWithIndex
+      .map { case (d, i) => (i + 1, d, 0.0) }
+      .toDF("rank", "doc_id", "score")
+    pinned.union(tail).orderBy(asc("rank"))
+  }
+
   /** Infix suggester [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java]:
     * completions whose term CONTAINS the typed fragment anywhere, ranked by
     * weight (here df, the usual popularity proxy) — same slim-termdict scan

@@ -55,6 +55,9 @@ object PipelineOps {
     * benchmark shingles are DISTINCT and tiny -> broadcast semi-ish join;
     * training side streams. Returns (doc_id, n_hits) per contaminated doc,
     * n_hits = number of distinct contaminated shingles in that doc.
+    * (Deriving the bench side from the corpus re-scans `documents` for it
+    * at this demo scale; with a real external benchmark table — the
+    * production shape — the training corpus is scanned exactly once.)
     */
   def decontaminate(spark: SparkSession, sfDir: String, n: Int = 8,
       benchMod: Int = 7): DataFrame = {
@@ -75,22 +78,23 @@ object PipelineOps {
   /** Exact duplicate-span detection: documents containing an `n`-token
     * span whose exact text also occurs in ANOTHER document. The
     * n-gram-granular form of suffix-array substring dedup: emit each
-    * doc's distinct shingle digests, keep digests seen in >= 2 docs,
-    * report (doc_id, dup_spans). One shuffle, keyed on the 16-byte
-    * digest; the self-join never materializes pairs (a groupBy count
-    * stands in for it), so a shingle shared by a million docs costs one
-    * aggregation row, not 10^12 pairs.
+    * doc's distinct shingle digests, count sharers per digest with a
+    * WINDOW over the digest (Spark does not share common subplans, so a
+    * shared-digests self-join would scan + explode the corpus twice —
+    * the dominant cost at 100 TB), keep rows whose digest is held by
+    * >= 2 docs, report (doc_id, dup_spans). Single corpus scan, three
+    * digest-keyed shuffles; no pair materialization anywhere — a shingle
+    * shared by a million docs costs a count, not 10^12 pairs.
     */
   def dedupSpans(spark: SparkSession, sfDir: String, n: Int = 16): DataFrame = {
     val shingled = docs(spark, sfDir)
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingleDigests(col("toks"), n)).as("sh"))
       .distinct()
-    val shared = shingled.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val perDigest = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    shingled
+      .withColumn("ndocs", count(lit(1)).over(perDigest))
       .where(col("ndocs") >= 2)
-      .select(col("sh"))
-    shingled.join(shared, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dup_spans"))
       .orderBy(asc("doc_id"))

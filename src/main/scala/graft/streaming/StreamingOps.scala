@@ -135,4 +135,38 @@ object StreamingOps {
     q.awaitTermination()
     spark.table(name).orderBy(asc("event_type"))
   }
+
+  /** Session-window aggregation on a real streaming query: per-user
+    * sessions closed by a 30-minute inactivity gap (`session_window` —
+    * state-store-merged sessions, the streaming twin of the batch
+    * `sessionize` entry, whose gap-SQL is this entry's oracle: streaming
+    * and batch agree row-for-row). Spark closes a session when the gap is
+    * >= the duration (next window start not strictly inside the previous
+    * window), so the oracle's boundary is `>=`, not `>`. Complete mode:
+    * AvailableNow drains the source and every merged session emits
+    * regardless of the final watermark position.
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    val src = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val name = s"graft_sessions_${sinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ for event time
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpointRoot())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(asc("user_id"), asc("session_start"))
+  }
 }
