@@ -31,6 +31,7 @@ object SparkEntry {
     "search_span_first" -> ((s, d) => DocSearchOps.searchSpanFirst(s, d)),
     "search_span_near" -> ((s, d) => DocSearchOps.searchSpanNear(s, d)),
     "search_span_not" -> ((s, d) => DocSearchOps.searchSpanNot(s, d)),
+    "search_span_near_phrase" -> ((s, d) => DocSearchOps.searchSpanNearPhrase(s, d)),
     "search_span_near_unordered" -> ((s, d) =>
       DocSearchOps.searchSpanNear(s, d,
         terms = Seq("sort", "merge", "window"), slop = 6, ordered = false)),
@@ -863,6 +864,19 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_id
          |FROM a JOIN b ON a.doc_id = b.doc_id
          |WHERE b.pos > a.pos AND (b.pos - a.pos + 1) - 2 <= 4
+         |ORDER BY doc_id""".stripMargin,
+    // Nested spans: SpanNear(ordered, slop=20) over [SpanTerm(merge),
+    // phrase-span "key order"]: phrase span [k, k+2) starts at or after the
+    // merge span's end (m+1); slack = (k+2 - m) - 3 <= 20
+    "search_span_near_phrase" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |ph AS (SELECT k.doc_id, k.pos
+         |       FROM pp k JOIN pp o ON o.doc_id = k.doc_id AND o.pos = k.pos + 1
+         |       WHERE k.term = 'key' AND o.term = 'order')
+         |SELECT DISTINCT a.doc_id AS doc_id
+         |FROM a JOIN ph ON ph.doc_id = a.doc_id
+         |WHERE ph.pos >= a.pos + 1 AND (ph.pos + 2 - a.pos) - 3 <= 20
          |ORDER BY doc_id""".stripMargin,
     // SpanNotQuery(merge, sort; dist=3): an occurrence of 'merge' more than
     // 3 positions from every 'sort' (docs without 'sort' pass trivially)

@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.collection.mutable
+
 /** Positional phrase verification over per-term position lists
   * [B lucene/core/src/java/org/apache/lucene/search/ExactPhraseMatcher.java]
   * [B lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java].
@@ -175,6 +177,103 @@ object PhraseMatcher {
       idx(minI) += 1 // slide: only dropping the window's min can shrink it
     }
     false
+  }
+
+  /** Anchor positions where the exact phrase matches — exactFreq's loop
+    * collecting the qualifying p0s instead of counting them. The spans a
+    * composite span query consumes: each anchor starts a span of width
+    * offsets(n-1) - offsets(0) + 1 (1 when offsets == null covers a term).
+    */
+  def spanStartsExact(posLists: Array[Array[Int]],
+      offsets: Array[Int] = null): Array[Int] = {
+    val n = posLists.length
+    if (n == 0) return Array.emptyIntArray
+    if (n == 1) return posLists(0)
+    val out = new mutable.ArrayBuilder.ofInt
+    var c = 0
+    while (c < posLists(0).length) {
+      val p0 = posLists(0)(c)
+      var all = true
+      var i = 1
+      while (i < n && all) {
+        val gap = if (offsets == null) i else offsets(i) - offsets(0)
+        if (java.util.Arrays.binarySearch(posLists(i), p0 + gap) < 0) all = false
+        i += 1
+      }
+      if (all) out += p0
+      c += 1
+    }
+    out.result()
+  }
+
+  /** SpanNearQuery over COMPOSITE subspans (term or exact-phrase), the
+    * nested span algebra [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java]:
+    * each subspan i contributes spans [s, s + widths(i)) at its anchor
+    * starts. Within a list every span has the SAME width, so span end is
+    * monotone in start — greedy "first start past the bound" is exact.
+    *
+    * ordered: spans chain in query order without overlap (next.start >=
+    * prev.end); slack = (last.end - first.start) - sum(widths) <= slop.
+    * unordered: a window holding one span per list; slack =
+    * (max.end - min.start) - sum(widths) <= slop. Exactness by anchoring
+    * on every span as the window minimum: any feasible configuration has
+    * a min-start pick, and replacing each other pick by its list's
+    * earliest span starting >= that min only shrinks the window.
+    */
+  def spanNearComposite(starts: Array[Array[Int]], widths: Array[Int],
+      slop: Int, ordered: Boolean): Boolean = {
+    val n = starts.length
+    if (n == 0) return false
+    var i = 0
+    while (i < n) { if (starts(i).isEmpty) return false; i += 1 }
+    var wsum = 0
+    i = 0
+    while (i < n) { wsum += widths(i); i += 1 }
+    if (ordered) {
+      var c = 0
+      while (c < starts(0).length) {
+        val s0 = starts(0)(c)
+        var prevEnd = s0 + widths(0)
+        var ok = true
+        var j = 1
+        while (j < n && ok) {
+          var idx = java.util.Arrays.binarySearch(starts(j), prevEnd)
+          if (idx < 0) idx = -idx - 1
+          if (idx >= starts(j).length) ok = false
+          else prevEnd = starts(j)(idx) + widths(j)
+          j += 1
+        }
+        if (ok && (prevEnd - s0) - wsum <= slop) return true
+        c += 1
+      }
+      false
+    } else {
+      // every span is a candidate window minimum
+      var j = 0
+      while (j < n) {
+        var c = 0
+        while (c < starts(j).length) {
+          val s = starts(j)(c)
+          var maxEnd = Int.MinValue
+          var ok = true
+          var k = 0
+          while (k < n && ok) {
+            var idx = java.util.Arrays.binarySearch(starts(k), s)
+            if (idx < 0) idx = -idx - 1
+            if (idx >= starts(k).length) ok = false
+            else {
+              val e = starts(k)(idx) + widths(k)
+              if (e > maxEnd) maxEnd = e
+            }
+            k += 1
+          }
+          if (ok && (maxEnd - s) - wsum <= slop) return true
+          c += 1
+        }
+        j += 1
+      }
+      false
+    }
   }
 
   /** SpanNotQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNotQuery.java]

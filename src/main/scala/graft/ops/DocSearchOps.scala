@@ -295,6 +295,24 @@ object DocSearchOps {
       .orderBy(asc("doc_id"))
   }
 
+  /** Nested span algebra [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java]:
+    * SpanNearQuery whose clauses are themselves spans — here a SpanTerm and
+    * an exact-phrase span ("key order" as ONE subspan of width 2), chained
+    * in order within the slop window. Lucene composes spans arbitrarily;
+    * this exercises the two shapes that differ (width-1 terms vs multi-
+    * position phrase spans) through the composite kernel.
+    */
+  def searchSpanNearPhrase(spark: SparkSession, sfDir: String,
+      subspans: Seq[Seq[String]] = Seq(Seq("merge"), Seq("key", "order")),
+      slop: Int = 20, ordered: Boolean = true): DataFrame = {
+    val r = reader(spark, sfDir)
+    QueryEngine.matchSpanNearComposite(r, subspans, slop, ordered)
+      .toDF("docId")
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** SpanNotQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNotQuery.java]
     * with a symmetric pre/post window: docs where some `include` occurrence
     * sits more than `dist` positions from every `exclude` occurrence. Docs

@@ -488,6 +488,78 @@ object QueryEngine {
       .as[Long]
   }
 
+  /** SpanNearQuery over COMPOSITE subspans — the nested span algebra
+    * [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java]:
+    * each element of `subspans` is a term sequence (length 1 = SpanTerm,
+    * longer = an exact-phrase span), and the subspans' spans must fall
+    * within a `slop` window, in query order or any order. Same distributed
+    * bucket pipeline as matchAllTerms: the cheap phase aligns ALL member
+    * terms (every subspan's members are required), the expensive phase
+    * computes each subspan's anchor spans and runs the window check.
+    */
+  def matchSpanNearComposite(reader: Index.Reader, subspans: Seq[Seq[String]],
+      slop: Int, ordered: Boolean = true,
+      stopWords: Set[String] = Analyzer.EnglishStopWords): Dataset[Long] = {
+    val spark = reader.spark
+    import spark.implicits._
+    // per-subspan analyzed members with stop-hole offsets (query position
+    // counter resets per subspan — subspans are independent spans)
+    val analyzed: Seq[(Array[String], Array[Int])] = subspans.map { raw =>
+      var qpos = 0
+      val withOffsets = raw.flatMap { r =>
+        Analyzer.tokenize(r).map { tok => val p = qpos; qpos += 1; (tok, p) }
+      }.filterNot { case (t, _) => stopWords.contains(t) }
+      require(withOffsets.nonEmpty, s"no indexable terms in subspan $raw")
+      (withOffsets.map(_._1).toArray, withOffsets.map(_._2).toArray)
+    }
+    val widths: Array[Int] =
+      analyzed.map { case (_, off) => off.last - off.head + 1 }.toArray
+    val allTerms = analyzed.flatMap(_._1)
+
+    val p = reader.postings.where($"term".isin(allTerms.distinct: _*))
+    val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
+      tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
+        .map { case (bucket, bs) =>
+          BucketTermBlocks(bucket, tp.term, bs.sortBy(_.firstDocId))
+        }
+    }
+    val specB = spark.sparkContext.broadcast((analyzed, widths, slop, ordered))
+    val matched: Dataset[Long] = buckets.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val (spans, ws, slopL, orderedL) = specB.value
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
+        rows.foreach { r =>
+          byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) ++= r.blocks
+        }
+        if (!spans.flatMap(_._1).forall(byTerm.contains)) Iterator.empty
+        else {
+          val dummyCache = new Array[Double](256) // never scored
+          // one iterator per (subspan, member), grouped by subspan
+          val iters: Array[Array[BmwScorer.TermIterator]] = spans.map {
+            case (terms, _) => terms.map { t =>
+              new BmwScorer.TermIterator(0.0, dummyCache,
+                byTerm(t).sortBy(_.firstDocId).toArray)
+            }
+          }.toArray
+          val flat = iters.flatten
+          val accept: Long => Boolean = { _ =>
+            val starts = Array.tabulate(iters.length) { i =>
+              val posLists = iters(i).map(_.positions())
+              require(posLists.forall(_ != null),
+                "positional query over an index built without indexPositions")
+              PhraseMatcher.spanStartsExact(posLists, spans(i)._2)
+            }
+            PhraseMatcher.spanNearComposite(starts, ws, slopL, orderedL)
+          }
+          BmwScorer.conjunctionIterator(flat, accept)
+        }
+      }
+    if (!reader.hasTombstones) matched
+    else matched.toDF("docId")
+      .join(reader.tombstones.toDF("docId"), Seq("docId"), "left_anti")
+      .as[Long]
+  }
+
   /** Top-k hits joined back to document identity (the two-phase
     * ids-then-fields trick, SURVEY.md §3.3): only the winning ids' metadata
     * is fetched, via a broadcast hash join on the tiny result side.

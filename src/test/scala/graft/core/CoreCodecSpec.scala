@@ -368,6 +368,62 @@ class CoreCodecSpec extends AnyFunSuite {
     assert(!PhraseMatcher.spanNotNear(Array(10, 20), Array(9, 21), 2))
   }
 
+  test("composite spans: phrase anchors + variable-width near windows") {
+    import PhraseMatcher.{spanStartsExact, spanNearComposite}
+    // phrase anchors: "key order" at 3 and 9
+    assert(spanStartsExact(Array(Array(3, 9, 20), Array(4, 10, 15)), Array(0, 1))
+      .sameElements(Array(3, 9)))
+    // stop-hole offsets (0, 2)
+    assert(spanStartsExact(Array(Array(5), Array(7)), Array(0, 2))
+      .sameElements(Array(5)))
+    // ordered: term@0 (width 1) then phrase@1 (width 2): adjacent chain,
+    // slack (1 + 2 - 0) - 3 = 0
+    assert(spanNearComposite(Array(Array(0), Array(1)), Array(1, 2), 0, ordered = true))
+    // overlap rejected in ordered mode: phrase at 0 would overlap term@0
+    assert(!spanNearComposite(Array(Array(0), Array(0)), Array(1, 2), 10, ordered = true))
+    // gap of 3 between spans = slack 3
+    assert(spanNearComposite(Array(Array(0), Array(4)), Array(1, 2), 3, ordered = true))
+    assert(!spanNearComposite(Array(Array(0), Array(4)), Array(1, 2), 2, ordered = true))
+    // unordered: phrase first, term after — ordered fails, unordered matches
+    assert(!spanNearComposite(Array(Array(5), Array(0)), Array(1, 2), 5, ordered = true))
+    assert(spanNearComposite(Array(Array(5), Array(0)), Array(1, 2), 3, ordered = false))
+    assert(!spanNearComposite(Array(Array(5), Array(0)), Array(1, 2), 2, ordered = false))
+    // empty subspan list -> no match
+    assert(!spanNearComposite(Array(Array(1), Array[Int]()), Array(1, 2), 99, ordered = false))
+  }
+
+  test("spanNear property: sweep/greedy agree with brute-force enumeration") {
+    // small random position lists -> compare against the O(prod) reference
+    val genLists: Gen[(Array[Array[Int]], Int)] = for {
+      n <- Gen.chooseNum(1, 4)
+      lists <- Gen.listOfN(n, for {
+        sz <- Gen.chooseNum(0, 5)
+        ps <- Gen.listOfN(sz, Gen.chooseNum(0, 30))
+      } yield ps.distinct.sorted.toArray)
+      slop <- Gen.chooseNum(0, 10)
+    } yield (lists.toArray, slop)
+    def cartesian(lists: Array[Array[Int]]): Iterator[List[Int]] =
+      lists.foldRight(Iterator(List.empty[Int])) { (l, acc) =>
+        val tails = acc.toList
+        l.iterator.flatMap(p => tails.map(p :: _))
+      }
+    graft.Props.forAll(genLists, n = 300) { case (lists, slop) =>
+      val bruteUnordered = lists.forall(_.nonEmpty) &&
+        cartesian(lists).exists { pick =>
+          (pick.max - pick.min + 1) - lists.length <= slop
+        }
+      val bruteOrdered = lists.forall(_.nonEmpty) &&
+        cartesian(lists).exists { pick =>
+          pick.sliding(2).forall { case List(a, b) => b > a; case _ => true } &&
+            (pick.last - pick.head + 1) - lists.length <= slop
+        }
+      assert(PhraseMatcher.spanNearUnordered(lists, slop) == bruteUnordered,
+        s"unordered mismatch slop=$slop lists=${lists.map(_.mkString(",")).mkString(";")}")
+      assert(PhraseMatcher.spanNearOrdered(lists, slop) == bruteOrdered,
+        s"ordered mismatch slop=$slop lists=${lists.map(_.mkString(",")).mkString(";")}")
+    }
+  }
+
   test("PhraseMatcher frequencies: exact counts, N-term sloppy 1/(d+1) weighting") {
     // exact freq counts every valid anchor
     assert(PhraseMatcher.exactFreq(Array(Array(3, 8, 20), Array(4, 9, 15))) == 2)

@@ -153,6 +153,31 @@ class OpsSpec extends AnyFunSuite {
       s"term filter not pushed to parquet:\n$scan")
   }
 
+  test("pipeline plan shapes: dedup_spans scans once, decontaminate broadcasts bench") {
+    // a shared-digest self-join would re-scan + re-explode documents (Spark
+    // shares no common subplans); the window form must scan exactly once
+    val spans = PipelineOps.dedupSpans(spark, sf)
+    val spansPlan = spans.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(spansPlan).size
+    assert(scans == 1, s"dedup_spans should scan documents once, saw $scans:\n$spansPlan")
+    assert(spansPlan.contains("Window"), "expected digest-keyed window")
+
+    val deco = PipelineOps.decontaminate(spark, sf)
+    val decoPlan = deco.queryExecution.executedPlan.toString
+    assert(decoPlan.contains("BroadcastHashJoin") || decoPlan.contains("BroadcastExchange"),
+      s"bench shingle set should broadcast:\n$decoPlan")
+  }
+
+  test("sampleHash is a pure function of doc_id: stable across repartitionings") {
+    val a = PipelineOps.sampleHash(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    val b = try PipelineOps.sampleHash(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.forall { case (_, bucket) => bucket == "0" || bucket == "1" })
+  }
+
   test("langId predicts a language for docs with markers") {
     val counts = TextOps.langId(spark, sf)
       .groupBy("pred_lang").count().collect()
