@@ -107,7 +107,22 @@ object Bench {
       s.stop()
     }
 
-    def buildOnce(cpus: Int, tag: String, warm: Boolean): Double = {
+    // (total, idle+iowait, steal) jiffies — steal accrues only while OUR
+    // vCPUs are runnable, so the pre-sample idle probe is structurally
+    // blind to it: an idle guest accrues no steal no matter how loaded the
+    // hypervisor is, then the build starts and gets starved mid-sample
+    // (observed: zero quiesce gates fired in a run whose samples varied 3x)
+    def cpuSnap(): (Long, Long, Long) = {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      (f.sum, f(3) + f(4), if (f.length > 7) f(7) else 0L)
+    }
+
+    /** One timed build; returns (wall secs, steal share of our runnable
+      * CPU time during the build). Samples with high steal are real wall
+      * time but measure the hypervisor, not the engine.
+      */
+    def buildOnce(cpus: Int, tag: String, warm: Boolean): (Double, Double) = {
       val s = session(cpus)
       import s.implicits._
       if (warm) {
@@ -120,12 +135,15 @@ object Bench {
       val corpus = s.read.parquet(s"$work/corpus/corpus.parquet").as[SourceDoc]
       val dir = s"$work/index_$tag"
       deleteRec(new java.io.File(dir))
+      val (tot0, idle0, st0) = cpuSnap()
       val (_, t) = time {
         Index.build(corpus, dir,
           IndexConfig(hotTermDf = benchDocs / 8, targetPostingsPerSlice = benchDocs / 8))
       }
+      val (tot1, idle1, st1) = cpuSnap()
       s.stop()
-      t
+      val runnable = math.max(1L, (tot1 - tot0) - (idle1 - idle0))
+      (t, (st1 - st0).toDouble / runnable)
     }
 
     // the sandbox VM has bursty multi-second co-tenant noise: INTERLEAVE the
@@ -135,9 +153,9 @@ object Bench {
     // swallowed by one burst — sample them TWICE per round (cheap), which
     // doubles the chances the min sees a quiet window.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "7").toInt
-    val losB = Seq.newBuilder[Double]
-    val hisB = Seq.newBuilder[Double]
-    val maxsB = Seq.newBuilder[Double]
+    val losB = Seq.newBuilder[(Double, Double)]
+    val hisB = Seq.newBuilder[(Double, Double)]
+    val maxsB = Seq.newBuilder[(Double, Double)]
     for (r <- 1 to rounds) {
       quiesce(s"lo r$r")
       losB += buildOnce(scaleLo, s"lo$scaleLo", warm = r == 1)
@@ -154,15 +172,33 @@ object Bench {
     // where quiet runs measure 0.96). When the efficiency lands below the
     // plausible-quiet floor, buy additional interleaved rounds (same
     // min-of-N statistic, larger N) — bounded, and a no-op on a quiet host.
+    // a sample's wall time is engine-measuring only when the hypervisor
+    // left us alone: prefer the min over low-steal samples, falling back
+    // to the overall min if every sample at a level was stolen from
+    val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "0.08").toDouble
+    def cleanMin(samples: Seq[(Double, Double)]): Double = {
+      val clean = samples.collect { case (t, st) if st <= stealMax => t }
+      if (clean.nonEmpty) clean.min else samples.map(_._1).min
+    }
     def currentEff(): Double = {
-      val lo = losB.result().min; val hi = hisB.result().min
+      val lo = cleanMin(losB.result()); val hi = cleanMin(hisB.result())
       ((benchDocs / hi) / (benchDocs / lo)) / (scaleHi.toDouble / scaleLo)
     }
     val extraMax = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "4").toInt
+    // steal taints cut BOTH ways: a stolen hi sample understates efficiency,
+    // a stolen lo sample overstates it — a level with no clean sample means
+    // the ratio is hypervisor noise either way, so keep buying rounds
+    def allTainted(samples: Seq[(Double, Double)]): Boolean =
+      !samples.exists(_._2 <= stealMax)
+    def needMore(): Boolean =
+      currentEff() < 0.85 || allTainted(losB.result()) ||
+        allTainted(hisB.result()) || allTainted(maxsB.result())
     var extra = 0
-    while (currentEff() < 0.85 && extra < extraMax) {
+    while (needMore() && extra < extraMax) {
       extra += 1
-      println(f"[graft-bench] eff ${currentEff()}%.3f after ${rounds + extra - 1} rounds — extra round $extra")
+      println(f"[graft-bench] eff ${currentEff()}%.3f after ${rounds + extra - 1} rounds " +
+        f"(tainted lo/hi/max: ${allTainted(losB.result())}/${allTainted(hisB.result())}/" +
+        f"${allTainted(maxsB.result())}) — extra round $extra")
       // noise plateaus last minutes: give top-up rounds a longer idle gate
       quiesce(s"lo x$extra", maxWaitMs = 60000)
       losB += buildOnce(scaleLo, s"lo$scaleLo", warm = false)
@@ -173,10 +209,11 @@ object Bench {
         maxsB += buildOnce(opsCores, s"max$opsCores", warm = false)
       }
     }
-    val (los, his, maxs) = (losB.result(), hisB.result(), maxsB.result())
-    val tLo = los.min
-    val tHi = his.min
-    val tMax = maxs.min
+    val (losS, hisS, maxsS) = (losB.result(), hisB.result(), maxsB.result())
+    val (los, his, maxs) = (losS.map(_._1), hisS.map(_._1), maxsS.map(_._1))
+    val tLo = cleanMin(losS)
+    val tHi = cleanMin(hisS)
+    val tMax = cleanMin(maxsS)
     val thrLo = benchDocs / tLo
     val thrHi = benchDocs / tHi
     val eff = (thrHi / thrLo) / (scaleHi.toDouble / scaleLo)
@@ -219,6 +256,10 @@ object Bench {
         s""""scaling_samples_lo":[${los.map(j).mkString(",")}],""" +
         s""""scaling_samples_hi":[${his.map(j).mkString(",")}],""" +
         s""""scaling_samples_max":[${maxs.map(j).mkString(",")}],""" +
+        s""""scaling_steal_lo":[${losS.map(s => j(s._2)).mkString(",")}],""" +
+        s""""scaling_steal_hi":[${hisS.map(s => j(s._2)).mkString(",")}],""" +
+        s""""scaling_steal_max":[${maxsS.map(s => j(s._2)).mkString(",")}],""" +
+        s""""steal_max_clean":${j(stealMax)},""" +
         s""""cores_max":$opsCores,"secs_max":${j(tMax)},""" +
         s""""files_per_sec_max":${j(benchDocs / tMax)}}"""
     val latJson =
