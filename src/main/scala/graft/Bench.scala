@@ -57,7 +57,9 @@ object Bench {
     def snap(): (Long, Long) = {
       val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .split("\\s+").drop(1).map(_.toLong)
-      (f.sum, f(3) + f(4)) // total, idle+iowait
+      // first 8 fields only: the kernel folds guest/guest_nice (f(8), f(9))
+      // into user/nice already — summing them double-counts guest jiffies
+      (f.take(8).sum, f(3) + f(4)) // total, idle+iowait
     }
     def busy(): Double = {
       val (t0, i0) = snap(); Thread.sleep(300); val (t1, i1) = snap()
@@ -115,14 +117,21 @@ object Bench {
     def cpuSnap(): (Long, Long, Long) = {
       val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .split("\\s+").drop(1).map(_.toLong)
-      (f.sum, f(3) + f(4), if (f.length > 7) f(7) else 0L)
+      // take(8): exclude guest/guest_nice, already folded into user/nice
+      (f.take(8).sum, f(3) + f(4), if (f.length > 7) f(7) else 0L)
     }
 
     /** One timed build; returns (wall secs, steal share of our runnable
       * CPU time during the build). Samples with high steal are real wall
-      * time but measure the hypervisor, not the engine.
+      * time but measure the hypervisor, not the engine. The steal share's
+      * denominator is MACHINE-wide non-idle jiffies, not this JVM's own CPU
+      * time — an approximation: co-resident in-guest activity during a
+      * sample dilutes the fraction (and a 1-core build on an idle host
+      * attributes guest-wide steal to itself). Good enough as a taint
+      * heuristic; the gate only picks which samples the min prefers.
       */
-    def buildOnce(cpus: Int, tag: String, warm: Boolean): (Double, Double) = {
+    def buildOnce(cpus: Int, tag: String, warm: Boolean,
+        keepIndex: Boolean = false): (Double, Double) = {
       val s = session(cpus)
       import s.implicits._
       if (warm) {
@@ -142,6 +151,10 @@ object Bench {
       }
       val (tot1, idle1, st1) = cpuSnap()
       s.stop()
+      // large-corpus runs (sf1, ~12M docs) keep several ~10 GB index dirs
+      // alive at once otherwise; only the latency phase's index is needed
+      // after timing
+      if (!keepIndex) deleteRec(new java.io.File(dir))
       val runnable = math.max(1L, (tot1 - tot0) - (idle1 - idle0))
       (t, (st1 - st0).toDouble / runnable)
     }
@@ -163,7 +176,8 @@ object Bench {
         quiesce(s"hi r$r.$i")
         hisB += buildOnce(scaleHi, s"hi$scaleHi", warm = r == 1 && i == 1)
         quiesce(s"max r$r.$i")
-        maxsB += buildOnce(opsCores, s"max$opsCores", warm = r == 1 && i == 1)
+        maxsB += buildOnce(opsCores, s"max$opsCores", warm = r == 1 && i == 1,
+          keepIndex = true) // latency phase reads the max-cores index
       }
     }
     // Adaptive top-up: a co-tenant load plateau lasting the whole sampling
@@ -206,7 +220,8 @@ object Bench {
         quiesce(s"hi x$extra.$i", maxWaitMs = 60000)
         hisB += buildOnce(scaleHi, s"hi$scaleHi", warm = false)
         quiesce(s"max x$extra.$i", maxWaitMs = 60000)
-        maxsB += buildOnce(opsCores, s"max$opsCores", warm = false)
+        maxsB += buildOnce(opsCores, s"max$opsCores", warm = false,
+          keepIndex = true)
       }
     }
     val (losS, hisS, maxsS) = (losB.result(), hisB.result(), maxsB.result())
@@ -236,8 +251,12 @@ object Bench {
       }
     }
     val (altLoS, altHiS) = (altLoB.result(), altHiB.result())
-    val (tAltLo, tAltHi) = (cleanMin(altLoS), cleanMin(altHiS))
-    val effAlt = (tAltLo / tAltHi) / 4.0
+    // ALT_ROUNDS=0 skips the secondary pair (e.g. the sf1 large-corpus run,
+    // where a 1-core build alone costs ~30 min); report zeros, not a crash
+    val haveAlt = altLoS.nonEmpty && altHiS.nonEmpty
+    val (tAltLo, tAltHi) =
+      if (haveAlt) (cleanMin(altLoS), cleanMin(altHiS)) else (0.0, 0.0)
+    val effAlt = if (haveAlt) (tAltLo / tAltHi) / 4.0 else 0.0
 
     // query latency on the ops-parallelism session
     val s = session(opsCores)
@@ -269,6 +288,16 @@ object Bench {
     s.stop()
 
     def j(d: Double): String = f"$d%.4f"
+    val altJson = if (!haveAlt) "null" else
+      s"""{"cores_lo":1,"cores_hi":4,""" +
+        s""""secs_lo":${j(tAltLo)},"secs_hi":${j(tAltHi)},""" +
+        s""""files_per_sec_lo":${j(benchDocs / tAltLo)},""" +
+        s""""files_per_sec_hi":${j(benchDocs / tAltHi)},""" +
+        s""""scaling_efficiency":${j(effAlt)},""" +
+        s""""samples_lo":[${altLoS.map(s => j(s._1)).mkString(",")}],""" +
+        s""""samples_hi":[${altHiS.map(s => j(s._1)).mkString(",")}],""" +
+        s""""steal_lo":[${altLoS.map(s => j(s._2)).mkString(",")}],""" +
+        s""""steal_hi":[${altHiS.map(s => j(s._2)).mkString(",")}]}"""
     val buildJson =
       s"""{"docs":$benchDocs,"cores_lo":$scaleLo,"cores_hi":$scaleHi,""" +
         s""""secs_lo":${j(tLo)},"secs_hi":${j(tHi)},""" +
@@ -281,21 +310,58 @@ object Bench {
         s""""scaling_steal_hi":[${hisS.map(s => j(s._2)).mkString(",")}],""" +
         s""""scaling_steal_max":[${maxsS.map(s => j(s._2)).mkString(",")}],""" +
         s""""steal_max_clean":${j(stealMax)},""" +
-        s""""alt_pair":{"cores_lo":1,"cores_hi":4,""" +
-        s""""secs_lo":${j(tAltLo)},"secs_hi":${j(tAltHi)},""" +
-        s""""files_per_sec_lo":${j(benchDocs / tAltLo)},""" +
-        s""""files_per_sec_hi":${j(benchDocs / tAltHi)},""" +
-        s""""scaling_efficiency":${j(effAlt)},""" +
-        s""""samples_lo":[${altLoS.map(s => j(s._1)).mkString(",")}],""" +
-        s""""samples_hi":[${altHiS.map(s => j(s._1)).mkString(",")}],""" +
-        s""""steal_lo":[${altLoS.map(s => j(s._2)).mkString(",")}],""" +
-        s""""steal_hi":[${altHiS.map(s => j(s._2)).mkString(",")}]},""" +
+        s""""alt_pair":$altJson,""" +
         s""""cores_max":$opsCores,"secs_max":${j(tMax)},""" +
         s""""files_per_sec_max":${j(benchDocs / tMax)}}"""
     val latJson =
       s"""{"p50":${j(p50)},"p95":${j(p95)},""" +
         s""""qps_sequential":${j(1.0 / math.max(1e-9, p50))},""" +
         s""""batch20_secs":${j(batchSecs)}}"""
+
+    // 10x-scale datapoint (VERDICT r3 next-1): a separate recorded run at
+    // ~12M docs (tools/run_sf1_bench.sh writes BENCH/bench_sf1.json). A
+    // full sf1 build ladder takes >1 h, too long for the per-round driver
+    // bench, so the committed artifact's index_build object is embedded
+    // here VERBATIM with its provenance, never re-measured or re-labeled.
+    val sf1Path = sys.env.getOrElse("SPARK_GRAFT_SF1_JSON", "BENCH/bench_sf1.json")
+    val sf1Build: Option[String] = {
+      val p = java.nio.file.Paths.get(sf1Path)
+      if (!Files.exists(p)) None
+      else {
+        val txt = Files.readString(p)
+        val key = "\"index_build\":"
+        val at = txt.indexOf(key)
+        if (at < 0) None
+        else { // balanced-brace extraction of the JSON object
+          val start = txt.indexOf('{', at + key.length)
+          var depth = 0
+          var i = start
+          while (i < txt.length && (depth > 0 || i == start)) {
+            if (txt.charAt(i) == '{') depth += 1
+            else if (txt.charAt(i) == '}') depth -= 1
+            i += 1
+          }
+          if (start >= 0 && depth == 0)
+            Some(txt.substring(start, i).dropRight(1) +
+              s""","source":"$sf1Path"}""")
+          else None
+        }
+      }
+    }
+    val sf1Field = sf1Build.map(o => s""","index_build_sf1":$o""").getOrElse("")
+    // compact form for the stdout tail: headline numbers only
+    val sf1FieldShort = sf1Build.map { o =>
+      def pick(k: String): String = {
+        val m = (s""""$k":([-0-9.eE]+)""").r.findFirstMatchIn(o)
+        m.map(_.group(1)).getOrElse("0")
+      }
+      s""","index_build_sf1":{"docs":${pick("docs")},""" +
+        s""""files_per_sec_lo":${pick("files_per_sec_lo")},""" +
+        s""""files_per_sec_hi":${pick("files_per_sec_hi")},""" +
+        s""""scaling_efficiency":${pick("scaling_efficiency")},""" +
+        s""""files_per_sec_max":${pick("files_per_sec_max")},""" +
+        s""""source":"$sf1Path"}"""
+    }.getOrElse("")
     val total = opTimes.map(_._2).filter(_ >= 0).sum + tLo + tHi + tMax
 
     // FULL record (per-op + per-query timings) goes to a FILE — round-1's
@@ -306,7 +372,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qsFull,""" +
-        s""""index_build":$buildJson,"query_latency":$latJson,"sf":"$sfDir"}"""
+        s""""index_build":$buildJson$sf1Field,"query_latency":$latJson,"sf":"$sfDir"}"""
     val p = java.nio.file.Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.writeString(p, fullJson + "\n")
@@ -324,7 +390,7 @@ object Bench {
         s""""files_per_sec_max":${j(benchDocs / tMax)}}"""
     println(
       s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qsShort,""" +
-        s""""index_build":$buildShort,"query_latency":$latJson,""" +
+        s""""index_build":$buildShort$sf1FieldShort,"query_latency":$latJson,""" +
         s""""sf":"$sfDir","full_json":"$outPath"}""")
     // only clean up dirs we created; a user-supplied work dir is theirs
     if (userWork.isEmpty) deleteRec(new java.io.File(work))

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Verify <sfDir> <outDir> [entry,entry,...]")
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated entry names (local iteration only;
     // the driver always runs the full map)

@@ -83,9 +83,11 @@ object ExplainAudit {
           "`sh`; no pair join anywhere.",
         fmt(PipelineOps.dedupSpans(spark, sfDir))),
       ("Benchmark decontamination (broadcast bench side)",
-        "Expect: the benchmark shingle set joins via BroadcastHashJoin " +
-          "(bench suites are tiny vs a 100 TB corpus); the training side " +
-          "streams through without a shuffle for the join itself.",
+        "Expect: the benchmark shingle set (tiny vs a 100 TB corpus) is " +
+          "the ONLY side paying a distinct shuffle, then rides a " +
+          "BroadcastHashJoin; the training side's shingles stream raw into " +
+          "the join (no pre-join shuffle) and dedupe inside the final " +
+          "per-doc aggregate (the one expected exchange, keyed by doc_id).",
         fmt(PipelineOps.decontaminate(spark, sfDir))))
 
     val md = new StringBuilder

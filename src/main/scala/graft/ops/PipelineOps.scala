@@ -64,14 +64,17 @@ object PipelineOps {
     val d = docs(spark, sfDir)
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
     val shingled = d.select(col("doc_id"),
-        explode(shingleDigests(col("toks"), n)).as("sh"))
-      .distinct()
+      explode(shingleDigests(col("toks"), n)).as("sh"))
+    // only the TINY bench side pays a distinct shuffle; the training side
+    // streams raw shingles into the broadcast join and dedupes per doc
+    // inside the final aggregation (count(DISTINCT sh) — same result as a
+    // pre-join distinct, without shuffling the full training shingle set)
     val bench = shingled.where(col("doc_id") % benchMod === 0)
       .select(col("sh")).distinct()
     shingled.where(col("doc_id") % benchMod =!= 0)
       .join(broadcast(bench), "sh")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(countDistinct(col("sh")).as("n_hits"))
       .orderBy(asc("doc_id"))
   }
 
