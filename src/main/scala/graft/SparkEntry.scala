@@ -706,12 +706,14 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
-    // fuzzy 'sort'~2 as RANKED DOCS: dictionary expansion by edit distance,
-    // per-term boost 1 - dist/min(len, 4), BM25 sum over matching expansions
+    // fuzzy 'sort'~2 as RANKED DOCS: dictionary expansion by edit distance
+    // within the prefixLength=1 gate (first char shared), per-term boost
+    // 1 - dist/min(len, 4), BM25 sum over matching expansions
     "search_fuzzy_docs" ->
       s"""WITH $TokCte,
          |$Bm25Ctes,
-         |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE substr(term, 1, 1) = 's' GROUP BY term
          |        HAVING levenshtein(term, 'sort') <= 2),
          |sc AS (SELECT tf.doc_id,
          |       sum((1 - levenshtein(tf.term, 'sort') * 1.0 / least(length(tf.term), 4))
@@ -955,21 +957,27 @@ object SparkEntry {
          |WHERE contains(term, 'or') GROUP BY term
          |ORDER BY df DESC, term LIMIT 8""".stripMargin,
     // DirectSpellChecker + collation: best correction per query term by
-    // (edit distance, -df, term); a present term self-matches at dist 0
+    // (edit distance, -df, term); a present term self-matches at dist 0.
+    // minPrefix=1 (the DirectSpellChecker default): candidate and query
+    // term share the first character.
     "spell_collate" ->
       s"""WITH $TokCte,
          |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
          |q AS (SELECT unnest(['mrge', 'sorrt', 'window']) AS qterm),
          |cand AS (SELECT q.qterm, d.term AS suggestion,
          |         CAST(levenshtein(q.qterm, d.term) AS BIGINT) AS dist, d.df
-         |         FROM q, dict d WHERE levenshtein(q.qterm, d.term) <= 2),
+         |         FROM q, dict d
+         |         WHERE substr(d.term, 1, 1) = substr(q.qterm, 1, 1)
+         |           AND levenshtein(q.qterm, d.term) <= 2),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY qterm
          |       ORDER BY dist, df DESC, suggestion) AS rk FROM cand)
          |SELECT qterm, suggestion, dist, df FROM rk WHERE rk = 1
          |ORDER BY qterm""".stripMargin,
+    // prefixLength=1 semantics: candidates share the target's first char
     "search_fuzzy" ->
       s"""WITH $TokCte
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |WHERE substr(term, 1, 1) = 'm'
          |GROUP BY term HAVING levenshtein(term, 'merge') <= 1 ORDER BY term""".stripMargin,
     "sort_searchafter" ->
       s"""WITH tc AS (SELECT doc_id,
