@@ -168,6 +168,25 @@ class OpsSpec extends AnyFunSuite {
       s"bench shingle set should broadcast:\n$decoPlan")
   }
 
+  test("infix suggester: indexed suffix table matches contains scan, prefix pushed") {
+    val r = DocSearchOps.reader(spark, sf)
+    // ground truth: the contains scan of the dictionary it replaces
+    val want = r.termDict
+      .where(!col("term").contains(graft.index.FieldOf.Sep.toString))
+      .where(col("term").contains("or"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(8)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    val got = DocSearchOps.suggestInfix(spark, sf, "or", 8)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(got == want, s"indexed infix suggester diverged:\n$got\nvs\n$want")
+    // the fragment must be a pushed-down range predicate on the gram table
+    val plan = r.suggestTable.where(col("gram").startsWith("or"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StartsWith"),
+      s"gram prefix not pushed to parquet:\n$plan")
+  }
+
   test("sampleHash is a pure function of doc_id: stable across repartitionings") {
     val a = PipelineOps.sampleHash(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
