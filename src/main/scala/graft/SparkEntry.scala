@@ -35,6 +35,10 @@ object SparkEntry {
     "search_span_near_unordered" -> ((s, d) =>
       DocSearchOps.searchSpanNear(s, d,
         terms = Seq("sort", "merge", "window"), slop = 6, ordered = false)),
+    "search_span_or" -> ((s, d) => DocSearchOps.searchSpanOr(s, d)),
+    "search_span_or_near" -> ((s, d) => DocSearchOps.searchSpanOrNear(s, d)),
+    "search_span_not_nested" -> ((s, d) =>
+      DocSearchOps.searchSpanNotNested(s, d)),
     "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
     "search_min_should_match" -> (DocSearchOps.searchMinShouldMatch(_, _)),
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
@@ -901,6 +905,50 @@ object SparkEntry {
          |FROM a JOIN b ON a.doc_id = b.doc_id
          |       JOIN c ON a.doc_id = c.doc_id
          |WHERE (greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) + 1) - 3 <= 6
+         |ORDER BY doc_id""".stripMargin,
+    // SpanOr at the top: SpanNear(merge, sort; slop=4, ordered) OR the
+    // exact-phrase span "key order" — union of the two span sets
+    "search_span_or" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'sort'),
+         |near AS (SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+         |         WHERE b.pos > a.pos AND (b.pos - a.pos + 1) - 2 <= 4),
+         |ph AS (SELECT DISTINCT k.doc_id
+         |       FROM pp k JOIN pp o ON o.doc_id = k.doc_id AND o.pos = k.pos + 1
+         |       WHERE k.term = 'key' AND o.term = 'order')
+         |SELECT doc_id FROM (SELECT doc_id FROM near UNION SELECT doc_id FROM ph)
+         |ORDER BY doc_id""".stripMargin,
+    // SpanOr AS A SUBSPAN: SpanNear(ordered, slop=8) over
+    // [SpanOr(merge | "key order"), window] — or-spans have widths 1 and 2,
+    // the chain uses the PICKED span's (s, e): window w >= e and slack
+    // (w + 1 - s) - ((e - s) + 1) <= 8
+    "search_span_or_near" ->
+      s"""WITH $PosCtes,
+         |orsp AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM pp WHERE term = 'merge'
+         |         UNION ALL
+         |         SELECT k.doc_id, k.pos, k.pos + 2
+         |         FROM pp k JOIN pp o ON o.doc_id = k.doc_id AND o.pos = k.pos + 1
+         |         WHERE k.term = 'key' AND o.term = 'order'),
+         |w AS (SELECT doc_id, pos FROM pp WHERE term = 'window')
+         |SELECT DISTINCT orsp.doc_id AS doc_id
+         |FROM orsp JOIN w ON w.doc_id = orsp.doc_id
+         |WHERE w.pos >= orsp.e AND (w.pos + 1 - orsp.s) - (orsp.e - orsp.s + 1) <= 8
+         |ORDER BY doc_id""".stripMargin,
+    // SpanNot AS A SUBSPAN: SpanNear(ordered, slop=10) over
+    // [SpanNot(merge, sort; dist=2), window]: surviving merge positions
+    // (no sort within 2) chain to a window at w >= p + 1, slack
+    // (w + 1 - p) - 2 <= 10
+    "search_span_not_nested" ->
+      s"""WITH $PosCtes,
+         |inc AS (SELECT a.doc_id, a.pos FROM pp a WHERE a.term = 'merge'
+         |        AND NOT EXISTS (SELECT 1 FROM pp b
+         |             WHERE b.doc_id = a.doc_id AND b.term = 'sort'
+         |               AND abs(b.pos - a.pos) <= 2)),
+         |w AS (SELECT doc_id, pos FROM pp WHERE term = 'window')
+         |SELECT DISTINCT inc.doc_id AS doc_id
+         |FROM inc JOIN w ON w.doc_id = inc.doc_id
+         |WHERE w.pos >= inc.pos + 1 AND (w.pos + 1 - inc.pos) - 2 <= 10
          |ORDER BY doc_id""".stripMargin,
     // sloppy phrase "key order"~2: raw token positions (stop words count,
     // mirroring StopFilter position-increment holes), window |pb-pa-1|<=2

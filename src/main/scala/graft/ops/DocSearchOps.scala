@@ -335,6 +335,54 @@ object DocSearchOps {
       .orderBy(asc("doc_id"))
   }
 
+  /** Shared doc_id projection for the composable span-tree entries. */
+  private def spanTreeDocs(spark: SparkSession, sfDir: String,
+      root: graft.search.SpanNode): DataFrame = {
+    val r = reader(spark, sfDir)
+    QueryEngine.matchSpanTree(r, root)
+      .toDF("docId")
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** SpanOrQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanOrQuery.java]
+    * at the TOP of the tree: docs matching EITHER SpanNear(merge, sort;
+    * slop=4, ordered) OR the exact-phrase span "key order". Exercises the
+    * span algebra's union node and the disjunction-driven cheap phase (a
+    * top-level SOr requires no single term, so no conjunction can drive).
+    */
+  def searchSpanOr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.SpanNode._
+    spanTreeDocs(spark, sfDir, SOr(Seq(
+      SNear(Seq(term("merge"), term("sort")), slop = 4, ordered = true),
+      STerm(Seq("key", "order"), Seq(0, 1)))))
+  }
+
+  /** SpanOr AS A SUBSPAN of SpanNear — the algebra-closure case the flat
+    * kernels cannot express (VERDICT r3 next-5): SpanNear(ordered, slop=8)
+    * over [SpanOr(merge, "key order"), window]. The Or contributes
+    * variable-width spans (1 vs 2), so the chain arithmetic must use the
+    * PICKED span's width, not a per-list constant.
+    */
+  def searchSpanOrNear(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.SpanNode._
+    spanTreeDocs(spark, sfDir, SNear(Seq(
+      SOr(Seq(term("merge"), STerm(Seq("key", "order"), Seq(0, 1)))),
+      term("window")), slop = 8, ordered = true))
+  }
+
+  /** SpanNot AS A SUBSPAN of SpanNear (algebra closure): SpanNear(ordered,
+    * slop=10) over [SpanNot(merge, sort; dist=2), window] — a 'merge' with
+    * no 'sort' within 2 positions, followed by 'window' within the slop.
+    */
+  def searchSpanNotNested(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.SpanNode._
+    spanTreeDocs(spark, sfDir, SNear(Seq(
+      SNot(term("merge"), term("sort"), dist = 2),
+      term("window")), slop = 10, ordered = true))
+  }
+
   /** Sloppy phrase ("a b"~2): positional window match
     * [B lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java]
     * — same distributed two-phase pipeline with |p_b - p_a - 1| <= slop.

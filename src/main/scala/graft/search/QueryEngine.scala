@@ -560,6 +560,104 @@ object QueryEngine {
       .as[Long]
   }
 
+  /** Execute a COMPOSABLE span tree (SpanAlgebra) — the closure of the
+    * span algebra [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanOrQuery.java,
+    * SpanNearQuery.java]: SpanOr under SpanNear, SpanNot/SpanFirst as
+    * subspans, arbitrary nesting. Same distributed bucket pipeline as
+    * matchAllTerms, with the cheap phase driven by the tree's REQUIRED
+    * terms (everything not under an SOr / SNot-exclude); when the tree
+    * requires nothing specific (top-level SOr), the driver is the
+    * disjunction over all present terms. Optional terms' iterators advance
+    * lazily to the candidate doc inside the accept phase.
+    */
+  def matchSpanTree(reader: Index.Reader, root: SpanNode): Dataset[Long] = {
+    val spark = reader.spark
+    import spark.implicits._
+    val all = SpanNode.allTerms(root).distinct
+    require(all.nonEmpty, "span tree references no terms")
+    val req = SpanNode.requiredTerms(root).distinct
+
+    val p = reader.postings.where($"term".isin(all: _*))
+    val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
+      tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
+        .map { case (bucket, bs) =>
+          BucketTermBlocks(bucket, tp.term, bs.sortBy(_.firstDocId))
+        }
+    }
+    val specB = spark.sparkContext.broadcast((root, req.toArray, all.toArray))
+    val matched: Dataset[Long] = buckets.groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val (tree, reqT, allT) = specB.value
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
+        rows.foreach { r =>
+          byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) ++= r.blocks
+        }
+        if (!reqT.forall(byTerm.contains)) Iterator.empty
+        else {
+          val dummyCache = new Array[Double](256) // never scored
+          val iters: Map[String, BmwScorer.TermIterator] =
+            allT.iterator.filter(byTerm.contains).map { t =>
+              t -> new BmwScorer.TermIterator(0.0, dummyCache,
+                byTerm(t).sortBy(_.firstDocId).toArray)
+            }.toMap
+          def accept(doc: Long): Boolean = {
+            def posOf(t: String): Array[Int] = iters.get(t) match {
+              case None => Array.emptyIntArray
+              case Some(it) =>
+                var d = it.docId
+                if (d < doc) d = it.advance(doc)
+                if (d != doc) Array.emptyIntArray
+                else {
+                  val ps = it.positions()
+                  require(ps != null,
+                    "positional query over an index built without indexPositions")
+                  ps
+                }
+            }
+            SpanAlgebra.matches(tree, posOf)
+          }
+          if (reqT.nonEmpty)
+            BmwScorer.conjunctionIterator(
+              reqT.map(t => iters(t)).toArray, accept)
+          else {
+            // disjunction driver: min over all present iterators
+            val its = iters.valuesIterator.toArray
+            new Iterator[Long] {
+              private var cur = -1L
+              private def findFrom(target0: Long): Long = {
+                var target = target0
+                while (true) {
+                  var min = BmwScorer.NoMoreDocs
+                  var i = 0
+                  while (i < its.length) {
+                    var d = its(i).docId
+                    if (d < target) d = its(i).advance(target)
+                    if (d < min) min = d
+                    i += 1
+                  }
+                  if (min == BmwScorer.NoMoreDocs) return BmwScorer.NoMoreDocs
+                  if (accept(min)) return min
+                  target = min + 1
+                }
+                BmwScorer.NoMoreDocs // unreachable
+              }
+              private var nextDoc = findFrom(0L)
+              def hasNext: Boolean = nextDoc != BmwScorer.NoMoreDocs
+              def next(): Long = {
+                val r = nextDoc
+                nextDoc = findFrom(r + 1)
+                r
+              }
+            }
+          }
+        }
+      }
+    if (!reader.hasTombstones) matched
+    else matched.toDF("docId")
+      .join(reader.tombstones.toDF("docId"), Seq("docId"), "left_anti")
+      .as[Long]
+  }
+
   /** Top-k hits joined back to document identity (the two-phase
     * ids-then-fields trick, SURVEY.md §3.3): only the winning ids' metadata
     * is fetched, via a broadcast hash join on the tiny result side.
