@@ -277,6 +277,17 @@ object Bench {
     val batchSecs = (1 to 2).map { _ =>
       time(QueryEngine.search(reader, ReferenceQueries.all).count())._2
     }.min
+    // the same 20 queries as clause TREES through one batched searchTrees
+    // job (VERDICT r3 next-7: tree workloads previously paid a job per
+    // query; the contract is ~2x the flat batch, the tree evaluator's
+    // non-WAND full-disjunction cost)
+    val treeBatch = ReferenceQueries.all.map { q0 =>
+      val q = QueryEngine.analyzeQuery(q0, graft.core.Analyzer.EnglishStopWords)
+      TreeQuery(q.qid, QueryEngine.treeOf(q), q.k)
+    }
+    val treeBatchSecs = (1 to 2).map { _ =>
+      time(QueryEngine.searchTrees(reader, treeBatch).count())._2
+    }.min
 
     // per-operator timings at sfDir (each op includes its full plan;
     // DocSearchOps builds its index once, on the first search op)
@@ -316,7 +327,8 @@ object Bench {
     val latJson =
       s"""{"p50":${j(p50)},"p95":${j(p95)},""" +
         s""""qps_sequential":${j(1.0 / math.max(1e-9, p50))},""" +
-        s""""batch20_secs":${j(batchSecs)}}"""
+        s""""batch20_secs":${j(batchSecs)},""" +
+        s""""tree_batch20_secs":${j(treeBatchSecs)}}"""
 
     // 10x-scale datapoint (VERDICT r3 next-1): a separate recorded run at
     // ~12M docs (tools/run_sf1_bench.sh writes BENCH/bench_sf1.json). A

@@ -57,6 +57,7 @@ object SparkEntry {
     "more_like_this" -> ((s, d) => DocSearchOps.moreLikeThis(s, d)),
     "search_sql_expr" -> (DocSearchOps.searchSqlExpr(_, _)),
     "search_parsed" -> ((s, d) => DocSearchOps.searchParsed(s, d)),
+    "search_tree_batch" -> ((s, d) => DocSearchOps.searchTreeBatch(s, d)),
     "search_parsed_filter" -> ((s, d) => DocSearchOps.searchParsedFilter(s, d)),
     "search_parsed_nested" -> ((s, d) => DocSearchOps.searchParsedNested(s, d)),
     "search_phrase_scored" -> ((s, d) => DocSearchOps.searchPhraseScored(s, d)),
@@ -593,6 +594,50 @@ object SparkEntry {
     // "+merge window^2.5 -error" through the text query parser
     "search_parsed" -> bm25Sql(Seq("merge", "window"), Seq("merge"),
       nots = Seq("error"), boosts = Map("window" -> 2.5)),
+    // three parsed queries batched through ONE searchTrees scan; each
+    // query's BM25 ranking is independent, ranks restart per qid
+    "search_tree_batch" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'window', 'scan', 'table', 'class', 'extends')
+         |        GROUP BY term),
+         |sc1 AS (SELECT tf.doc_id,
+         |        sum((CASE WHEN tf.term = 'window' THEN 2.5 ELSE 1.0 END) *
+         |            ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        WHERE tf.term IN ('merge', 'window')
+         |          AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'error')
+         |        GROUP BY tf.doc_id
+         |        HAVING count(DISTINCT CASE WHEN tf.term = 'merge' THEN tf.term END) = 1),
+         |sc2 AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        WHERE tf.term IN ('scan', 'table')
+         |        GROUP BY tf.doc_id),
+         |sc3 AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        WHERE tf.term IN ('class', 'extends')
+         |        GROUP BY tf.doc_id
+         |        HAVING count(DISTINCT CASE WHEN tf.term = 'extends' THEN tf.term END) = 1),
+         |ranked AS (
+         |  SELECT 'b1' AS qid, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc1
+         |  UNION ALL
+         |  SELECT 'b2', row_number() OVER (ORDER BY round(score, 9) DESC, doc_id),
+         |         doc_id, round(score, 4) FROM sc2
+         |  UNION ALL
+         |  SELECT 'b3', row_number() OVER (ORDER BY round(score, 9) DESC, doc_id),
+         |         doc_id, round(score, 4) FROM sc3)
+         |SELECT qid, rank, doc_id, score FROM ranked
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // compositional tree: '+(merge OR sort) "key order" wind* -lang:fr' —
     // required nested disjunction (BM25 sum over matching members), an
     // optional SCORED phrase (freq-scored, weight = idf(key)+idf(order)),

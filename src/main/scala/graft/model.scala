@@ -136,6 +136,17 @@ case class QuerySpec(
       */
     searchAfter: Option[(Double, Long)] = None)
 
+/** One clause-TREE query in a batched searchTrees call (the tree analogue
+  * of QuerySpec): an executable ClauseNode root plus the per-query top-k /
+  * searchAfter-cursor parameters. Declared here (not in graft.search) so
+  * batches serialize with the same Encoder machinery as QuerySpec.
+  */
+case class TreeQuery(
+    qid: String,
+    root: graft.search.ClauseNode,
+    k: Int = 10,
+    searchAfter: Option[(Double, Long)] = None)
+
 /** Global collection statistics needed by BM25 (broadcast at query time). */
 case class IndexStats(docCount: Long, sumTotalTermFreq: Long) {
   def avgdl: Double =

@@ -532,6 +532,32 @@ object DocSearchOps {
       query: String = "+merge window^2.5 -error"): DataFrame =
     searchDf(spark, sfDir, graft.search.QueryParser.parseToSpec(query, "parsed"))
 
+  /** BATCHED parsed queries (VERDICT r3 next-7): N query strings parse,
+    * lower to clause trees, and execute through ONE searchTrees call — one
+    * pushed-down postings scan, one bucket cogroup, one merge for the whole
+    * batch, the per-job cost a parsed-query workload previously paid per
+    * query. Output carries qid; ranks restart per query.
+    */
+  def searchTreeBatch(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, String)] = Seq(
+        "b1" -> "+merge window^2.5 -error",
+        "b2" -> "scan table",
+        "b3" -> "+extends class")): DataFrame = {
+    val r = reader(spark, sfDir)
+    val trees = queries.map { case (qid, q) =>
+      graft.TreeQuery(qid, QueryLowering.parseAndLower(r, q), k = 10)
+    }
+    val hits = QueryEngine.searchTrees(r, trees)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("score"), 9).desc, asc("doc_id"))
+    hits.join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(asc("qid"), asc("rank"))
+  }
+
   /** Parsed query with a field-scoped metadata filter (`lang:en` lowers to
     * the pushed-down FILTER clause, edismax `fq`-style).
     */

@@ -590,6 +590,51 @@ class IndexEndToEndSpec extends AnyFunSuite {
       val viaTree = canon(QueryEngine.searchTree(reader, flat.qid, tree, flat.k).collect())
       assert(viaTree == viaWand, s"${flat.qid}: tree != WAND")
     }
+
+    // BATCHED: all 5 trees through ONE searchTrees call (one shared scan)
+    // must equal the per-tree runs exactly
+    val batch = cases.map { case (flat, tree) => TreeQuery(flat.qid, tree, flat.k) }
+    val batched = QueryEngine.searchTrees(reader, batch).collect()
+      .groupBy(_.qid).map { case (q, hits) => q -> canon(hits) }
+    for ((flat, tree) <- cases)
+      assert(batched(flat.qid) ==
+        canon(QueryEngine.searchTree(reader, flat.qid, tree, flat.k).collect()),
+        s"${flat.qid}: batched != single")
+
+    // the FULL 20-query reference set through treeOf + one batched job ==
+    // the WAND path per query (covers langFilter -> LangNode and boosts)
+    val refTrees = graft.search.ReferenceQueries.all
+      .filter(_.dismaxTiebreak.isEmpty).map { q0 =>
+        val q = QueryEngine.analyzeQuery(q0, Analyzer.EnglishStopWords)
+        TreeQuery(q.qid, QueryEngine.treeOf(q), q.k)
+      }
+    val refBatched = QueryEngine.searchTrees(reader, refTrees).collect()
+      .groupBy(_.qid).map { case (q, hits) => q -> canon(hits) }
+      .withDefaultValue(Seq.empty)
+    val refWand = QueryEngine.search(reader,
+      graft.search.ReferenceQueries.all.filter(_.dismaxTiebreak.isEmpty))
+      .collect().groupBy(_.qid).map { case (q, hits) => q -> canon(hits) }
+      .withDefaultValue(Seq.empty)
+    for (q <- refTrees)
+      assert(refBatched(q.qid) == refWand(q.qid),
+        s"${q.qid}: batched treeOf != WAND")
+  }
+
+  test("clause tree at k=200k: distributed merge is rank-identical to the driver collect") {
+    import graft.search.ClauseNode._
+    val reader = Index.reader(spark, indexDir)
+    val tree = BoolNode(should =
+      Seq(TermNode("return"), TermNode("class"), TermNode("import")))
+    def canon(hits: Array[ScoredDoc]): Seq[(Long, Long)] = hits.toSeq
+      .map(h => (h.docId, math.round(h.score * 1e9))).sortBy(x => (-x._2, x._1))
+    val k = 200000 // > MergeCollectMax: flips searchTrees to the
+                   // groupByKey(qid) bounded-heap merge (VERDICT r3 wrong-3)
+    val distributed = canon(QueryEngine.searchTrees(reader,
+      Seq(TreeQuery("big", tree, k))).collect())
+    val driverSide = canon(QueryEngine.searchTrees(reader,
+      Seq(TreeQuery("big", tree, k)), mergeCollectMax = Long.MaxValue).collect())
+    assert(distributed.nonEmpty && distributed == driverSide,
+      s"distributed merge diverged: ${distributed.size} vs ${driverSide.size}")
   }
 
   test("clause tree: nested boolean (a AND b) OR c matches an independent naive computation") {
