@@ -65,6 +65,8 @@ object SparkEntry {
     "search_fuzzy_docs" -> ((s, d) => DocSearchOps.searchFuzzyDocs(s, d)),
     "search_term_range" -> ((s, d) => DocSearchOps.searchTermRange(s, d)),
     "search_synonym" -> ((s, d) => DocSearchOps.searchSynonym(s, d)),
+    "search_synonym_config" -> ((s, d) =>
+      DocSearchOps.searchSynonymConfig(s, d)),
     "search_rerank" -> ((s, d) => DocSearchOps.searchRerank(s, d)),
     "search_rrf_hybrid" -> ((s, d) => DocSearchOps.searchRrf(s, d)),
     "search_after_score" -> (DocSearchOps.searchAfterScore(_, _)),
@@ -800,6 +802,36 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // "merge sort" parsed under synonym config sort={order}: score =
+    // bm25(merge) + synonym-blend(sort, order) (freq = sum of member tfs,
+    // df = max of member dfs), docs matching either clause
+    "search_synonym_config" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |mdf AS (SELECT count(*) AS df FROM tf WHERE term = 'merge'),
+         |msc AS (SELECT tf.doc_id,
+         |        ln(1 + (st.n - mdf.df + 0.5) / (mdf.df + 0.5)) * tf.tf
+         |          / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |        FROM tf JOIN qdl ON tf.doc_id = qdl.doc_id
+         |             CROSS JOIN st CROSS JOIN mdf
+         |        WHERE tf.term = 'merge'),
+         |sdf AS (SELECT max(df) AS df FROM (
+         |        SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('sort', 'order') GROUP BY term)),
+         |stf AS (SELECT doc_id, sum(tf) AS tf FROM tf
+         |        WHERE term IN ('sort', 'order') GROUP BY doc_id),
+         |ssc AS (SELECT stf.doc_id,
+         |        ln(1 + (st.n - sdf.df + 0.5) / (sdf.df + 0.5)) * stf.tf
+         |          / (stf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |        FROM stf JOIN qdl ON stf.doc_id = qdl.doc_id
+         |             CROSS JOIN st CROSS JOIN sdf),
+         |allsc AS (SELECT coalesce(m.doc_id, s.doc_id) AS doc_id,
+         |                 coalesce(m.score, 0) + coalesce(s.score, 0) AS score
+         |          FROM msc m FULL OUTER JOIN ssc s ON m.doc_id = s.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM allsc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // Solr rerank: top-30 window of (merge OR sort), rescored as
     // firstPass + 2.0 * bm25(window); misses keep their first-pass score

@@ -881,6 +881,22 @@ object DocSearchOps {
     rankDf(r, graft.search.QueryEngine.searchTree(r, "syn", tree))
   }
 
+  /** CONFIG-DRIVEN synonym wiring (VERDICT r3 next-4)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/synonym/SynonymGraphFilter.java]:
+    * a user-supplied synonym map feeds QueryLowering, which turns each
+    * matching parsed term clause into a blended-stats SynNode — the whole
+    * chain query string -> parse -> synonym expansion -> tree execution,
+    * not just a hand-built SynNode. Here "merge sort" with sort={order}
+    * lowers to should[Term(merge), Syn(sort, order)].
+    */
+  def searchSynonymConfig(spark: SparkSession, sfDir: String,
+      query: String = "merge sort",
+      synonyms: Map[String, Seq[String]] = Map("sort" -> Seq("order"))): DataFrame = {
+    val r = reader(spark, sfDir)
+    val tree = QueryLowering.parseAndLower(r, query, synonyms = synonyms)
+    rankDf(r, QueryEngine.searchTree(r, "synq", tree))
+  }
+
   /** Solr ReRankQParserPlugin [B solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java]:
     * first pass ranks `reRankDocs` hits with the main query; the rerank
     * query then rescores ONLY that window, final score = firstPass +

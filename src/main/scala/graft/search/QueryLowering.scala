@@ -33,32 +33,43 @@ object QueryLowering {
   final case class TooManyClauses(msg: String)
     extends IllegalArgumentException(msg)
 
-  /** parse + lower in one step. */
+  /** parse + lower in one step. `synonyms` is the config-driven synonym
+    * set (SynonymGraphFilter's query-time role
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/synonym/SynonymGraphFilter.java]):
+    * keys and members are ANALYZED terms; a term clause whose analyzed
+    * token has an entry lowers to a blended-stats SynNode over
+    * {term} ∪ members instead of a TermNode — Lucene's
+    * QueryBuilder.analyzeGraphBoolean emitting a SynonymQuery when the
+    * analyzer stacks tokens at one position.
+    */
   def parseAndLower(reader: Index.Reader, query: String,
-      stopWords: Set[String] = Analyzer.EnglishStopWords): ClauseNode =
-    lower(reader, QueryParser.parse(query), stopWords)
+      stopWords: Set[String] = Analyzer.EnglishStopWords,
+      synonyms: Map[String, Seq[String]] = Map.empty): ClauseNode =
+    lower(reader, QueryParser.parse(query), stopWords, synonyms)
 
   def lower(reader: Index.Reader, node: QNode,
-      stopWords: Set[String] = Analyzer.EnglishStopWords): ClauseNode =
-    walk(reader, node, None, 1.0, stopWords)
+      stopWords: Set[String] = Analyzer.EnglishStopWords,
+      synonyms: Map[String, Seq[String]] = Map.empty): ClauseNode =
+    walk(reader, node, None, 1.0, stopWords, synonyms)
       .getOrElse(BoolNode()) // all clauses analyzed away -> matches nothing
 
   // ---- recursive lowering ----------------------------------------------------
 
   private def walk(r: Index.Reader, n: QNode, field: Option[String],
-      boost: Double, stop: Set[String]): Option[ClauseNode] = n match {
-    case t: QTerm => lowerTerm(r, t, field, boost, stop)
+      boost: Double, stop: Set[String],
+      syn: Map[String, Seq[String]]): Option[ClauseNode] = n match {
+    case t: QTerm => lowerTerm(r, t, field, boost, stop, syn)
     case p: QPhrase => lowerPhrase(p, field, boost, stop)
     case rg: QRange => Some(lowerRange(r, rg, field, boost))
     case QGroup(f, e, b) =>
-      walk(r, e, f.orElse(field), boost * b.getOrElse(1.0), stop)
-    case QRequired(c) => walk(r, c, field, boost, stop)
+      walk(r, e, f.orElse(field), boost * b.getOrElse(1.0), stop, syn)
+    case QRequired(c) => walk(r, c, field, boost, stop, syn)
     case QProhibited(c) =>
-      walk(r, c, field, boost, stop).map(x => BoolNode(mustNot = Seq(x)))
+      walk(r, c, field, boost, stop, syn).map(x => BoolNode(mustNot = Seq(x)))
     case QNot(c) =>
-      walk(r, c, field, boost, stop).map(x => BoolNode(mustNot = Seq(x)))
-    case QAnd(cs) => boolOf(r, cs, defaultMust = true, field, boost, stop)
-    case QOr(cs) => boolOf(r, cs, defaultMust = false, field, boost, stop)
+      walk(r, c, field, boost, stop, syn).map(x => BoolNode(mustNot = Seq(x)))
+    case QAnd(cs) => boolOf(r, cs, defaultMust = true, field, boost, stop, syn)
+    case QOr(cs) => boolOf(r, cs, defaultMust = false, field, boost, stop, syn)
   }
 
   /** Classify the children of a boolean level: '+' -> MUST, '-'/NOT ->
@@ -69,16 +80,17 @@ object QueryLowering {
     * the analyzer dropping them in Lucene.
     */
   private def boolOf(r: Index.Reader, cs: Seq[QNode], defaultMust: Boolean,
-      field: Option[String], boost: Double, stop: Set[String]): Option[ClauseNode] = {
+      field: Option[String], boost: Double, stop: Set[String],
+      syn: Map[String, Seq[String]]): Option[ClauseNode] = {
     val must = Seq.newBuilder[ClauseNode]
     val should = Seq.newBuilder[ClauseNode]
     val mustNot = Seq.newBuilder[ClauseNode]
     cs.foreach {
-      case QRequired(c) => walk(r, c, field, boost, stop).foreach(must += _)
-      case QProhibited(c) => walk(r, c, field, boost, stop).foreach(mustNot += _)
-      case QNot(c) => walk(r, c, field, boost, stop).foreach(mustNot += _)
+      case QRequired(c) => walk(r, c, field, boost, stop, syn).foreach(must += _)
+      case QProhibited(c) => walk(r, c, field, boost, stop, syn).foreach(mustNot += _)
+      case QNot(c) => walk(r, c, field, boost, stop, syn).foreach(mustNot += _)
       case c =>
-        walk(r, c, field, boost, stop)
+        walk(r, c, field, boost, stop, syn)
           .foreach(x => if (defaultMust) must += x else should += x)
     }
     val (m, s, mn) = (must.result(), should.result(), mustNot.result())
@@ -93,7 +105,8 @@ object QueryLowering {
   private val MatchNone: ClauseNode = ConstNode(Nil)
 
   private def lowerTerm(r: Index.Reader, t: QTerm, outerField: Option[String],
-      outerBoost: Double, stop: Set[String]): Option[ClauseNode] = {
+      outerBoost: Double, stop: Set[String],
+      syn: Map[String, Seq[String]] = Map.empty): Option[ClauseNode] = {
     val field = t.field.orElse(outerField)
     val boost = outerBoost * t.boost.getOrElse(1.0)
     field match {
@@ -121,13 +134,21 @@ object QueryLowering {
           }
         } else {
           val terms = Analyzer.analyze(lowered, stop).toSeq.map(prefixIfRepo)
+          // synonym-config expansion (content field only — metadata
+          // dictionaries have no synonym semantics): a token with an entry
+          // becomes a blended-stats SynNode over {token} ∪ members
+          def leaf(term: String): ClauseNode = syn.get(term) match {
+            case Some(members) if !isRepo =>
+              SynNode((term +: members).distinct, boost)
+            case _ => TermNode(term, boost)
+          }
           terms match {
             case Seq() => None
-            case Seq(one) => Some(TermNode(one, boost))
+            case Seq(one) => Some(leaf(one))
             case many =>
               // analyzer split one query word into several tokens: classic
               // parser emits an OR of them (default operator)
-              Some(BoolNode(should = many.map(TermNode(_, boost))))
+              Some(BoolNode(should = many.map(leaf)))
           }
         }
       // unknown field: no postings, matches nothing (never an error — the

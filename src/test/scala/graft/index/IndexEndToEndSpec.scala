@@ -685,6 +685,17 @@ class IndexEndToEndSpec extends AnyFunSuite {
     val hits = QueryEngine.searchTree(reader, "syn", SynNode(Seq(a, b)), k = 30)
       .collect().map(h => h.docId -> h.score).toMap
 
+    // config-driven wiring: the same SynNode must come out of the parser
+    // when a synonym map is supplied (VERDICT r3 next-4), and execute to
+    // the same ranking as the hand-built node
+    val viaConfig = graft.search.QueryLowering.parseAndLower(
+      reader, a, synonyms = Map(a -> Seq(b)))
+    assert(viaConfig == SynNode(Seq(a, b)),
+      s"synonym config did not lower to a SynNode: $viaConfig")
+    val cfgHits = QueryEngine.searchTree(reader, "syn", viaConfig, k = 30)
+      .collect().map(h => h.docId -> h.score).toMap
+    assert(cfgHits == hits)
+
     val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet")
     val keyed = corpus.join(
       reader.docMeta.select($"docId", $"repo", $"path"), Seq("repo", "path"))
