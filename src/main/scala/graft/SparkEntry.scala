@@ -107,6 +107,8 @@ object SparkEntry {
     "text_quality" -> (TextOps.qualityScore(_, _)),
     "text_fingerprint" -> (TextOps.fingerprint(_, _)),
     "text_langid" -> (TextOps.langId(_, _)),
+    "text_pii" -> (TextOps.piiScan(_, _)),
+    "text_repetition" -> (TextOps.repetition(_, _)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
     "dedup_spans" -> ((s, d) => PipelineOps.dedupSpans(s, d)),
@@ -1236,6 +1238,47 @@ object SparkEntry {
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($QualityTokSql)), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" -> LangIdSql,
+    // PII scan + redaction over deterministically-augmented text (every
+    // third doc gets a synthetic email + IP + 32-hex key derived from
+    // doc_id — the corpus has no organic PII); counts per pattern class
+    // and the md5 of the redacted text (emails -> IPs -> hex, same order
+    // as the engine)
+    "text_pii" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    ' apikey ' || md5(CAST(doc_id AS VARCHAR))
+        |  ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '[0-9a-f]{32,}')) AS BIGINT) AS n_keys,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |        '[0-9a-f]{32,}', '<KEY>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    // Gopher-style repetition metrics: top-2-gram occurrence fraction and
+    // duplicate fraction over consecutive 3-token chunks
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+         |      i -> toks[i + 1] || ' ' || toks[i + 2])) AS gram FROM d),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+         |gs AS (SELECT doc_id, max(c) AS maxc, sum(c) AS sumc FROM gc GROUP BY doc_id),
+         |ch AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 3.0) AS INT)),
+         |      i -> array_to_string(toks[i * 3 + 1 : i * 3 + 3], ' ')) AS chunks FROM d)
+         |SELECT d.doc_id,
+         |  CAST(greatest(len(d.toks) - 1, 0) AS BIGINT) AS n_2grams,
+         |  round(coalesce(gs.maxc * 1.0 / gs.sumc, 0.0), 4) AS top_2gram_frac,
+         |  round(1.0 - len(list_distinct(ch.chunks)) * 1.0 /
+         |        greatest(len(ch.chunks), 1), 4) AS dup_chunk_frac
+         |FROM d JOIN ch ON ch.doc_id = d.doc_id
+         |     LEFT JOIN gs ON gs.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // deterministic hash split: held-out = md5(doc_id) first hex in {0,1}
     "sample_hash" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket

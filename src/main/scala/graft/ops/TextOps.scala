@@ -89,6 +89,97 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
     "es" -> Seq("el", "la", "los", "que", "es", "para", "con", "una", "por", "del"))
 
+  // ---- PII detection / redaction (pretraining-pipeline hygiene) -------------
+
+  /** PII patterns, deliberately restricted to syntax valid in BOTH Java
+    * regex (engine) and RE2 (oracle) with identical match semantics:
+    * email, dotted-quad IP, >= 32-hex key-shaped strings.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val HexKeyRe = "[0-9a-f]{32,}"
+
+  /** Redaction column: emails, then IPs, then key-shaped hex (this order
+    * on both sides — the placeholders contain none of the later patterns).
+    */
+  def redactCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      HexKeyRe, "<KEY>")
+
+  /** The synthetic documents contain no organic PII (word-soup text), so
+    * the entry weaves DETERMINISTIC synthetic PII — a function of doc_id
+    * only, reproduced verbatim in the oracle SQL — into every third doc.
+    * The OPERATORS (redactCol + the counting expressions) are generic over
+    * any text column; only this demo augmentation is corpus-specific.
+    */
+  private def augmentedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"),
+          lit(" apikey "), md5(col("doc_id").cast("string").cast("binary"))))
+        .otherwise(col("text")).as("t"))
+
+  /** PII scan + redaction: per-doc match counts for each pattern class and
+    * the md5 of the redacted text (the proof the replacement ran — hash
+    * equality pins every byte). Pure map stage: no shuffle, full column
+    * pruning, codegen'd regexp expressions.
+    */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame =
+    augmentedDocs(spark, sfDir).select(col("doc_id"),
+      regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("t"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col("t"), lit(HexKeyRe)).cast("long").as("n_keys"),
+      md5(redactCol(col("t")).cast("binary")).as("redacted_md5"))
+      .orderBy(asc("doc_id"))
+
+  // ---- repetition-based quality (Gopher/C4-style) ---------------------------
+
+  /** Repetition metrics per document (the Gopher repetition filters
+    * adapted to occurrence fractions): most-frequent-2-gram fraction of
+    * all 2-grams, and duplicate fraction over consecutive 3-token chunks
+    * (the line-granularity duplicate-fraction filter, with fixed-width
+    * chunks standing in for lines — the corpus text has no newlines;
+    * 3 tokens makes within-doc chunk collisions actually occur at the
+    * corpus vocabulary, so the metric discriminates).
+    * 2-gram counting explodes to (doc_id, gram) and aggregates — keyed by
+    * doc, so the shuffle partitions by document and never concentrates;
+    * chunk stats stay array-native inside the row (no shuffle at all).
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .withColumn("grams",
+        when(size(col("toks")) >= 2, expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("chunks",
+        when(size(col("toks")) >= 1, expr(
+          "transform(sequence(0, cast(ceil(size(toks) / 3.0) as int) - 1), " +
+            "i -> array_join(slice(toks, i * 3 + 1, 3), ' '))"))
+          .otherwise(array().cast("array<string>")))
+    val gramStats = base
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("sumc"))
+    base.join(gramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_2grams"),
+        round(coalesce(col("maxc") / col("sumc"), lit(0.0)), 4)
+          .as("top_2gram_frac"),
+        round(lit(1.0) - size(array_distinct(col("chunks"))).cast("double") /
+          greatest(size(col("chunks")), lit(1)), 4).as("dup_chunk_frac"))
+      .orderBy(asc("doc_id"))
+  }
+
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir).withColumn("toks", tokensCol(col("text")))
     val scored = LangMarkers.toSeq.sortBy(_._1).foldLeft(base) {
