@@ -109,6 +109,7 @@ object SparkEntry {
     "text_langid" -> (TextOps.langId(_, _)),
     "text_pii" -> (TextOps.piiScan(_, _)),
     "text_repetition" -> (TextOps.repetition(_, _)),
+    "text_bpe_count" -> (TextOps.bpeCount(_, _)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
     "dedup_spans" -> ((s, d) => PipelineOps.dedupSpans(s, d)),
@@ -1279,6 +1280,10 @@ object SparkEntry {
          |FROM d JOIN ch ON ch.doc_id = d.doc_id
          |     LEFT JOIN gs ON gs.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // subword token counts under the COMMITTED BPE merge table (trained
+    // once by graft.tools.BpeTrain, pinned like a production tokenizer);
+    // both sides apply the identical ordered replace chain
+    "text_bpe_count" -> TextOps.bpeCountOracleSql,
     // deterministic hash split: held-out = md5(doc_id) first hex in {0,1}
     "sample_hash" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket

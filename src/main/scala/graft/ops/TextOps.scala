@@ -180,6 +180,76 @@ object TextOps {
       .orderBy(asc("doc_id"))
   }
 
+  // ---- subword (BPE) token counting -----------------------------------------
+
+  /** The committed BPE merge table (trained ONCE by graft.tools.BpeTrain
+    * over the sf0.01 corpus vocabulary, Sennrich-style; fixed thereafter —
+    * a data pipeline budgets in the tokens of a PINNED tokenizer, so the
+    * table is a versioned artifact, not something recomputed per run).
+    */
+  lazy val BpeMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "missing resource graft/bpe_merges.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val sp = l.split(" ", 2); (sp(0), sp(1))
+    }.toList
+    finally src.close()
+  }
+
+  /** SQL expression applying the merge table to a doc's token stream:
+    * tokens joined by '|' (outside the [a-z0-9_] symbol alphabet, so no
+    * merge crosses a word boundary), every char spaced out, then one
+    * left-to-right non-overlapping `replace` per merge rule IN TRAINING
+    * ORDER. replace() has identical semantics in Spark and DuckDB, which is
+    * what makes the subword segmentation bit-reproducible by the oracle;
+    * only the innermost char-spacing regexp call differs per dialect.
+    */
+  private def bpeMergedSql(joined: String, duck: Boolean): String = {
+    val spaced =
+      if (duck) s"trim(regexp_replace($joined, '(.)', '\\1 ', 'g'))"
+      else s"trim(regexp_replace($joined, '(.)', '$$1 '))"
+    BpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, '$a $b', '$a$b')"
+    }
+  }
+
+  /** Subword token counts per document under the committed BPE model:
+    * whitespace-class tokens vs BPE pieces (the number a model-token budget
+    * actually bills). Pure map stage — the 40-rule replace chain is
+    * codegen'd string work, no shuffle, full column pruning.
+    */
+  def bpeCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("joined", array_join(col("toks"), "|"))
+      .withColumn("merged", expr(bpeMergedSql("joined", duck = false)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("toks")) === 0, lit(0L))
+          .otherwise(size(filter(split(col("merged"), " "), x => x =!= "|"))
+            .cast("long")).as("n_bpe_tokens"))
+      .orderBy(asc("doc_id"))
+
+  /** DuckDB oracle SQL for [[bpeCount]] — same merge table, same replace
+    * chain, dialect-local tokenize/space/count plumbing.
+    */
+  def bpeCountOracleSql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS tk,
+       |         array_to_string($toks, '|') AS joined
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(tk)::BIGINT AS n_tokens,
+       |  CASE WHEN len(tk) = 0 THEN 0
+       |       ELSE len(list_filter(string_split(${bpeMergedSql("joined", duck = true)}, ' '),
+       |                 x -> x <> '|'))
+       |  END::BIGINT AS n_bpe_tokens
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val base = docs(spark, sfDir).withColumn("toks", tokensCol(col("text")))
     val scored = LangMarkers.toSeq.sortBy(_._1).foldLeft(base) {
