@@ -336,35 +336,43 @@ object Bench {
     // bench, so the committed artifact's index_build object is embedded
     // here VERBATIM with its provenance, never re-measured or re-labeled.
     val sf1Path = sys.env.getOrElse("SPARK_GRAFT_SF1_JSON", "BENCH/bench_sf1.json")
-    val sf1Build: Option[String] = {
-      val p = java.nio.file.Paths.get(sf1Path)
-      if (!Files.exists(p)) None
+    // balanced-brace extraction of one top-level JSON object field
+    def extractObj(txt: String, key: String): Option[String] = {
+      val at = txt.indexOf("\"" + key + "\":")
+      if (at < 0) None
       else {
-        val txt = Files.readString(p)
-        val key = "\"index_build\":"
-        val at = txt.indexOf(key)
-        if (at < 0) None
-        else { // balanced-brace extraction of the JSON object
-          val start = txt.indexOf('{', at + key.length)
-          var depth = 0
-          var i = start
-          while (i < txt.length && (depth > 0 || i == start)) {
-            if (txt.charAt(i) == '{') depth += 1
-            else if (txt.charAt(i) == '}') depth -= 1
-            i += 1
-          }
-          if (start >= 0 && depth == 0)
-            Some(txt.substring(start, i).dropRight(1) +
-              s""","source":"$sf1Path"}""")
-          else None
+        val start = txt.indexOf('{', at + key.length + 3)
+        var depth = 0
+        var i = start
+        while (i < txt.length && (depth > 0 || i == start)) {
+          if (txt.charAt(i) == '{') depth += 1
+          else if (txt.charAt(i) == '}') depth -= 1
+          i += 1
         }
+        if (start >= 0 && depth == 0) Some(txt.substring(start, i)) else None
       }
     }
-    val sf1Field = sf1Build.map(o => s""","index_build_sf1":$o""").getOrElse("")
+    val sf1Txt: Option[String] = {
+      val p = java.nio.file.Paths.get(sf1Path)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    val sf1Build: Option[String] = sf1Txt
+      .flatMap(extractObj(_, "index_build"))
+      .map(o => o.dropRight(1) + s""","source":"$sf1Path"}""")
+    // the 20-query latency set over the 12M-doc index, from the same run
+    val sf1Lat: Option[String] = sf1Txt.flatMap(extractObj(_, "query_latency"))
+    val sf1LatField =
+      sf1Lat.map(o => s""","query_latency_sf1":$o""").getOrElse("")
+    val sf1Field = sf1Build.map(o => s""","index_build_sf1":$o""").getOrElse("") +
+      sf1LatField
     // compact form for the stdout tail: headline numbers only
     val sf1FieldShort = sf1Build.map { o =>
       def pick(k: String): String = {
         val m = (s""""$k":([-0-9.eE]+)""").r.findFirstMatchIn(o)
+        m.map(_.group(1)).getOrElse("0")
+      }
+      def pickLat(k: String): String = {
+        val m = (s""""$k":([-0-9.eE]+)""").r.findFirstMatchIn(sf1Lat.getOrElse(""))
         m.map(_.group(1)).getOrElse("0")
       }
       s""","index_build_sf1":{"docs":${pick("docs")},""" +
@@ -372,6 +380,7 @@ object Bench {
         s""""files_per_sec_hi":${pick("files_per_sec_hi")},""" +
         s""""scaling_efficiency":${pick("scaling_efficiency")},""" +
         s""""files_per_sec_max":${pick("files_per_sec_max")},""" +
+        s""""p50":${pickLat("p50")},"p95":${pickLat("p95")},""" +
         s""""source":"$sf1Path"}"""
     }.getOrElse("")
     val total = opTimes.map(_._2).filter(_ >= 0).sum + tLo + tHi + tMax

@@ -81,6 +81,7 @@ object SparkEntry {
     "index_term_stats" -> (DocSearchOps.indexTermStats(_, _)),
     // -- facets / OLAP (SURVEY.md §2.7) --
     "facet_terms" -> (RelationalOps.facetTerms(_, _)),
+    "facet_terms_params" -> ((s, d) => RelationalOps.facetTermsParams(s, d)),
     "facet_range" -> (RelationalOps.facetRange(_, _)),
     "facet_query" -> (RelationalOps.facetQuery(_, _)),
     "facet_nested" -> (RelationalOps.facetNested(_, _)),
@@ -110,6 +111,11 @@ object SparkEntry {
     "text_pii" -> (TextOps.piiScan(_, _)),
     "text_repetition" -> (TextOps.repetition(_, _)),
     "text_bpe_count" -> (TextOps.bpeCount(_, _)),
+    // -- analyzer-chain filters (Lucene analysis-common breadth) --
+    "analysis_word_delimiter" -> (AnalysisOps.wordDelimiter(_, _)),
+    "analysis_ascii_folding" -> (AnalysisOps.asciiFolding(_, _)),
+    "analysis_shingle" -> (AnalysisOps.shingle(_, _)),
+    "analysis_edge_ngram" -> (AnalysisOps.edgeNgram(_, _)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
     "dedup_spans" -> ((s, d) => PipelineOps.dedupSpans(s, d)),
@@ -1127,6 +1133,20 @@ object SparkEntry {
 
     "facet_terms" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 5",
+    // terms facet with prefix/mincount/sort-by-substat/limit + missing
+    // bucket (src NULL; missing-ness synthesized by nullif — see scaladoc)
+    "facet_terms_params" ->
+      """WITH b AS (SELECT nullif(source, 'src0') AS src, n_chars FROM documents),
+        |main AS (
+        |  SELECT src, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+        |  FROM b WHERE src IS NOT NULL AND src LIKE 'src1%'
+        |  GROUP BY src HAVING count(*) >= 3
+        |  ORDER BY avg_chars DESC, src LIMIT 8),
+        |miss AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS src, count(*) AS cnt,
+        |         round(avg(n_chars), 4) AS avg_chars
+        |  FROM b WHERE src IS NULL)
+        |SELECT * FROM main UNION ALL SELECT * FROM miss""".stripMargin,
     "facet_range" ->
       """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket, count(*) AS cnt,
         |round(sum(l_extendedprice), 2) AS sum_price
@@ -1284,6 +1304,13 @@ object SparkEntry {
     // once by graft.tools.BpeTrain, pinned like a production tokenizer);
     // both sides apply the identical ordered replace chain
     "text_bpe_count" -> TextOps.bpeCountOracleSql,
+    // analyzer filters: md5-of-token-stream oracles (engine runs the fused
+    // JVM/codegen chains, the oracle reproduces them in SQL — hash equality
+    // pins every produced token)
+    "analysis_word_delimiter" -> AnalysisOps.wordDelimiterOracleSql,
+    "analysis_ascii_folding" -> AnalysisOps.asciiFoldingOracleSql,
+    "analysis_shingle" -> AnalysisOps.shingleOracleSql,
+    "analysis_edge_ngram" -> AnalysisOps.edgeNgramOracleSql,
     // deterministic hash split: held-out = md5(doc_id) first hex in {0,1}
     "sample_hash" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket

@@ -91,6 +91,63 @@ object Analyzer {
       stopWords: Set[String] = EnglishStopWords): Array[String] =
     analyze(text, stopWords).map(PorterStemmer.stem)
 
+  /** WordDelimiterGraphFilter-style subword split of one token
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/WordDelimiterGraphFilter.java]:
+    * parts break at delimiters (_ -), lower->upper case transitions,
+    * letter<->digit transitions, and the acronym boundary (SQLParser ->
+    * SQL|Parser). Default GENERATE_WORD_PARTS+GENERATE_NUMBER_PARTS shape
+    * (no catenation); callers lowercase downstream, as in the chain.
+    * Exactly reproducible by the oracle's boundary-insertion regexes —
+    * that equivalence is what the analysis_word_delimiter entry pins.
+    */
+  def wordDelimiterParts(token: String): Array[String] = {
+    if (token == null || token.isEmpty) return Array.empty
+    @inline def up(c: Char) = c >= 'A' && c <= 'Z'
+    @inline def low(c: Char) = c >= 'a' && c <= 'z'
+    @inline def dig(c: Char) = c >= '0' && c <= '9'
+    @inline def delim(c: Char) = !up(c) && !low(c) && !dig(c)
+    val out = mutable.ArrayBuffer.empty[String]
+    val n = token.length
+    var i = 0
+    while (i < n) {
+      while (i < n && delim(token.charAt(i))) i += 1
+      val start = i
+      if (i < n) {
+        i += 1
+        var break = false
+        while (i < n && !break) {
+          val p = token.charAt(i - 1); val c = token.charAt(i)
+          if (delim(c)) break = true
+          else if (low(p) && up(c)) break = true // camelCase
+          else if ((up(p) || low(p)) && dig(c)) break = true // letter->digit
+          else if (dig(p) && (up(c) || low(c))) break = true // digit->letter
+          else if (up(p) && up(c) && i + 1 < n && low(token.charAt(i + 1)))
+            break = true // acronym run before a Word
+          else i += 1
+        }
+        out += token.substring(start, i)
+      }
+    }
+    out.toArray
+  }
+
+  /** ASCII-folding map, the Latin-1/Latin-Extended subset the corpus
+    * augmentation exercises [B lucene/analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/ASCIIFoldingFilter.java
+    * — Lucene's table covers all of Unicode Latin; ours is the documented
+    * subset, applied as an ordered replace chain shared verbatim with the
+    * oracle SQL].
+    */
+  val AsciiFoldMap: Seq[(String, String)] = Seq(
+    "á" -> "a", "à" -> "a", "â" -> "a", "ä" -> "a", "ã" -> "a",
+    "é" -> "e", "è" -> "e", "ê" -> "e", "ë" -> "e",
+    "í" -> "i", "ì" -> "i", "î" -> "i", "ï" -> "i",
+    "ó" -> "o", "ò" -> "o", "ô" -> "o", "ö" -> "o", "õ" -> "o",
+    "ú" -> "u", "ù" -> "u", "û" -> "u", "ü" -> "u",
+    "ñ" -> "n", "ç" -> "c", "ß" -> "ss", "æ" -> "ae", "œ" -> "oe")
+
+  def asciiFold(s: String): String =
+    AsciiFoldMap.foldLeft(s) { case (acc, (from, to)) => acc.replace(from, to) }
+
   /** Analyzed per-doc term frequencies, terms in sorted order (the per-doc
     * slice of the DWPT-style in-memory inverted index, SURVEY.md §2.3).
     * Returns (sortedTerms, tfs, totalTokenCount-after-stop).

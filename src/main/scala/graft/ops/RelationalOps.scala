@@ -29,6 +29,34 @@ object RelationalOps {
       .orderBy(desc("cnt"), asc("lang"))
       .limit(5)
 
+  /** Terms facet with the full Solr parameter set (VERDICT r3 missing-7)
+    * [B solr/core/src/java/org/apache/solr/search/facet/FacetField.java]:
+    * `prefix` (bucket-value prefix filter), `mincount` (HAVING), sort by a
+    * SUB-STAT (avg doc length, not count — Solr's `sort: "x desc"` with a
+    * nested `x: "avg(len)"` facet), deterministic limit, and the `missing`
+    * bucket appended (src NULL row). The corpus `source` column is fully
+    * populated, so missing-ness is synthesized by NULLif-ing one value —
+    * documented demo augmentation, the operator shape is generic.
+    * One hash aggregate + a scalar aggregate; both prefix and null filters
+    * reach the scan.
+    */
+  def facetTermsParams(spark: SparkSession, sfDir: String,
+      prefix: String = "src1", mincount: Long = 3, limit: Int = 8): DataFrame = {
+    val base = t(spark, sfDir, "documents")
+      .select(expr("nullif(source, 'src0')").as("src"), col("n_chars"))
+    val main = base
+      .where(col("src").isNotNull && col("src").startsWith(prefix))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 4).as("avg_chars"))
+      .where(col("cnt") >= mincount)
+      .orderBy(desc("avg_chars"), asc("src"))
+      .limit(limit)
+    val missing = base.where(col("src").isNull)
+      .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 4).as("avg_chars"))
+      .select(lit(null).cast("string").as("src"), col("cnt"), col("avg_chars"))
+    main.unionByName(missing)
+  }
+
   /** Range facet: fixed-gap numeric buckets [B .../facet/FacetRange.java]. */
   def facetRange(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")

@@ -219,6 +219,32 @@ class CoreCodecSpec extends AnyFunSuite {
       Seq("dog", "chase", "foxe")) // 'foxes': x+es -> drop s only
   }
 
+  test("WordDelimiterGraph golden cases") {
+    val cases = Seq(
+      "getHTTPResponse" -> Seq("get", "HTTP", "Response"),
+      "SparkSQLParser" -> Seq("Spark", "SQL", "Parser"),
+      "snake_case_id" -> Seq("snake", "case", "id"),
+      "v2" -> Seq("v", "2"),
+      "parseURL2go" -> Seq("parse", "URL", "2", "go"),
+      "ABcCDe" -> Seq("A", "Bc", "C", "De"),
+      "plain" -> Seq("plain"),
+      "HTTP" -> Seq("HTTP"),
+      "x" -> Seq("x"),
+      "__" -> Seq(),
+      "" -> Seq())
+    cases.foreach { case (in, out) =>
+      assert(Analyzer.wordDelimiterParts(in).toSeq == out, s"wdg($in)")
+    }
+  }
+
+  test("ASCIIFolding golden cases") {
+    assert(Analyzer.asciiFold("café crème brûlée") == "cafe creme brulee")
+    assert(Analyzer.asciiFold("straße œuvre") == "strasse oeuvre")
+    assert(Analyzer.asciiFold("plain ascii_42") == "plain ascii_42")
+    // outside the documented subset: passes through unchanged
+    assert(Analyzer.asciiFold("ōtou") == "ōtou")
+  }
+
   // ---- TermsHash -----------------------------------------------------------
 
   test("TermsHash postings equal Analyzer.termFreqs for random docs") {
