@@ -89,6 +89,18 @@ object ExplainAudit {
           "`contains` scan is gone (VERDICT r3 what's-wrong #2).",
         fmt(reader.suggestTable.where(
           org.apache.spark.sql.functions.col("gram").startsWith("or")))),
+      ("n-gram Jaccard verify (broadcast candidates, tokenize only matches)",
+        "Expect: the verify side is ONE corpus scan joined to the broadcast " +
+          "candidate list BEFORE any tokenize/shingle expression runs — " +
+          "only candidate docs reach the Generate/transform work; the final " +
+          "aggregate is keyed by the (doc_a, doc_b) pair, sized by " +
+          "|candidates|, never |corpus| (VERDICT r3 what's-wrong #5 re-plan).",
+        fmt(DedupOps.ngramJaccard(spark, sfDir))),
+      ("Subword BPE token counting (map-only replace chain)",
+        "Expect: one documents scan, the whole 40-rule merge chain inside a " +
+          "codegen'd Project, and no exchange except the presentation sort — " +
+          "a pure map stage at any corpus size.",
+        fmt(TextOps.bpeCount(spark, sfDir))),
       ("Benchmark decontamination (broadcast bench side)",
         "Expect: the benchmark shingle set (tiny vs a 100 TB corpus) is " +
           "the ONLY side paying a distinct shuffle, then rides a " +
