@@ -27,7 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // the index build is allocation-heavy across many executor threads;
-  // throughput GC beats G1 by ~1.6x at local[32] (measured, BENCH notes)
-  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_DRIVER_JAVA_OPTS").toSeq.flatMap(_.split("\\s+")) ++ (
+  // Throughput ParallelGC is the default, and it holds at 12M docs too
+  // ONCE per-task live sets are bounded (IndexConfig.flushRamBytes +
+  // 16 MB parquet row groups): the 12M-doc 32-thread GC cliff measured
+  // mid-round-4 was unbounded ~500 MB/task live sets promoting into the
+  // old gen — a memory-shape bug, not a GC-flavor problem. With the fix,
+  // ParallelGC beats G1 ~1.7x on the same build (ScaleDiag A/B, BENCH/
+  // BASELINE.md sf1 notes). SPARK_GRAFT_GC=g1 flips the flag for A/Bs.
+  if (sys.env.get("SPARK_GRAFT_GC").exists(_.equalsIgnoreCase("g1")))
+    Seq("-XX:+UseG1GC")
+  else Seq("-XX:+UseParallelGC")
 )

@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
   * chase the sf1 (12M-doc) finding that local[32] builds slower than
   * local[8] while local[32] wins at 1.2M docs.
   *
-  * args: <workDir> <numDocs> <cores> [shufflePartitions]
+  * args: <workDir> <numDocs> <cores> [shufflePartitions] [flushRamMB]
   */
 object ScaleDiag {
   private def deleteRec(f: java.io.File): Unit = {
@@ -30,6 +30,7 @@ object ScaleDiag {
     val numDocs = args(1).toLong
     val cores = args(2).toInt
     val shufParts = if (args.length > 3) args(3).toInt else 2 * cores
+    val flushRamMB = if (args.length > 4) args(4).toInt else 64
 
     {
       val s = SparkSession.builder().master("local[32]")
@@ -75,7 +76,8 @@ object ScaleDiag {
     val gc0 = gcMillis()
     val t0 = System.nanoTime()
     Index.build(corpus, dir,
-      IndexConfig(hotTermDf = numDocs / 8, targetPostingsPerSlice = numDocs / 8))
+      IndexConfig(hotTermDf = numDocs / 8, targetPostingsPerSlice = numDocs / 8,
+        flushRamBytes = flushRamMB.toLong << 20))
     val wall = (System.nanoTime() - t0) / 1e9
     val gcSec = (gcMillis() - gc0) / 1e3
     val heapMax = java.lang.management.ManagementFactory.getMemoryMXBean

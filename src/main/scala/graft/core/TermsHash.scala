@@ -44,6 +44,15 @@ final class TermsHash(stopWords: Set[String],
   private var touched = new Array[Int](1 << 12)
   private var numTouched = 0
 
+  /** Approximate live bytes held by accumulated postings — the flush
+    * RAM-budget signal (IndexConfig.flushRamBytes). Counts posting slots
+    * (docId 8 + tf 4 + norm 1), tracked positions (4 each), and term-string
+    * overhead; ignores growth slack, so budget checks should leave
+    * headroom.
+    */
+  private var bytesHeld: Long = 0L
+  def approxBytes: Long = bytesHeld
+
   @inline private def fold(c: Char): Char =
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
@@ -116,6 +125,7 @@ final class TermsHash(stopWords: Set[String],
         val term = new String(chars)
         val nid = numTerms
         numTerms += 1
+        bytesHeld += 48L + 2L * term.length
         termArr(nid) = term
         hashArr(nid) = h
         stopArr(nid) = stopWords.contains(term)
@@ -170,6 +180,7 @@ final class TermsHash(stopWords: Set[String],
             }
             ps(postPosN(id)) = delta
             postPosN(id) += 1
+            bytesHeld += 4L
           }
           docTf(id) += 1
           count += 1
@@ -206,6 +217,7 @@ final class TermsHash(stopWords: Set[String],
       postTtf(id) += docTf(id)
       t += 1
     }
+    bytesHeld += 13L * numTouched
   }
 
   /** Iterate accumulated per-term postings (term, docIds, tfs, norms, n, ttf).
@@ -217,6 +229,31 @@ final class TermsHash(stopWords: Set[String],
       if (postN(id) > 0)
         f(termArr(id), postIds(id), postTfs(id), postNorms(id), postN(id), postTtf(id))
       id += 1
+    }
+  }
+
+  import TermsHash.TermEntry
+
+  /** Iterator form of foreachTermWithPositions: lets the flush path drain
+    * a chunk's postings lazily into the parquet writer instead of
+    * materializing a second full copy of the partition's inverted data
+    * (the sf1 32-thread GC-cliff fix). Mutating the hash while an iterator
+    * is live is undefined; drain fully, then discard the hash.
+    */
+  def termEntryIterator: Iterator[TermEntry] = new Iterator[TermEntry] {
+    private var id = 0
+    private def skip(): Unit = { while (id < numTerms && postN(id) == 0) id += 1 }
+    skip()
+    def hasNext: Boolean = id < numTerms
+    def next(): TermEntry = {
+      val ps =
+        if (!trackPositions || postPos(id) == null) null
+        else java.util.Arrays.copyOf(postPos(id), postPosN(id))
+      val e = TermEntry(termArr(id), postIds(id), postTfs(id), postNorms(id),
+        postN(id), postTtf(id), ps)
+      id += 1
+      skip()
+      e
     }
   }
 
@@ -237,4 +274,12 @@ final class TermsHash(stopWords: Set[String],
       id += 1
     }
   }
+}
+
+object TermsHash {
+  /** One accumulated term's postings, handed over by termEntryIterator.
+    * `ids`/`tfs`/`norms` may carry growth slack beyond `n`.
+    */
+  final case class TermEntry(term: String, ids: Array[Long], tfs: Array[Int],
+      norms: Array[Byte], n: Int, ttf: Long, posDeltas: Array[Int])
 }

@@ -33,7 +33,19 @@ case class IndexConfig(
       * postings under `field<NUL>term` keys with per-field norms, sharing
       * the merge/salt machinery. Valid names: repo, path, commit, lang.
       */
-    extraFields: Seq[String] = Nil)
+    extraFields: Seq[String] = Nil,
+    /** Per-task flush RAM budget in bytes, the IndexWriterConfig
+      * setRAMBufferSizeMB analogue [B lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java]:
+      * once a flush task's in-memory postings reach this budget it drains
+      * them as partials and starts a fresh TermsHash, so per-task live
+      * memory is bounded by THIS — not by however many docs the input
+      * layout packs into one scan split. Without it, a 110 MB single-row-
+      * group parquet file means ~100k docs (~500 MB of postings + copies)
+      * live per task; at 32 concurrent tasks that is a >15 GB churning live
+      * set — measured as a 2.2x build slowdown at 12M docs from old-gen GC
+      * storms + cache thrash (BENCH/BASELINE.md sf1 notes).
+      */
+    flushRamBytes: Long = 64L << 20)
 
 object FieldOf {
   /** Terms of field `f` are stored as f + Sep + term; content is bare. */
@@ -61,7 +73,7 @@ case class SegRow(kind: Int, meta: Option[DocMeta], partial: Option[PartialPosti
   *   corpus --mapPartitions--> SegRow segments        (flush; shared-nothing,
   *                                                     DWPT == Spark task)
   *   partials --repartition(term,salt)
-  *            --sortWithinPartitions(term,salt,docPartition)
+  *            --sortWithinPartitions(term,salt,docPartition,firstDocId)
   *            --mapPartitions streaming merge-->      (the segment-merge
   *              TermPostings + lineage                 shuffle, BASELINE.json)
   *
@@ -103,54 +115,105 @@ object IndexBuilder {
         s"micro-batch scan has >=${localPid + 1} partitions; max " +
           s"$partitionCap per batch (docId space collision)")
       val pid = basePartition + localPid
-      var row = 0L
-      val metas = mutable.ArrayBuffer.empty[SegRow]
-      // DWPT-style in-memory inverted index for this partition; extra
-      // analyzed fields get their own hash (per-field tf + per-field norms)
-      val th = new graft.core.TermsHash(stop, cfg.indexPositions)
-      val fieldTh = cfg.extraFields.map(f =>
-        (f, FieldOf.extract(f), new graft.core.TermsHash(stop)))
-      docs.foreach { d =>
-        val docId = CorpusIds.docId(pid, row)
-        row += 1
-        val total = th.addDoc(d.content)
-        val normByte = SmallFloatUtil.intToByte4(total)
-        th.finishDoc(docId, normByte)
-        fieldTh.foreach { case (_, get, fth) =>
-          val ftotal = fth.addDoc(get(d))
-          fth.finishDoc(docId, SmallFloatUtil.intToByte4(ftotal))
+      val budgetBytes = math.max(1L, cfg.flushRamBytes)
+      // Candidate completeness under chunking: a hot term's occurrences may
+      // split across chunks with every chunk-local df below the threshold,
+      // so candidacy is judged on the df accumulated ACROSS this task's
+      // chunks — a counts-only term map (string + 8B), the same trade as a
+      // Lucene DWPT keeping its term dict for the whole segment while
+      // postings flush by RAM. Global df > H still implies task df > H /
+      // scanParts somewhere, so the superset proof is unchanged.
+      val trackCands = hotCandidates.isDefined && hotLocalThreshold != Long.MaxValue
+      val cumDf: java.util.HashMap[String, java.lang.Long] =
+        if (trackCands) new java.util.HashMap[String, java.lang.Long]() else null
+
+      new Iterator[SegRow] {
+        // DWPT-style in-memory inverted index for the CURRENT chunk; extra
+        // analyzed fields get their own hash (per-field tf + norms)
+        private var th: graft.core.TermsHash = null
+        private var fieldTh: Seq[(String, SourceDoc => String, graft.core.TermsHash)] = null
+        private var row = 0L // monotonic across chunks — docIds stay ascending
+        private var draining: Iterator[SegRow] = Iterator.empty
+        newChunk()
+
+        private def newChunk(): Unit = {
+          th = new graft.core.TermsHash(stop, cfg.indexPositions)
+          fieldTh = cfg.extraFields.map(f =>
+            (f, FieldOf.extract(f), new graft.core.TermsHash(stop)))
         }
-        metas += SegRow(0, Some(DocMeta(docId, d.repo, d.path, d.commit, d.lang,
-          graft.corpus.CorpusGen.sha256Hex(d.content), total, normByte)), None)
+
+        private def partialRows(prefixField: String,
+            hash: graft.core.TermsHash): Iterator[SegRow] =
+          hash.termEntryIterator.map { e =>
+            import e.{ids, tfs, norms, n, ttf, posDeltas}
+            val term = if (prefixField == null) e.term
+                       else FieldOf.prefixed(prefixField, e.term)
+            if (trackCands) {
+              val prev: Long = {
+                val v = cumDf.get(term); if (v == null) 0L else v.longValue()
+              }
+              cumDf.put(term, prev + n)
+              if (prev < hotLocalThreshold && prev + n >= hotLocalThreshold)
+                hotCandidates.foreach(_.add(term))
+            }
+            val gaps = new Array[Int](n) // ids ascending (ingest order)
+            val normArr = new Array[Int](n)
+            var i = 1
+            while (i < n) { gaps(i) = (ids(i) - ids(i - 1)).toInt; i += 1 }
+            i = 0
+            while (i < n) { normArr(i) = norms(i) & 0xff; i += 1 }
+            SegRow(1, None, Some(PartialPostings(
+              term = term,
+              docPartition = pid,
+              count = n,
+              totalTf = ttf,
+              firstDocId = if (n == 0) 0L else ids(0),
+              docIdBytes = IntCodec.encode(gaps),
+              tfBytes = IntCodec.encode(
+                if (tfs.length == n) tfs else java.util.Arrays.copyOf(tfs, n)),
+              normBytes = IntCodec.encode(normArr),
+              posBytes = IntCodec.encode(
+                if (posDeltas == null) Array.empty[Int] else posDeltas))))
+          }
+
+        /** Hand the chunk's hashes to a lazy drain and drop our references,
+          * so the drained postings become garbage as the writer consumes
+          * them — never a second materialized copy.
+          */
+        private def startDrain(): Unit = {
+          val h = th
+          val fh = fieldTh
+          th = null
+          fieldTh = null
+          draining = partialRows(null, h) ++
+            fh.iterator.flatMap { case (f, _, x) => partialRows(f, x) }
+        }
+
+        private def heldBytes: Long =
+          th.approxBytes + fieldTh.iterator.map(_._3.approxBytes).sum
+
+        def hasNext: Boolean = draining.hasNext || docs.hasNext
+
+        def next(): SegRow = {
+          if (draining.hasNext) return draining.next()
+          if (th == null) newChunk()
+          val d = docs.next()
+          val docId = CorpusIds.docId(pid, row)
+          row += 1
+          val total = th.addDoc(d.content)
+          val normByte = SmallFloatUtil.intToByte4(total)
+          th.finishDoc(docId, normByte)
+          fieldTh.foreach { case (_, get, fth) =>
+            val ftotal = fth.addDoc(get(d))
+            fth.finishDoc(docId, SmallFloatUtil.intToByte4(ftotal))
+          }
+          val meta = SegRow(0, Some(DocMeta(docId, d.repo, d.path, d.commit,
+            d.lang, graft.corpus.CorpusGen.sha256Hex(d.content), total,
+            normByte)), None)
+          if (!docs.hasNext || heldBytes >= budgetBytes) startDrain()
+          meta
+        }
       }
-      val partials = mutable.ArrayBuffer.empty[SegRow]
-      def emit(prefixField: String, hash: graft.core.TermsHash): Unit =
-        hash.foreachTermWithPositions { (term, ids, tfs, norms, n, ttf, posDeltas) =>
-          if (n >= hotLocalThreshold) hotCandidates.foreach(_.add(
-            if (prefixField == null) term else FieldOf.prefixed(prefixField, term)))
-          val gaps = new Array[Int](n) // ids ascending (ingest order)
-          val normArr = new Array[Int](n)
-          var i = 1
-          while (i < n) { gaps(i) = (ids(i) - ids(i - 1)).toInt; i += 1 }
-          i = 0
-          while (i < n) { normArr(i) = norms(i) & 0xff; i += 1 }
-          partials += SegRow(1, None, Some(PartialPostings(
-            term = if (prefixField == null) term
-                   else FieldOf.prefixed(prefixField, term),
-            docPartition = pid,
-            count = n,
-            totalTf = ttf,
-            firstDocId = if (n == 0) 0L else ids(0),
-            docIdBytes = IntCodec.encode(gaps),
-            tfBytes = IntCodec.encode(
-              if (tfs.length == n) tfs else java.util.Arrays.copyOf(tfs, n)),
-            normBytes = IntCodec.encode(normArr),
-            posBytes = IntCodec.encode(
-              if (posDeltas == null) Array.empty[Int] else posDeltas))))
-        }
-      emit(null, th)
-      fieldTh.foreach { case (f, _, fth) => emit(f, fth) }
-      metas.iterator ++ partials.iterator
     }
   }
 
@@ -220,12 +283,20 @@ object IndexBuilder {
 
     val salted = hot match {
       case Left(hotTerms) =>
+        // column-level salt over a broadcast map: a typed .map here would
+        // deserialize + reserialize every partial (posting byte arrays
+        // included) just to compute one small int — measured as a large
+        // share of merge map-side CPU at 12M docs. The udf touches only
+        // (term, docPartition); the row rides through in Tungsten form.
         val hotB = spark.sparkContext.broadcast(hotTerms)
-        partials.map { p =>
-          val slices = hotB.value.get(p.term).map(slicesFor(_, cfg)).getOrElse(1)
+        val saltOf = udf { (term: String, docPartition: Int) =>
+          val slices = hotB.value.get(term).map(slicesFor(_, cfg)).getOrElse(1)
           val span = math.max(1, (numPartitions + slices - 1) / slices)
-          (p.term, p.docPartition / span, p)
-        }.toDF("term", "salt", "p")
+          docPartition / span
+        }
+        val pdf = partials.toDF()
+        pdf.select($"term", saltOf($"term", $"docPartition").as("salt"),
+          struct(pdf.columns.map(col).toIndexedSeq: _*).as("p"))
       case Right(hotDf) =>
         // Zipf head too large for the driver: salt via a broadcast left
         // join on the hot frame (null df -> cold -> 1 slice). Identical
@@ -243,14 +314,16 @@ object IndexBuilder {
     }
 
     // Sort-based shuffle does the k-way merge: within each reduce partition,
-    // partials of a (term, salt) group arrive contiguous and in docPartition
-    // order (== docId order), so the merge is a single streaming pass.
+    // partials of a (term, salt) group arrive contiguous and in
+    // (docPartition, firstDocId) order (== docId order — the firstDocId
+    // tiebreak orders the RAM-budget flush chunks of one scan partition),
+    // so the merge is a single streaming pass.
     if (sys.env.contains("GRAFT_PHASE_LOG"))
       println(f"[graft-phase] merge-plan +${(System.nanoTime() - tStats) / 1e9}%.2f s")
     val blockSize = cfg.blockSize
     salted
       .repartition(mergeParts, $"term", $"salt")
-      .sortWithinPartitions($"term", $"salt", $"p.docPartition")
+      .sortWithinPartitions($"term", $"salt", $"p.docPartition", $"p.firstDocId")
       .as[(String, Int, PartialPostings)]
       .mapPartitions { it =>
         val t0 = System.nanoTime()

@@ -187,6 +187,25 @@ object Index {
     */
   val BatchPartitionSpan: Int = 4096
 
+  /** Target token volume per segment-merge reduce task when
+    * IndexConfig.mergePartitions is unset (0): merge parallelism becomes
+    * max(session shuffle partitions, totalTokens / this). The reduce merge
+    * streams one (term, salt) group at a time, so this is NOT a memory
+    * bound (live memory tracks targetPostingsPerSlice) — it bounds task
+    * DURATION, so a corpus that outgrows its session's shuffle-partition
+    * setting still gets straggler-resistant ~seconds-long merge tasks
+    * instead of a handful of giant ones. Measured on the 12M-doc ladder:
+    * 64M tokens/task ≈ the sweet spot; halving it (124 tasks over 32
+    * cores) cost +30 s of merge wall in per-task fixed overhead + wave
+    * imbalance with zero GC benefit.
+    */
+  val TokensPerMergeTask: Long = 64L << 20
+
+  /** Parquet row-group size for segment + postings writes (default 128 MB
+    * would buffer a task's entire output in writer memory).
+    */
+  val SegmentRowGroupBytes: Long = 16L << 20
+
   /** Build (or resume building) an index over `corpus` in `increments`
     * docId-disjoint slices. Each increment: flush -> merge -> commit.
     * Returns the snapshot list. Deterministic: rerunning after a partial
@@ -295,7 +314,14 @@ object Index {
             hotCandidates = Some(candAcc))
           .observe(obs, sum(when($"kind" === 0, 1L).otherwise(0L)).as("n"),
             coalesce(sum(when($"kind" === 0, $"meta.tokenCount")), lit(0L)).as("ttf"))
-          .write.mode("overwrite").partitionBy("kind").parquet(segDir)
+          .write.mode("overwrite").partitionBy("kind")
+          // cap the writer's in-memory row-group buffer: at the default
+          // 128 MB a flush task holds its ENTIRE partials output buffered
+          // until task end — unbounded by flushRamBytes. 16 MB bounds
+          // writer memory per task and gives the merge scan finer
+          // row-group granularity for free.
+          .option("parquet.block.size", SegmentRowGroupBytes.toString)
+          .parquet(segDir)
         ensureKindDirs(spark, segDir)
         Files.createDirectories(Paths.get(incDir))
         Files.write(segDone, Array.emptyByteArray)
@@ -383,14 +409,43 @@ object Index {
         s"(cands=${flushed.map(_._2.size).getOrElse(-1)}, " +
         s"hot=${hot.left.map(_.size).left.getOrElse(-1)})")
 
+    // Collection stats — needed BEFORE the merge so its reduce parallelism
+    // can be sized to the data (free on a fresh build: the flush job's
+    // Observation; one small docmeta agg on resume/compact).
+    val statsRow = flushed.map(_._1).getOrElse(
+      docMeta.agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
+        .as[(Long, Long)].head())
+
+    // Size the merge shuffle to the postings volume, not the session's
+    // core-count default: at 12M docs (~3.8B tokens), 2*cores reduce tasks
+    // each decode+re-encode hundreds of MB of postings — task live sets
+    // that blow past the young gen at 32 concurrent tasks. Tokens bound
+    // postings from above, so ttf/TokensPerMergeTask tasks keep per-task
+    // data roughly constant at ANY corpus size; small corpora stay at the
+    // session default (same plan as before), and determinism holds across
+    // resume because ttf itself is data-derived.
+    val sizedCfg =
+      if (cfg.mergePartitions > 0) cfg
+      else {
+        val session = spark.sessionState.conf.numShufflePartitions
+        val byData = ((statsRow._2 + TokensPerMergeTask - 1) / TokensPerMergeTask).toInt
+        cfg.copy(mergePartitions = math.min(20000, math.max(session, byData)))
+      }
+
     val snapshotId = prior.size.toLong + 1L
     val lineageAcc = spark.sparkContext.collectionAccumulator[PartitionLineage](
       s"lineage-inc$inc")
     val tMerge = System.nanoTime()
-    val merged = IndexBuilder.mergePostings(partials, cfg, snapshotId,
+    val merged = IndexBuilder.mergePostings(partials, sizedCfg, snapshotId,
       lineageAcc, numPartsHint, hotProvided = Some(hot))
-    merged.write.mode("overwrite").parquet(s"$incDir/postings")
-    logPhase(s"inc=$inc merge", tMerge)
+    // 16 MB row groups: bounds each reduce task's writer buffer (default
+    // 128 MB holds the task's whole output in memory) AND sharpens the
+    // term-range row-group pruning every point/prefix query scan relies on
+    // (postings arrive here sorted by term within each partition).
+    merged.write.mode("overwrite")
+      .option("parquet.block.size", SegmentRowGroupBytes.toString)
+      .parquet(s"$incDir/postings")
+    logPhase(s"inc=$inc merge (parts=${sizedCfg.mergePartitions})", tMerge)
 
     // slim term dictionary from the merged postings (vocab-sized input —
     // one row per (term, salt)): aggregate the salt slices and sort WITHIN
@@ -406,9 +461,6 @@ object Index {
       .write.mode("overwrite").parquet(s"$incDir/termdict")
     logPhase(s"inc=$inc termdict", tDict)
 
-    val statsRow = flushed.map(_._1).getOrElse(
-      docMeta.agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
-        .as[(Long, Long)].head())
     // dedupe accumulator rows (task retries) keeping one per partition
     val lin = lineageAcc.value.asScala.toSeq
       .groupBy(l => (l.stage, l.partitionId)).map(_._2.head).toSeq
@@ -528,6 +580,7 @@ object Index {
     val segOut = docMeta.map(m => SegRow(0, Some(m), None))
       .unionByName(partials.map(p => SegRow(1, None, Some(p))))
     segOut.write.mode("overwrite").partitionBy("kind")
+      .option("parquet.block.size", SegmentRowGroupBytes.toString)
       .parquet(s"$outDir/inc=0/segments")
     ensureKindDirs(spark, s"$outDir/inc=0/segments")
     Files.createDirectories(Paths.get(s"$outDir/inc=0"))

@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object DocSearchOps {
 
-  private val Version = "v6" // bump to invalidate cached indexes on format change
+  private val Version = "v7" // bump to invalidate cached indexes on format change
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
 
   def reader(spark: SparkSession, sfDir: String): Index.Reader =

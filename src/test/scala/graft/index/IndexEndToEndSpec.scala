@@ -561,6 +561,47 @@ class IndexEndToEndSpec extends AnyFunSuite {
     assert(unionDf == naiveDf)
   }
 
+  test("RAM-budget chunked flush: decoded postings identical to the unchunked build") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    val cfg = IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300,
+      indexPositions = true)
+    val offDir = s"$workDir/index_chunk_off"
+    val onDir = s"$workDir/index_chunk_on"
+    Index.build(corpus, offDir, cfg.copy(flushRamBytes = Long.MaxValue))
+    // ~800 KB of postings per 200-doc scan partition, so a 100 KB budget
+    // forces many chunks per task — the sf1 live-set-bounding path
+    Index.build(corpus, onDir, cfg.copy(flushRamBytes = 100000L))
+
+    // chunking really happened: some (term, docPartition) key carries
+    // multiple partials in the flushed segments
+    val dup = spark.read.parquet(s"$onDir/inc=0/segments")
+      .where($"kind" === 1)
+      .groupBy($"partial.term", $"partial.docPartition")
+      .count().where($"count" > 1).count()
+    assert(dup > 0, "expected multiple flush chunks per scan partition")
+
+    // identical decoded postings: same (term, salt) universe (=> same hot
+    // set despite per-chunk dfs all sitting below the local threshold),
+    // same docIds/tfs/norms/positions in the same order
+    def canonical(dir: String) = Index.reader(spark, dir).postings.collect().toSeq
+      .map { tp =>
+        val decoded = tp.blocks.map(b => graft.core.PostingBlocks.decode(b))
+        val pos = tp.blocks.flatMap { b =>
+          val ps = graft.core.PostingBlocks.decodePositions(
+            b, graft.core.PostingBlocks.decode(b)._2)
+          if (ps == null) Seq.empty else ps.toSeq.map(_.toSeq)
+        }
+        ((tp.term, tp.salt), (tp.df, tp.totalTf,
+          decoded.flatMap(_._1).toSeq, decoded.flatMap(_._2).toSeq,
+          decoded.flatMap(_._3).toSeq, pos))
+      }.sortBy(_._1)
+    val a = canonical(offDir)
+    val b = canonical(onDir)
+    assert(a.map(_._1) == b.map(_._1), "term/salt universe differs")
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch at ${x._1}") }
+  }
+
   // ---- round 3: compositional clause-tree execution --------------------------
 
   test("clause tree: flat boolean shapes are rank-identical to the WAND path") {
