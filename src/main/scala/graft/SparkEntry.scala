@@ -118,6 +118,17 @@ object SparkEntry {
     "analysis_edge_ngram" -> (AnalysisOps.edgeNgram(_, _)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
+    // production shape: the benchmark is its OWN table argument, so the
+    // training corpus is scanned exactly once (bench = %19==3 slice read
+    // as a separate frame, standing in for an external eval suite)
+    "decontaminate_table" -> ((s, d) => {
+      val train = s.read.parquet(s"$d/documents.parquet")
+        .where(org.apache.spark.sql.functions.col("doc_id") % 19 =!= 3)
+      val bench = s.read.parquet(s"$d/documents.parquet")
+        .where(org.apache.spark.sql.functions.col("doc_id") % 19 === 3)
+        .select("doc_id", "text")
+      PipelineOps.decontaminateAgainst(train, bench)
+    }),
     "dedup_spans" -> ((s, d) => PipelineOps.dedupSpans(s, d)),
     "text_term_stats" -> (TextOps.termStats(_, _)),
     // -- dedup family --
@@ -1329,6 +1340,19 @@ object SparkEntry {
          |SELECT s.doc_id, count(*) AS n_hits
          |FROM sh s JOIN bench b ON s.sh = b.sh
          |WHERE s.doc_id % 7 <> 0
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // external-benchmark-table decontamination (bench = the %19==3 slice
+    // standing in for a separate eval-suite table)
+    "decontaminate_table" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |       md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS sh
+         |       FROM tk, unnest(range(len(toks) - 7)) AS r(i)
+         |       WHERE len(toks) >= 8),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 19 = 3)
+         |SELECT s.doc_id, count(*) AS n_hits
+         |FROM sh s JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id % 19 <> 3
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // exact duplicate-span detection: 16-token spans appearing in >= 2 docs
     "dedup_spans" ->

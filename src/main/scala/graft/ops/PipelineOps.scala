@@ -55,24 +55,34 @@ object PipelineOps {
     * benchmark shingles are DISTINCT and tiny -> broadcast semi-ish join;
     * training side streams. Returns (doc_id, n_hits) per contaminated doc,
     * n_hits = number of distinct contaminated shingles in that doc.
-    * (Deriving the bench side from the corpus re-scans `documents` for it
-    * at this demo scale; with a real external benchmark table — the
-    * production shape — the training corpus is scanned exactly once.)
+    * (This demo derives the bench side from the corpus, which re-scans
+    * `documents` for it; `decontaminateAgainst` below is the production
+    * entry point taking the benchmark as its own table.)
     */
   def decontaminate(spark: SparkSession, sfDir: String, n: Int = 8,
       benchMod: Int = 7): DataFrame = {
     val d = docs(spark, sfDir)
-      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
-    val shingled = d.select(col("doc_id"),
-      explode(shingleDigests(col("toks"), n)).as("sh"))
-    // only the TINY bench side pays a distinct shuffle; the training side
-    // streams raw shingles into the broadcast join and dedupes per doc
-    // inside the final aggregation (count(DISTINCT sh) — same result as a
-    // pre-join distinct, without shuffling the full training shingle set)
-    val bench = shingled.where(col("doc_id") % benchMod === 0)
-      .select(col("sh")).distinct()
-    shingled.where(col("doc_id") % benchMod =!= 0)
-      .join(broadcast(bench), "sh")
+    decontaminateAgainst(
+      d.where(col("doc_id") % benchMod =!= 0),
+      d.where(col("doc_id") % benchMod === 0), n)
+  }
+
+  /** Production decontamination shape: the benchmark is its OWN table
+    * (doc_id, text) — eval suites ARE a separate, tiny corpus — so the
+    * training corpus is scanned exactly once: shingles explode straight
+    * into the broadcast join, no pre-join shuffle, and per-doc dedupe
+    * happens inside the final doc_id-keyed aggregate (count(DISTINCT sh)
+    * — same result as a pre-join distinct without shuffling the full
+    * training shingle set). Only the tiny bench side pays a distinct.
+    */
+  def decontaminateAgainst(train: DataFrame, bench: DataFrame,
+      n: Int = 8): DataFrame = {
+    val tr = train.select(col("doc_id"),
+      explode(shingleDigests(TextOps.tokensCol(col("text")), n)).as("sh"))
+    val be = bench
+      .select(explode(shingleDigests(TextOps.tokensCol(col("text")), n)).as("sh"))
+      .distinct()
+    tr.join(broadcast(be), "sh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("n_hits"))
       .orderBy(asc("doc_id"))

@@ -166,6 +166,26 @@ class OpsSpec extends AnyFunSuite {
     val decoPlan = deco.queryExecution.executedPlan.toString
     assert(decoPlan.contains("BroadcastHashJoin") || decoPlan.contains("BroadcastExchange"),
       s"bench shingle set should broadcast:\n$decoPlan")
+
+    // production shape: benchmark as its own table — training side must go
+    // scan -> explode -> broadcast join with NO shuffle before the join
+    // (per-doc dedupe happens in the final aggregate, not a pre-join distinct)
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e f g h i"), (2L, "x y z q w e r t y u"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e f g h")).toDF("doc_id", "text")
+    val prod = PipelineOps.decontaminateAgainst(train, bench)
+    val prodPlan = prod.queryExecution.executedPlan.toString
+    val joinAt = prodPlan.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0, s"expected broadcast join:\n$prodPlan")
+    // below the join, the probe (training) side must contain no Exchange —
+    // i.e. shingles stream straight from the scan into the join
+    val below = prodPlan.substring(joinAt)
+    val trainSide = below.split("BroadcastExchange")(0)
+    assert(!trainSide.contains("Exchange hashpartitioning"),
+      s"training side should not shuffle before the join:\n$prodPlan")
+    assert(prod.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L)), "doc 1 shares its a..h 8-shingle with the bench doc")
   }
 
   test("infix suggester: indexed suffix table matches contains scan, prefix pushed") {
