@@ -136,6 +136,7 @@ object SparkEntry {
     "dedup_fingerprint" -> (DedupOps.dedupFingerprint(_, _)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
     "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
+    "dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
     // -- similarity search --
     "ann_brute_force" -> (AnnOps.annBruteForce(_, _)),
@@ -1389,6 +1390,23 @@ object SparkEntry {
       s"""WITH $MinhashCtes
          |SELECT doc_a, doc_b, round(est_jaccard, 4) AS est_jaccard FROM est
          |WHERE est_jaccard >= 0.78125 ORDER BY doc_a, doc_b""".stripMargin,
+    // duplicate-cluster resolution: transitive closure over the LSH pairs
+    // (recursive CTE = the oracle for the engine's pointer-jumped min-label
+    // propagation), canonical doc = min id per component
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM est WHERE est_jaccard >= 0.78125
+         |        UNION SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.78125),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+         |       c.node = c.cluster_id AS keep
+         |FROM comp c JOIN sz s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     // exact shingle-set Jaccard >= 0.5 over the guaranteed-recall candidates
     "dedup_ngram_jaccard" ->
       s"""WITH $MinhashCtes,

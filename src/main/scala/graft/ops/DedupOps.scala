@@ -269,6 +269,87 @@ object DedupOps {
       .orderBy(asc("doc_a"), asc("doc_b"))
   }
 
+  // ---- Duplicate-cluster resolution ---------------------------------------
+
+  /** Connected components over a near-dup pair list: labels every doc with
+    * the smallest doc_id reachable through the pair graph (its cluster id).
+    * Pairs are what LSH/SimHash emit; a pipeline needs CLUSTERS — "keep one
+    * canonical doc per duplicate group" is only well-defined after the
+    * transitive closure (A~B, B~C must collapse to one group even when A~C
+    * was never emitted).
+    *
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * takes (1) the minimum label over one edge hop, then (2) label <-
+    * label(label), the contraction step that makes convergence logarithmic
+    * in component diameter rather than linear (the MapReduce-CC shape of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond", 2014
+    * — role only; the DataFrame formulation here is its own design). Every
+    * step shuffles on doc-id keys and state is one (node, label) row per
+    * clustered doc, so the iteration is sized by the DUPLICATE set, not the
+    * corpus. Convergence is witnessed by the label-sum fixpoint (labels
+    * only ever decrease), checked as one scalar action per round;
+    * `localCheckpoint` truncates the growing lineage each round.
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    // decimal(38,0): component labels are doc ids (pid<<40 | row at scale);
+    // a long sum over billions of such labels would overflow
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0))
+    var prevSum = labelSum(labels)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val hop = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jump: labels are themselves node ids, so one self-join
+      // replaces each label by ITS current label — path halving
+      val byNode = hop.select(col("node").as("jn"), col("label").as("jl"))
+      val jumped = hop.join(byNode, hop("label") === byNode("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
+        .localCheckpoint()
+      val s = labelSum(jumped)
+      done = s == prevSum
+      prevSum = s
+      labels = jumped
+      i += 1
+    }
+    edges.unpersist()
+    // loud beats silently-split clusters: 25 pointer-jumped rounds cover
+    // component diameters no real near-dup graph reaches
+    require(done, s"clusterPairs did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** End-to-end duplicate-cluster resolution: MinHash-LSH candidate pairs
+    * at the guaranteed-recall threshold -> connected components -> one
+    * canonical doc (the smallest id) per cluster. Output one row per
+    * CLUSTERED doc: (doc_id, cluster_id, cluster_size, keep) — docs with no
+    * near-dup never enter the iteration.
+    */
+  def duplicateClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = MinhashThreshold): DataFrame = {
+    val pairs = minhashCandidates(augmentedDocs(spark, sfDir), threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = clusterPairs(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("label")).as("keep"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** Exact n-gram Jaccard verification over the MinHash-LSH candidates
     * (never a global cross join): recompute true shingle-set Jaccard for
     * each candidate pair and keep those >= `threshold`.

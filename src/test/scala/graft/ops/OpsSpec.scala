@@ -54,6 +54,39 @@ class OpsSpec extends AnyFunSuite {
     assert(found >= 4, s"simhash found only $found/5 planted pairs")
   }
 
+  test("clusterPairs: chains, triangles, and a 20-link path all collapse") {
+    import spark.implicits._
+    // two chains sharing no nodes, a triangle with a redundant edge, and a
+    // 20-link path — the path needs pointer jumping to converge in few rounds
+    val chain = (100L until 120L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (31L, 32L),
+      (30L, 32L)) ++ chain).toDF("doc_a", "doc_b")
+    val got = DedupOps.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L).forall(got(_) == 10L))
+    assert(Seq(30L, 31L, 32L).forall(got(_) == 30L))
+    assert((100L to 120L).forall(got(_) == 100L))
+    assert(got.size == 3 + 2 + 3 + 21)
+  }
+
+  test("duplicateClusters: each planted copy clusters with its original") {
+    val rows = DedupOps.duplicateClusters(spark, sf).collect()
+    val byDoc = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    for (id <- 0L until 5L) {
+      assert(byDoc(id + 1000000L)._1 == byDoc(id)._1, s"copy of $id not in its cluster")
+      assert(byDoc(id)._2 >= 2L, s"cluster of $id must hold at least the pair")
+      assert(!byDoc(id + 1000000L)._3, s"copy of $id must not be kept")
+    }
+    // exactly one kept canonical per cluster, and it is the min doc id
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(3)) == 1, s"cluster $cid kept != 1")
+      assert(members.map(_.getLong(0)).min == cid, s"cluster $cid id not the min member")
+      assert(members.forall(_.getLong(2) == members.length), s"cluster $cid size wrong")
+    }
+  }
+
   test("ngram jaccard: planted pairs have jaccard near 1") {
     val rows = DedupOps.ngramJaccard(spark, sf).collect()
     val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
