@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- the search engine itself (SURVEY.md §2.5/§2.6) --
     "search_term_bm25" -> (DocSearchOps.searchTerm(_, _)),
+    "search_backup_restore" -> (DocSearchOps.searchRestored(_, _)),
     "search_or_bm25" -> (DocSearchOps.searchOr(_, _)),
     "search_and_bm25" -> (DocSearchOps.searchAnd(_, _)),
     "search_not_bm25" -> (DocSearchOps.searchNot(_, _)),
@@ -409,6 +410,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "search_term_bm25" -> bm25Sql(Seq("merge"), Nil),
+    "search_backup_restore" -> bm25Sql(Seq("stream", "window"), Nil),
     "search_sql_expr" -> bm25Sql(Seq("merge"), Nil),
     "search_or_bm25" -> bm25Sql(Seq("merge", "sort", "window"), Nil),
     "search_and_bm25" -> bm25Sql(Seq("stream", "batch"), Seq("stream", "batch")),

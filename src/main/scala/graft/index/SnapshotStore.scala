@@ -693,6 +693,106 @@ object Index {
     appendBatch(newDocs, indexDir, nextInc.toLong, cfg)
   }
 
+  /** Back up the CURRENT commit point of `indexDir` into `backupDir` —
+    * the Solr replication/backup role
+    * [B solr/core/src/java/org/apache/solr/handler/ReplicationHandler.java]
+    * over Lucene's SnapshotDeletionPolicy idea
+    * [B lucene/core/src/java/org/apache/lucene/index/SnapshotDeletionPolicy.java]:
+    * pin the manifest, copy exactly the files it references. Incremental
+    * and crash-safe by construction:
+    *   - committed `inc=K` dirs and tombstone delta gens are IMMUTABLE, so
+    *     anything already present in the backup is skipped — repeated
+    *     backups of a growing index copy only the new increments + new
+    *     tombstone generations (Solr's incremental backup semantics);
+    *   - each dir lands under a `.copytmp` name and is atomically renamed,
+    *     and the manifest is written LAST (atomic rename in
+    *     SnapshotStore.write), so a torn backup keeps its previous commit
+    *     point and never exposes a half-copied one;
+    *   - flush byproducts (segments kind=1 partials) and lazily-rebuilt
+    *     suggest tables are NOT part of a commit point and are skipped.
+    * One backup dir serves ONE index (increment ids would collide across
+    * indexes). Driver-side NIO walk here (local-FS sandbox); on a real
+    * deployment the same dir-level copy plan runs as DistCp/FileUtil.copy
+    * over the Hadoop FileSystem API — the incremental property comes from
+    * the immutable-increment layout, not the copy primitive.
+    */
+  def backup(indexDir: String, backupDir: String): Seq[SnapshotMeta] =
+    cloneCommitPoint(indexDir, backupDir)
+
+  /** Restore a backup into a FRESH index dir (no snapshots.json yet) —
+    * the restore is just the reverse clone: same copy plan, manifest
+    * rebased to `destDir` and published last. The restored dir is a fully
+    * live index: readable, deletable, appendable (next increment ids come
+    * from the restored manifest).
+    */
+  def restore(backupDir: String, destDir: String): Seq[SnapshotMeta] = {
+    require(SnapshotStore.read(destDir).isEmpty,
+      s"restore target $destDir already has a committed manifest")
+    cloneCommitPoint(backupDir, destDir)
+  }
+
+  private def cloneCommitPoint(srcDir: String, dstDir: String): Seq[SnapshotMeta] = {
+    val snaps = SnapshotStore.read(srcDir)
+    require(snaps.nonEmpty, s"no committed snapshots in $srcDir")
+    Files.createDirectories(Paths.get(dstDir))
+    for (s <- snaps) {
+      val srcInc = Paths.get(s.postingsDir).getParent // .../inc=K
+      val dstInc = Paths.get(dstDir, srcInc.getFileName.toString)
+      if (!Files.exists(dstInc)) {
+        val tmp = Paths.get(dstDir, srcInc.getFileName.toString + ".copytmp")
+        deleteRecursively(tmp)
+        copyTree(Paths.get(s.postingsDir), tmp.resolve("postings"))
+        val td = Paths.get(s.termDictDir)
+        if (Files.exists(td)) copyTree(td, tmp.resolve("termdict"))
+        val dm = Paths.get(s.docMetaDir)
+        copyTree(dm, tmp.resolve(srcInc.relativize(dm).toString))
+        Files.move(tmp, dstInc, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    // live tombstone generations first, pointer second: a reader of the
+    // clone never sees a pointer to a generation that hasn't landed
+    val (base, cur) = tombstoneGens(srcDir)
+    for (g <- base to cur) {
+      val dstT = Paths.get(dstDir, s"tombstones_v$g")
+      if (!Files.exists(dstT)) {
+        val tmp = Paths.get(dstDir, s"tombstones_v$g.copytmp")
+        deleteRecursively(tmp)
+        copyTree(Paths.get(srcDir, s"tombstones_v$g"), tmp)
+        Files.move(tmp, dstT, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    if (cur >= base) publishTombstonePointer(dstDir, base, cur)
+    val rebased = snaps.map(s => s.copy(
+      postingsDir = rebase(s.postingsDir, dstDir),
+      docMetaDir = rebase(s.docMetaDir, dstDir)))
+    SnapshotStore.write(dstDir, rebased)
+    rebased
+  }
+
+  /** Swap everything before the `/inc=` segment for `newRoot` — manifest
+    * paths are absolute under their index dir, and the increment-relative
+    * suffix is the invariant part of the layout.
+    */
+  private def rebase(path: String, newRoot: String): String = {
+    val i = path.lastIndexOf("/inc=")
+    require(i >= 0, s"unexpected snapshot path layout: $path")
+    newRoot.stripSuffix("/") + path.substring(i)
+  }
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    val walk = Files.walk(src)
+    try {
+      walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally walk.close()
+  }
+
   private[index] def currentTombstoneGen(indexDir: String): Int =
     tombstoneGens(indexDir)._2
 

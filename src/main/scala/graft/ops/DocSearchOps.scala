@@ -153,6 +153,26 @@ object DocSearchOps {
   def searchTerm(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("term", should = Seq("merge")))
 
+  /** Backup/restore round-trip (§2.1 replication, Solr ReplicationHandler
+    * backup semantics): back up the shared doc index's commit point,
+    * restore it into a fresh dir, and serve a BM25 query from the RESTORED
+    * index — oracled by the same BM25-in-SQL as a live search, so the
+    * round-trip must preserve postings, norms, and collection stats
+    * exactly. Both clone steps are incremental no-ops on re-runs
+    * (immutable increments already present are skipped).
+    */
+  def searchRestored(spark: SparkSession, sfDir: String): DataFrame = {
+    val live = reader(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val bdir = s"${sys.props("java.io.tmpdir")}/graft_backup_${Version}_$safe"
+    val rdir = s"${sys.props("java.io.tmpdir")}/graft_restored_${Version}_$safe"
+    Index.backup(live.indexDir, bdir)
+    if (index.SnapshotStore.read(rdir).isEmpty) Index.restore(bdir, rdir)
+    val restored = Index.reader(spark, rdir)
+    rankDf(restored, QueryEngine.search(restored,
+      Seq(QuerySpec("restored", should = Seq("stream", "window")))))
+  }
+
   /** Disjunctive BM25 top-10 (BooleanQuery SHOULD via block-max WAND). */
   def searchOr(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("or", should = Seq("merge", "sort", "window")))

@@ -257,6 +257,60 @@ class IndexEndToEndSpec extends AnyFunSuite {
       Seq(graft.QuerySpec("g", should = Seq("ident_0000")))).collect().isEmpty)
   }
 
+  test("backup/restore: commit-point clone is incremental, isolated, live") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    val cfg = IndexConfig(hotTermDf = 400, targetPostingsPerSlice = 300)
+    val srcDir = s"$workDir/index_bak_src"
+    Index.build(corpus, srcDir, cfg, increments = 2)
+    // pre-backup delete: the backup must carry the tombstone generation
+    val nDel = Index.deleteByTerm(spark, srcDir, "ident_4999")
+    assert(nDel > 0)
+
+    val bakDir = s"$workDir/backup1"
+    Index.backup(srcDir, bakDir)
+    // incremental: a re-backup skips increments already present — a
+    // sentinel planted inside the backup survives (dir not re-copied)
+    val sentinel = Paths.get(bakDir, "inc=0", "postings", "_SENTINEL")
+    Files.write(sentinel, Array.emptyByteArray)
+    Index.backup(srcDir, bakDir)
+    assert(Files.exists(sentinel), "re-backup re-copied an immutable increment")
+    Files.delete(sentinel)
+
+    val restDir = s"$workDir/index_restored"
+    Index.restore(bakDir, restDir)
+    val rq = graft.QuerySpec("rq", should = Seq("return"), k = 50)
+    val live = graft.search.QueryEngine
+      .search(Index.reader(spark, srcDir), Seq(rq)).collect()
+      .map(h => (h.docId, h.score)).sortBy(_._1).toSeq
+    val rest = graft.search.QueryEngine
+      .search(Index.reader(spark, restDir), Seq(rq)).collect()
+      .map(h => (h.docId, h.score)).sortBy(_._1).toSeq
+    assert(live == rest, "restored index diverges from the live commit point")
+    // the pre-backup tombstones hold in the restore
+    assert(graft.search.QueryEngine.search(Index.reader(spark, restDir),
+      Seq(graft.QuerySpec("t", should = Seq("ident_4999")))).collect().isEmpty)
+
+    // the backup is a PINNED commit point: a delete AFTER the backup must
+    // not leak into a later restore of it
+    assert(Index.deleteByTerm(spark, srcDir, "qzx_handler_77") > 0)
+    val rest2 = s"$workDir/index_restored2"
+    Index.restore(bakDir, rest2)
+    assert(graft.search.QueryEngine.search(Index.reader(spark, rest2),
+      Seq(graft.QuerySpec("n", should = Seq("qzx_handler_77")))).collect().nonEmpty)
+    // ...until a fresh backup captures it
+    Index.backup(srcDir, bakDir)
+    val rest3 = s"$workDir/index_restored3"
+    Index.restore(bakDir, rest3)
+    assert(graft.search.QueryEngine.search(Index.reader(spark, rest3),
+      Seq(graft.QuerySpec("n2", should = Seq("qzx_handler_77")))).collect().isEmpty)
+
+    // restore refuses a dir that already has a manifest
+    intercept[IllegalArgumentException] { Index.restore(bakDir, restDir) }
+    // the restored index is live: delete-able like any index
+    assert(Index.deleteByTerm(spark, restDir, "ident_0001") >= 0)
+  }
+
   test("duplicate MUST clauses do not mask a missing required term") {
     import spark.implicits._
     val reader = Index.reader(spark, indexDir)
