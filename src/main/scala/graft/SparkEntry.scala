@@ -85,6 +85,7 @@ object SparkEntry {
     "facet_terms_params" -> ((s, d) => RelationalOps.facetTermsParams(s, d)),
     "facet_range" -> (RelationalOps.facetRange(_, _)),
     "facet_query" -> (RelationalOps.facetQuery(_, _)),
+    "facet_heatmap" -> (RelationalOps.facetHeatmap(_, _)),
     "facet_nested" -> (RelationalOps.facetNested(_, _)),
     "facet_stats" -> (RelationalOps.facetStats(_, _)),
     "facet_unique" -> (RelationalOps.facetUnique(_, _)),
@@ -1165,6 +1166,17 @@ object SparkEntry {
       """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket, count(*) AS cnt,
         |round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "facet_heatmap" ->
+      """WITH pts AS (
+        |  SELECT -90.0 + 180.0 * ((event_id * 48271) % 100003) / 100003.0 AS lat,
+        |         -180.0 + 360.0 * ((event_id * 16807) % 100019) / 100019.0 AS lon
+        |  FROM events)
+        |SELECT CAST(floor((lat - (-45.0)) / 11.25) AS BIGINT) AS grid_y,
+        |       CAST(floor((lon - (-90.0)) / 11.25) AS BIGINT) AS grid_x,
+        |       count(*) AS cnt
+        |FROM pts
+        |WHERE lat >= -45.0 AND lat < 45.0 AND lon >= -90.0 AND lon < 90.0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "facet_query" ->
       """SELECT o_orderstatus, count(*) AS cnt_all,
         |CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_big,

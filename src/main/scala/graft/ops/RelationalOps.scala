@@ -65,6 +65,38 @@ object RelationalOps {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(asc("bucket"))
 
+  /** Spatial heatmap facet
+    * [B solr/core/src/java/org/apache/solr/handler/component/SpatialHeatmapFacets.java]:
+    * 2D grid counts over a lat/lon point field inside a bounding box at a
+    * fixed grid level. Solr returns the dense counts_ints2D matrix; we emit
+    * the sparse (grid_y, grid_x, cnt) relational equivalent. The testdata
+    * carries no geo column, so the point is a DETERMINISTIC derivation from
+    * event_id (Lehmer-style modular hash, the identical arithmetic in the
+    * DuckDB oracle); the operator body is generic over any lat/lon columns.
+    * Plan shape: scan -> bbox filter -> ONE hash aggregate on (y, x) with
+    * map-side partials — no join, no skew (cell count bounds the key
+    * space), works unchanged at any corpus size. Grid extents 11.25 deg are
+    * exact binary fractions, so Spark and DuckDB floor identically.
+    */
+  def facetHeatmap(spark: SparkSession, sfDir: String,
+      latMin: Double = -45.0, latMax: Double = 45.0,
+      lonMin: Double = -90.0, lonMax: Double = 90.0,
+      gridRows: Int = 8, gridCols: Int = 16): DataFrame = {
+    val cellH = (latMax - latMin) / gridRows
+    val cellW = (lonMax - lonMin) / gridCols
+    val pts = t(spark, sfDir, "events").select(
+      (lit(-90.0) + lit(180.0) * ((col("event_id") * lit(48271L)) % lit(100003L)) / lit(100003.0)).as("lat"),
+      (lit(-180.0) + lit(360.0) * ((col("event_id") * lit(16807L)) % lit(100019L)) / lit(100019.0)).as("lon"))
+    pts
+      .where(col("lat") >= latMin && col("lat") < latMax &&
+        col("lon") >= lonMin && col("lon") < lonMax)
+      .groupBy(
+        floor((col("lat") - lit(latMin)) / lit(cellH)).as("grid_y"),
+        floor((col("lon") - lit(lonMin)) / lit(cellW)).as("grid_x"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("grid_y"), asc("grid_x"))
+  }
+
   /** Query facet: counts per arbitrary sub-query == conditional aggregation
     * [B .../facet/FacetQuery.java].
     */
