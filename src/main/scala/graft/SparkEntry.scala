@@ -48,6 +48,7 @@ object SparkEntry {
     "search_lm_dirichlet" -> (DocSearchOps.searchLmDirichlet(_, _)),
     "search_dfr_inb2" -> (DocSearchOps.searchDfr(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
+    "block_join_child" -> (DocSearchOps.blockJoinChild(_, _)),
     "search_edismax_qf" -> (DocSearchOps.searchEdismaxQf(_, _)),
     "search_edismax_pf" -> ((s, d) => DocSearchOps.searchEdismaxPf(s, d)),
     "search_stemmed_bm25" -> ((s, d) => DocSearchOps.searchStemmed(s, d)),
@@ -69,6 +70,7 @@ object SparkEntry {
     "search_synonym_config" -> ((s, d) =>
       DocSearchOps.searchSynonymConfig(s, d)),
     "search_rerank" -> ((s, d) => DocSearchOps.searchRerank(s, d)),
+    "search_ltr_linear" -> ((s, d) => DocSearchOps.searchLtr(s, d)),
     "search_rrf_hybrid" -> ((s, d) => DocSearchOps.searchRrf(s, d)),
     "search_after_score" -> (DocSearchOps.searchAfterScore(_, _)),
     "facet_search_domain" -> (DocSearchOps.facetSearchDomain(_, _)),
@@ -529,6 +531,32 @@ object SparkEntry {
          |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
          |GROUP BY d.source
          |ORDER BY parent_score DESC, d.source""".stripMargin,
+    "block_join_child" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'window') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id
+         |        HAVING count(DISTINCT CASE WHEN tf.term IN ('merge', 'window')
+         |               THEN tf.term END) = 2),
+         |par AS (SELECT d.source, round(max(sc.score), 4) AS parent_score
+         |        FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |        GROUP BY d.source
+         |        ORDER BY parent_score DESC, d.source LIMIT 2)
+         |SELECT d.source, d.doc_id, par.parent_score
+         |FROM documents d JOIN par ON d.source = par.source
+         |ORDER BY parent_score DESC, d.source, d.doc_id""".stripMargin,
     // stemmed analyzer chain: query "merges windows" -> stems (merge,
     // window) scored over the stemmed-token index (dl unchanged — stemming
     // is 1:1 on tokens)
@@ -889,6 +917,35 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score
          |  FROM comb)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // LTR linear model over the first-pass window: 0.6*orig +
+    // 0.25*ln(1+dl) + 0.15*(lang='en'); dl == the analyzer token count
+    // (the same dl CTE the norms derive from)
+    "search_ltr_linear" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |df1 AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc1 AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - df1.df + 0.5) / (df1.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |  FROM tf JOIN df1 ON tf.term = df1.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |fw AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
+         |  FROM sc1) WHERE rn <= 30),
+         |lt AS (
+         |  SELECT fw.doc_id,
+         |         0.6 * fw.score + 0.25 * ln(1.0 + dl.dl)
+         |           + 0.15 * (CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END) AS ltr
+         |  FROM fw JOIN dl ON dl.doc_id = fw.doc_id
+         |       JOIN documents d ON d.doc_id = fw.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(ltr, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(ltr, 4) AS score
+         |  FROM lt)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // RRF hybrid: BM25(merge, sort) top-20 ranking fused with the cosine
     // top-20 ranking against embedding 0 via sum of 1/(60 + rank)

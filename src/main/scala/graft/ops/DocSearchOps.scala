@@ -515,6 +515,32 @@ object DocSearchOps {
       .orderBy(desc("parent_score"), asc("source"))
   }
 
+  /** ToChildBlockJoinQuery
+    * [B lucene/join/src/java/org/apache/lucene/search/join/ToChildBlockJoinQuery.java]:
+    * the inverse of blockJoinParent — a parent-level query matches, and its
+    * score is handed DOWN to every child of the matching parents. Parents
+    * are the repo groups (same model as blockJoinParent); the top-2 parents
+    * by rolled-up max-child score emit ALL their children, each carrying
+    * the parent's score. The parent side is a 2-row aggregate — explicitly
+    * broadcast, so the child emission is a shuffle-free probe of the
+    * docmeta scan at any corpus size.
+    */
+  def blockJoinChild(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    val hits = QueryEngine.search(r,
+      Seq(QuerySpec("bjc", must = Seq("merge", "window"), k = 50000)))
+    val parents = hits.join(r.docMeta.select(col("docId"), col("repo")), "docId")
+      .groupBy(col("repo"))
+      .agg(round(max(col("score")), 4).as("parent_score"))
+      .orderBy(desc("parent_score"), asc("repo"))
+      .limit(2)
+    r.docMeta.select(col("repo"), col("path"))
+      .join(broadcast(parents), "repo")
+      .select(col("repo").as("source"),
+        col("path").cast("long").as("doc_id"), col("parent_score"))
+      .orderBy(desc("parent_score"), asc("source"), asc("doc_id"))
+  }
+
   /** Multi-field scoring (edismax `qf` weighting core): one query mixing a
     * content clause with a weighted clause on the `repo` metadata field,
     * each scored against its OWN field statistics (df, norms, avgdl)
@@ -927,6 +953,43 @@ object DocSearchOps {
     * block-range skipping over the sorted candidate ids — never a corpus
     * scan.
     */
+  /** Learning-to-rank rerank with a LINEAR model over extracted features —
+    * Solr's LTR plugin shape
+    * [B solr/contrib/ltr/src/java/org/apache/solr/ltr/LTRScoringQuery.java],
+    * [B solr/contrib/ltr/src/java/org/apache/solr/ltr/model/LinearModel.java]:
+    * first pass retrieves the candidate window by BM25, then the model
+    * rescores ONLY the window as w · features. Features here (the standard
+    * LTR starter set): the original first-pass score
+    * (OriginalScoreFeature), a log doc-length prior, and a field-match
+    * flag (SolrFeature on lang:en). The window is coordinator-sized by
+    * contract (Solr holds it in its reranking collector), so it broadcasts
+    * to the docmeta scan — feature extraction is a shuffle-free probe; the
+    * model itself is a closed-form column expression (codegen'd), no
+    * driver loop.
+    */
+  def searchLtr(spark: SparkSession, sfDir: String,
+      mainTerms: Seq[String] = Seq("merge", "sort"),
+      window: Int = 30, k: Int = 10,
+      wOrig: Double = 0.6, wLen: Double = 0.25, wLang: Double = 0.15): DataFrame = {
+    val r = reader(spark, sfDir)
+    val first = QueryEngine.search(r,
+      Seq(QuerySpec("ltr", should = mainTerms, k = window)))
+    val ranked = r.docMeta
+      .select(col("docId"), col("path"), col("lang"), col("tokenCount"))
+      .join(broadcast(first.select(col("docId"), col("score").as("orig"))), "docId")
+      .withColumn("ltr",
+        lit(wOrig) * col("orig")
+          + lit(wLen) * log(lit(1.0) + col("tokenCount"))
+          + lit(wLang) * when(col("lang") === "en", 1.0).otherwise(0.0))
+    val w = Window.orderBy(round(col("ltr"), 9).desc, asc("doc_id"))
+    ranked
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), round(col("ltr"), 4).as("score"))
+      .orderBy(asc("rank"))
+  }
+
   def searchRerank(spark: SparkSession, sfDir: String,
       mainTerms: Seq[String] = Seq("merge", "sort"),
       rerankTerms: Seq[String] = Seq("window"),
