@@ -57,6 +57,7 @@ object SparkEntry {
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
     "more_like_this" -> ((s, d) => DocSearchOps.moreLikeThis(s, d)),
+    "significant_terms" -> ((s, d) => DocSearchOps.significantTerms(s, d)),
     "search_sql_expr" -> (DocSearchOps.searchSqlExpr(_, _)),
     "search_parsed" -> ((s, d) => DocSearchOps.searchParsed(s, d)),
     "search_tree_batch" -> ((s, d) => DocSearchOps.searchTreeBatch(s, d)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "facet_percentile" -> (RelationalOps.facetPercentile(_, _)),
     // -- Solr streaming expressions (SURVEY.md §2.8) --
     "stream_innerjoin" -> (RelationalOps.streamInnerJoin(_, _)),
+    "graph_shortest_path" -> ((s, d) => RelationalOps.shortestPath(s, d)),
     "stream_hashjoin" -> (RelationalOps.streamHashJoin(_, _)),
     "stream_intersect" -> (RelationalOps.streamIntersect(_, _)),
     "stream_complement" -> (RelationalOps.streamComplement(_, _)),
@@ -947,6 +949,22 @@ object SparkEntry {
          |         doc_id, round(ltr, 4) AS score
          |  FROM lt)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // significantTerms: foreground = docs containing 'merge'; score =
+    // (fg_df/fgN) * ln((N+1)/(df+1)); bg df == termdict df by construction
+    "significant_terms" ->
+      s"""WITH $TokCte,
+         |fgids AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+         |fgn AS (SELECT count(*) AS n FROM fgids),
+         |fgt AS (SELECT t.term, count(DISTINCT t.doc_id) AS fg_df
+         |        FROM tok t JOIN fgids f ON t.doc_id = f.doc_id
+         |        GROUP BY t.term
+         |        HAVING count(DISTINCT t.doc_id) >= 5),
+         |bg AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+         |SELECT fgt.term, fgt.fg_df, bg.df,
+         |       round((fgt.fg_df * 1.0 / fgn.n)
+         |             * ln(((SELECT count(*) FROM documents) + 1.0) / (bg.df + 1.0)), 6) AS score
+         |FROM fgt JOIN bg ON fgt.term = bg.term CROSS JOIN fgn
+         |ORDER BY score DESC, fgt.term LIMIT 20""".stripMargin,
     // RRF hybrid: BM25(merge, sort) top-20 ranking fused with the cosine
     // top-20 ranking against embedding 0 via sum of 1/(60 + rank)
     "search_rrf_hybrid" ->
@@ -1256,6 +1274,23 @@ object SparkEntry {
         |round(quantile_cont(l_quantity, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
+    // BFS shortest-path distances from C1 over the customer<->supplier
+    // bipartite graph; recursive UNION == the visited-set dedup
+    "graph_shortest_path" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT DISTINCT 'C' || o.o_custkey AS src, 'S' || l.l_suppkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION
+        |  SELECT DISTINCT 'S' || l.l_suppkey AS src, 'C' || o.o_custkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |bfs AS (
+        |  SELECT 'C1' AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.dst AS node, b.dist + 1 AS dist
+        |  FROM bfs b JOIN ed e ON e.src = b.node
+        |  WHERE b.dist < 3)
+        |SELECT node, min(dist) AS dist FROM bfs
+        |GROUP BY node ORDER BY dist, node""".stripMargin,
     "stream_innerjoin" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey

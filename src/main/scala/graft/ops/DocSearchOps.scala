@@ -1110,6 +1110,45 @@ object DocSearchOps {
       .orderBy(asc("lang"))
   }
 
+  /** significantTerms
+    * [B solr/core/src/java/org/apache/solr/search/SignificantTermsQParserPlugin.java]:
+    * terms over-represented in a query's result set (foreground) relative
+    * to the corpus (background). The foreground docset comes from the real
+    * unscored postings read path (matchAllTerms); background df comes from
+    * the slim termdict — the committed index artifact, never a corpus
+    * re-scan. Score = fg popularity weighted by background idf:
+    * (fg_df / fg_size) * ln((N+1)/(df+1)). Plan: one semi join to cut the
+    * corpus to the domain, one tokenize+explode hash aggregate, then a
+    * term-keyed join against the dictionary — every stage shuffles on its
+    * natural key, nothing collects.
+    */
+  def significantTerms(spark: SparkSession, sfDir: String,
+      queryTerm: String = "merge", minFgDf: Long = 5, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val r = reader(spark, sfDir)
+    val fgIds = QueryEngine.matchAllTerms(r, Seq(queryTerm)).toDF("docId")
+    val fgDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .join(r.docMeta.select(col("path").cast("long").as("doc_id"),
+        col("docId")), "doc_id")
+      .join(fgIds, Seq("docId"), "left_semi")
+    val fgN = fgDocs.count()
+    val n = r.stats.docCount
+    val fgTerm = fgDocs
+      .select(explode(array_distinct(expr("graft_tokenize(text)"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("fg_df"))
+      .where(col("fg_df") >= minFgDf)
+    val bg = r.termDict
+      .where(!col("term").contains(graft.index.FieldOf.Sep.toString))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    fgTerm.join(bg, "term")
+      .withColumn("score",
+        round((col("fg_df") / lit(fgN.toDouble))
+          * log(lit(n + 1.0) / (col("df") + lit(1.0))), 6))
+      .orderBy(desc("score"), asc("term"))
+      .limit(k)
+      .select(col("term"), col("fg_df"), col("df"), col("score"))
+  }
+
   /** MoreLikeThis: top-idf terms of a seed doc -> OR query
     * [B lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java].
     * Deterministic seed doc + term selection; rows-only check (the seed doc

@@ -150,6 +150,47 @@ object RelationalOps {
 
   // ---- Solr streaming-expression operators (SURVEY.md §2.8) ----
 
+  /** shortestPath graph traversal
+    * [B solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/ShortestPathStream.java]:
+    * BFS from a source node over an edge relation, bounded by maxDepth
+    * (Solr requires the bound) — emits every reachable node with its hop
+    * distance. The graph is the customer<->supplier bipartite relation
+    * derived from lineitem x orders (who bought from whom). Each BFS level
+    * is one distributed join frontier->edges + anti-join against the
+    * visited set — the standard scale-out BFS (GraphFrames does the same);
+    * the driver only steers maxDepth iterations, never holds nodes. The
+    * edge frame is persisted across levels (reused maxDepth times).
+    */
+  def shortestPath(spark: SparkSession, sfDir: String,
+      source: String = "C1", maxDepth: Int = 3): DataFrame = {
+    val li = t(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(concat(lit("C"), col("o_custkey")).as("c"),
+        concat(lit("S"), col("l_suppkey")).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .persist()
+    try {
+      import spark.implicits._
+      var visited = Seq((source, 0)).toDF("node", "dist")
+      var frontier = visited
+      for (d <- 1 to maxDepth) {
+        frontier = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(d))
+          // materialize each level: keeps the iterative plan linear and the
+          // anti-join reading a computed set, not a growing lineage tree
+          .persist()
+        frontier.count()
+        visited = visited.unionByName(frontier)
+      }
+      visited.orderBy(asc("dist"), asc("node"))
+    } finally edges.unpersist(false)
+  }
+
   /** innerJoin(search(...), search(...)) -> sort-merge/broadcast equi-join. */
   def streamInnerJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val o = t(spark, sfDir, "orders")

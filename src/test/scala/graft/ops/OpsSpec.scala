@@ -240,6 +240,69 @@ class OpsSpec extends AnyFunSuite {
       s"gram prefix not pushed to parquet:\n$plan")
   }
 
+  test("shortestPath: BFS levels are minimal and edge-consistent") {
+    val got = RelationalOps.shortestPath(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("C1") == 0)
+    // level-1 == exactly C1's suppliers, computed independently
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val s1 = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .where(col("o_custkey") === 1)
+      .select(concat(lit("S"), col("l_suppkey"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got.filter(_._2 == 1).keySet == s1)
+    // bipartite invariant: C-nodes sit on even levels, S-nodes on odd
+    got.foreach { case (n, d) =>
+      assert((d % 2 == 0) == n.startsWith("C"), s"$n at dist $d")
+    }
+  }
+
+  test("facetHeatmap: cell counts re-add to the bbox total, cells in range") {
+    val cells = RelationalOps.facetHeatmap(spark, sf).collect()
+    assert(cells.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8 &&
+      r.getLong(1) >= 0 && r.getLong(1) < 16))
+    val total = cells.map(_.getLong(2)).sum
+    // independent recount of in-bbox points
+    val inBox = spark.read.parquet(s"$sf/events.parquet")
+      .select(
+        (lit(-90.0) + lit(180.0) * ((col("event_id") * lit(48271L)) % lit(100003L)) / lit(100003.0)).as("lat"),
+        (lit(-180.0) + lit(360.0) * ((col("event_id") * lit(16807L)) % lit(100019L)) / lit(100019.0)).as("lon"))
+      .where(col("lat") >= -45.0 && col("lat") < 45.0 &&
+        col("lon") >= -90.0 && col("lon") < 90.0)
+      .count()
+    assert(total == inBox)
+  }
+
+  test("blockJoinChild: children come only from the top-2 parents, score handed down") {
+    val parents = DocSearchOps.blockJoinParent(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).take(2).toMap
+    val children = DocSearchOps.blockJoinChild(spark, sf).collect()
+    assert(children.nonEmpty)
+    children.foreach { r =>
+      val (src, score) = (r.getString(0), r.getDouble(2))
+      assert(parents.contains(src), s"child from non-top parent $src")
+      assert(score == parents(src), "child score != parent score")
+    }
+  }
+
+  test("significantTerms: the domain term dominates; scores nonincreasing") {
+    val rows = DocSearchOps.significantTerms(spark, sf).collect()
+    val merge = rows.find(_.getString(0) == "merge")
+    assert(merge.isDefined, "the foreground-defining term must be significant")
+    // 'merge' covers the whole foreground: fg_df == its corpus df
+    assert(merge.get.getLong(1) == merge.get.getLong(2))
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("searchLtr: dense ranks, nonincreasing scores, window-subset of first pass") {
+    val rows = DocSearchOps.searchLtr(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("sampleHash is a pure function of doc_id: stable across repartitionings") {
     val a = PipelineOps.sampleHash(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
