@@ -89,6 +89,7 @@ object SparkEntry {
     "facet_range" -> (RelationalOps.facetRange(_, _)),
     "facet_query" -> (RelationalOps.facetQuery(_, _)),
     "facet_heatmap" -> (RelationalOps.facetHeatmap(_, _)),
+    "facet_json_api" -> (RelationalOps.jsonFacet(_, _)),
     "facet_nested" -> (RelationalOps.facetNested(_, _)),
     "facet_stats" -> (RelationalOps.facetStats(_, _)),
     "facet_unique" -> (RelationalOps.facetUnique(_, _)),
@@ -1241,6 +1242,25 @@ object SparkEntry {
       """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket, count(*) AS cnt,
         |round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // JSON Facet API flattening: parent bucket rows (source NULL) + per-
+    // parent top-2 child rows, both carrying avg(n_chars)
+    "facet_json_api" ->
+      """WITH p AS (
+        |  SELECT lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+        |  FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 4),
+        |c AS (
+        |  SELECT d.lang, d.source, count(*) AS cnt,
+        |         round(avg(d.n_chars), 4) AS avg_chars
+        |  FROM documents d JOIN p ON d.lang = p.lang
+        |  GROUP BY d.lang, d.source),
+        |ct AS (SELECT lang, source, cnt, avg_chars FROM (
+        |  SELECT c.*, row_number() OVER (PARTITION BY lang
+        |                                 ORDER BY cnt DESC, source) AS rn
+        |  FROM c) WHERE rn <= 2)
+        |SELECT lang, CAST(NULL AS VARCHAR) AS source, cnt, avg_chars FROM p
+        |UNION ALL
+        |SELECT lang, source, cnt, avg_chars FROM ct
+        |ORDER BY lang, source NULLS FIRST, cnt""".stripMargin,
     "facet_heatmap" ->
       """WITH pts AS (
         |  SELECT -90.0 + 180.0 * ((event_id * 48271) % 100003) / 100003.0 AS lat,

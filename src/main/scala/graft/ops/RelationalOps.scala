@@ -97,6 +97,25 @@ object RelationalOps {
       .orderBy(asc("grid_y"), asc("grid_x"))
   }
 
+  /** The JSON Facet API end-to-end (request string -> JsonFacetOps parse ->
+    * Catalyst lowering): top-4 langs by count, each with an avg(n_chars)
+    * stat and its top-2 sources sub-facet carrying the same stat.
+    */
+  def jsonFacet(spark: SparkSession, sfDir: String): DataFrame = {
+    val req =
+      """{
+        |  "langs": {"type": "terms", "field": "lang", "limit": 4,
+        |            "sort": "count desc",
+        |    "facet": {
+        |      "avg_chars": "avg(n_chars)",
+        |      "srcs": {"type": "terms", "field": "source", "limit": 2,
+        |               "sort": "count desc",
+        |        "facet": {"avg_chars": "avg(n_chars)"}}}}
+        |}""".stripMargin
+    val (_, tops) = JsonFacetOps.parseFacets(req)
+    JsonFacetOps.executeFlat(t(spark, sfDir, "documents"), tops.head)
+  }
+
   /** Query facet: counts per arbitrary sub-query == conditional aggregation
     * [B .../facet/FacetQuery.java].
     */

@@ -303,6 +303,34 @@ class OpsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("json facet API: index-asc and sort-by-stat requests lower correctly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (_, t1) = JsonFacetOps.parseFacets(
+      """{"l": {"type":"terms","field":"lang","limit":3,"sort":"index asc"}}""")
+    val got1 = JsonFacetOps.executeFlat(docs, t1.head).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exp1 = docs.groupBy(col("lang")).count().orderBy(asc("lang")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got1 == exp1)
+
+    val (_, t2) = JsonFacetOps.parseFacets(
+      """{"l": {"type":"terms","field":"lang","limit":2,"sort":"m desc",
+        |       "facet":{"m":"max(n_chars)"}}}""".stripMargin)
+    val got2 = JsonFacetOps.executeFlat(docs, t2.head).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    // facet sort picks the buckets; flattened output re-sorts by path
+    val exp2 = docs.groupBy(col("lang"))
+      .agg(max(col("n_chars")).cast("double").as("m"))
+      .orderBy(desc("m"), asc("lang")).limit(2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .sortBy(_._1)
+    assert(got2 == exp2)
+
+    intercept[IllegalArgumentException] {
+      JsonFacetOps.parseFacets("""{"x": {"type":"range","field":"lang"}}""")
+    }
+  }
+
   test("sampleHash is a pure function of doc_id: stable across repartitionings") {
     val a = PipelineOps.sampleHash(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
