@@ -97,6 +97,8 @@ object SparkEntry {
     // -- Solr streaming expressions (SURVEY.md §2.8) --
     "stream_innerjoin" -> (RelationalOps.streamInnerJoin(_, _)),
     "graph_shortest_path" -> ((s, d) => RelationalOps.shortestPath(s, d)),
+    "graph_gather_nodes" -> (RelationalOps.gatherNodes(_, _)),
+    "export_sorted" -> ((s, d) => DocSearchOps.exportSorted(s, d)),
     "stream_hashjoin" -> (RelationalOps.streamHashJoin(_, _)),
     "stream_intersect" -> (RelationalOps.streamIntersect(_, _)),
     "stream_complement" -> (RelationalOps.streamComplement(_, _)),
@@ -1294,6 +1296,23 @@ object SparkEntry {
         |round(quantile_cont(l_quantity, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
+    // gatherNodes: 1-hop expansion from the bounded root set
+    "graph_gather_nodes" ->
+      """SELECT l_suppkey AS node, count(*) AS n_edges,
+        |       count(DISTINCT o_custkey) AS n_roots
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 50
+        |GROUP BY 1 ORDER BY node""".stripMargin,
+    // /export: full sorted stream of the matching docset, no truncation;
+    // token_count == the analyzer token count (the dl CTE)
+    "export_sorted" ->
+      s"""WITH $TokCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |ids AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+         |SELECT d.doc_id, dl.dl AS token_count, d.lang
+         |FROM documents d JOIN ids USING (doc_id) JOIN dl USING (doc_id)
+         |ORDER BY token_count DESC, d.doc_id""".stripMargin,
     // BFS shortest-path distances from C1 over the customer<->supplier
     // bipartite graph; recursive UNION == the visited-set dedup
     "graph_shortest_path" ->

@@ -1110,6 +1110,26 @@ object DocSearchOps {
       .orderBy(asc("lang"))
   }
 
+  /** The /export handler
+    * [B solr/core/src/java/org/apache/solr/handler/export/ExportWriter.java]:
+    * stream the ENTIRE result set sorted by fields — no top-k truncation
+    * (Solr sorts in 30k-row batches over the docset bitset; here the
+    * docset comes from the unscored postings path and Spark's orderBy is a
+    * range-partitioned distributed sort, so no single node ever holds the
+    * result). Matching docs for 'merge', sorted by (tokenCount desc,
+    * doc_id) — the export sort contract: total order, ties broken on the
+    * unique key.
+    */
+  def exportSorted(spark: SparkSession, sfDir: String,
+      term: String = "merge"): DataFrame = {
+    val r = reader(spark, sfDir)
+    val ids = QueryEngine.matchAllTerms(r, Seq(term)).toDF("docId")
+    r.docMeta.join(ids, Seq("docId"), "left_semi")
+      .select(col("path").cast("long").as("doc_id"),
+        col("tokenCount").cast("long").as("token_count"), col("lang"))
+      .orderBy(desc("token_count"), asc("doc_id"))
+  }
+
   /** significantTerms
     * [B solr/core/src/java/org/apache/solr/search/SignificantTermsQParserPlugin.java]:
     * terms over-represented in a query's result set (foreground) relative

@@ -210,6 +210,28 @@ object RelationalOps {
     } finally edges.unpersist(false)
   }
 
+  /** gatherNodes / nodes() graph expression
+    * [B solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/GatherNodesStream.java]:
+    * one-hop expansion from a root node set across the edge relation, with
+    * per-gathered-node aggregations. Roots = BUILDING-segment customers
+    * with custkey <= 50; gathered = their suppliers, each with the edge
+    * count and the distinct-root count. The root set is broadcast; the
+    * only shuffle is the final aggregate on the gathered node key.
+    */
+  def gatherNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val roots = t(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 50)
+      .select(col("c_custkey"))
+    val li = t(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(roots), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_suppkey").as("node"))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("o_custkey")).as("n_roots"))
+      .orderBy(asc("node"))
+  }
+
   /** innerJoin(search(...), search(...)) -> sort-merge/broadcast equi-join. */
   def streamInnerJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val o = t(spark, sfDir, "orders")
