@@ -101,6 +101,28 @@ object ExplainAudit {
           "codegen'd Project, and no exchange except the presentation sort — " +
           "a pure map stage at any corpus size.",
         fmt(TextOps.bpeCount(spark, sfDir))),
+      ("Spatial heatmap facet (single hash aggregate)",
+        "Expect: one events scan, the bbox Filter and the derived lat/lon " +
+          "inside a codegen'd stage, then partial -> final HashAggregate on " +
+          "(grid_y, grid_x) — no join, no window, key space bounded by the " +
+          "grid size.",
+        fmt(RelationalOps.facetHeatmap(spark, sfDir))),
+      ("Sorted export (range-partitioned distributed sort)",
+        "Expect: docmeta left-semi joined to the docset, then Sort fed by a " +
+          "rangepartitioning Exchange — a distributed total order with NO " +
+          "CollectLimit/TakeOrdered anywhere (/export never truncates).",
+        fmt(DocSearchOps.exportSorted(spark, sfDir))),
+      ("JSON facet lowering (per-level aggregate + semi-join pruning)",
+        "Expect: one HashAggregate per facet level; the sub-facet domain is " +
+          "the documents scan left-semi-joined (broadcast — parent buckets " +
+          "are limit-sized by contract) to the surviving parents; the " +
+          "nested limit is ONE Window per level, never a per-bucket " +
+          "re-query.",
+        fmt(RelationalOps.jsonFacet(spark, sfDir))),
+      ("gatherNodes (broadcast roots, aggregate on the gathered key)",
+        "Expect: BroadcastHashJoin against the root set; the only wide " +
+          "exchange is the final aggregate keyed by the gathered node.",
+        fmt(RelationalOps.gatherNodes(spark, sfDir))),
       ("Benchmark decontamination (broadcast bench side)",
         "Expect: the benchmark shingle set (tiny vs a 100 TB corpus) is " +
           "the ONLY side paying a distinct shuffle, then rides a " +
