@@ -126,6 +126,8 @@ object SparkEntry {
     "analysis_shingle" -> (AnalysisOps.shingle(_, _)),
     "analysis_edge_ngram" -> (AnalysisOps.edgeNgram(_, _)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
+    "sample_stratified" -> ((s, d) => PipelineOps.sampleStratified(s, d)),
+    "mix_weights" -> ((s, d) => PipelineOps.mixWeights(s, d)),
     "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
     // production shape: the benchmark is its OWN table argument, so the
     // training corpus is scanned exactly once (bench = %19==3 slice read
@@ -1469,6 +1471,19 @@ object SparkEntry {
     "analysis_shingle" -> AnalysisOps.shingleOracleSql,
     "analysis_edge_ngram" -> AnalysisOps.edgeNgramOracleSql,
     // deterministic hash split: held-out = md5(doc_id) first hex in {0,1}
+    "sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "mix_weights" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       round(200000.0 / sum(n_chars), 6) AS weight,
+        |       CAST(CASE WHEN round(200000.0 / sum(n_chars), 6) > 1.0
+        |            THEN floor(round(200000.0 / sum(n_chars), 6)) ELSE 0 END AS BIGINT) AS epochs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
         |FROM documents

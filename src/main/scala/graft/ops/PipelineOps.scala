@@ -35,6 +35,45 @@ object PipelineOps {
       .select(col("doc_id"), col("bucket"))
       .orderBy(asc("doc_id"))
 
+  /** Stratified deterministic sample: an EXACT per-stratum quota (here:
+    * `per` docs per lang), selection ranked by a salted md5 of doc_id —
+    * a pure function of the row, so the sample is identical under any
+    * partitioning, cluster size, or rerun (no RNG, no `sample()`, whose
+    * output is partitioning-dependent). The rank is one window per
+    * stratum; at 100 TB the per-stratum sort is bounded by the stratum's
+    * row count spread over its hash partitions, and WindowGroupLimit
+    * pushes the quota below the sort.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String,
+      per: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(asc("h"), asc("doc_id"))
+    docs(spark, sfDir)
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":strat"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= per)
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy(asc("lang"), asc("rn"))
+  }
+
+  /** Domain-mix weighting: given a per-stratum token budget, compute each
+    * stratum's sampling rate (or epoch count when the budget exceeds the
+    * stratum) — the planning step of training-mix construction (how many
+    * epochs of each domain fit a token budget). One aggregate per stratum;
+    * output is domain-cardinality-sized.
+    */
+  def mixWeights(spark: SparkSession, sfDir: String,
+      budgetPerStratum: Long = 200000L): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("weight",
+        round(lit(budgetPerStratum.toDouble) / col("sum_chars"), 6))
+      .withColumn("epochs",
+        when(col("weight") > 1.0, floor(col("weight"))).otherwise(lit(0L)))
+      .orderBy(asc("lang"))
+
   /** n-token shingle digests for one document's token array: md5 of the
     * space-joined window at every start offset. Fixed-width keys keep the
     * downstream shuffle rows small and schema-stable regardless of text.
