@@ -40,6 +40,12 @@ object SparkEntry {
     "search_span_or_near" -> ((s, d) => DocSearchOps.searchSpanOrNear(s, d)),
     "search_span_not_nested" -> ((s, d) =>
       DocSearchOps.searchSpanNotNested(s, d)),
+    "interval_ordered" -> ((s, d) => DocSearchOps.intervalOrdered(s, d)),
+    "interval_unordered" -> ((s, d) => DocSearchOps.intervalUnordered(s, d)),
+    "interval_containing" -> ((s, d) => DocSearchOps.intervalContaining(s, d)),
+    "interval_not_containing" -> ((s, d) =>
+      DocSearchOps.intervalContaining(s, d, negate = true)),
+    "interval_before" -> ((s, d) => DocSearchOps.intervalBefore(s, d)),
     "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
     "search_min_should_match" -> (DocSearchOps.searchMinShouldMatch(_, _)),
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
@@ -275,6 +281,36 @@ object SparkEntry {
     s"""tkp AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
        |pp AS (SELECT doc_id, CAST(i AS INT) AS pos, toks[i + 1] AS term
        |       FROM tkp, unnest(range(len(toks))) AS r(i))""".stripMargin
+
+  /** Minimal-interval reduction over a `cand(doc_id, s, e)` CTE — the SQL
+    * mirror of IntervalAlgebra.minimize: drop any candidate strictly
+    * containing another candidate of the same doc.
+    */
+  private val IntervalMiniSql: String =
+    """SELECT doc_id, s, e FROM cand i
+      |         WHERE NOT EXISTS (SELECT 1 FROM cand j WHERE j.doc_id = i.doc_id
+      |               AND j.s >= i.s AND j.e <= i.e AND (j.s > i.s OR j.e < i.e))""".stripMargin
+
+  /** Shared scaffolding for the CONTAINING/NOT_CONTAINING pair: minimal
+    * unordered(key, table) windows as `mini`, minimal or(value, phrase
+    * "key order") intervals as `sm`.
+    */
+  private val IntervalContCtes: String =
+    s"""$PosCtes,
+       |a AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+       |b AS (SELECT doc_id, pos FROM pp WHERE term = 'table'),
+       |cand AS (SELECT DISTINCT a.doc_id, least(a.pos, b.pos) AS s,
+       |                greatest(a.pos, b.pos) + 1 AS e
+       |         FROM a JOIN b ON b.doc_id = a.doc_id),
+       |mini AS ($IntervalMiniSql),
+       |small AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM pp WHERE term = 'value'
+       |          UNION ALL
+       |          SELECT k.doc_id, k.pos, k.pos + 2
+       |          FROM pp k JOIN pp o ON o.doc_id = k.doc_id AND o.pos = k.pos + 1
+       |          WHERE k.term = 'key' AND o.term = 'order'),
+       |sm AS (SELECT doc_id, s, e FROM small i
+       |       WHERE NOT EXISTS (SELECT 1 FROM small j WHERE j.doc_id = i.doc_id
+       |             AND j.s >= i.s AND j.e <= i.e AND (j.s > i.s OR j.e < i.e)))""".stripMargin
 
   /** EnglishMinimalStemmer (S-stemmer) as SQL — mirrors
     * Analyzer.minimalStem exactly (suffix CASE logic only).
@@ -1131,6 +1167,62 @@ object SparkEntry {
          |FROM inc JOIN w ON w.doc_id = inc.doc_id
          |WHERE w.pos >= inc.pos + 1 AND (w.pos + 1 - inc.pos) - 2 <= 10
          |ORDER BY doc_id""".stripMargin,
+    // ---- Intervals API: MINIMAL-interval semantics. Candidates = every
+    // combination window; `NOT EXISTS a strictly-contained sibling` is the
+    // minimisation; filters (maxgaps/containing/before) apply AFTER it,
+    // matching Lucene's wrapper order. n_intervals makes the oracle check
+    // occurrence counts, not just doc membership. ----
+    // Intervals.maxgaps(6, ordered(key, value, table))
+    "interval_ordered" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'value'),
+         |c AS (SELECT doc_id, pos FROM pp WHERE term = 'table'),
+         |cand AS (SELECT DISTINCT a.doc_id, a.pos AS s, c.pos + 1 AS e
+         |         FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+         |                JOIN c ON c.doc_id = b.doc_id AND c.pos > b.pos),
+         |mini AS ($IntervalMiniSql)
+         |SELECT doc_id, count(*) AS n_intervals FROM mini
+         |WHERE (e - s) - 3 <= 6
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Intervals.unordered(sort, merge)
+    "interval_unordered" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'sort'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |cand AS (SELECT DISTINCT a.doc_id, least(a.pos, b.pos) AS s,
+         |                greatest(a.pos, b.pos) + 1 AS e
+         |         FROM a JOIN b ON b.doc_id = a.doc_id),
+         |mini AS ($IntervalMiniSql)
+         |SELECT doc_id, count(*) AS n_intervals FROM mini
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Intervals.containing(unordered(key, table), or(value, phrase("key order")))
+    "interval_containing" ->
+      s"""WITH $IntervalContCtes
+         |SELECT doc_id, count(*) AS n_intervals FROM mini m
+         |WHERE EXISTS (SELECT 1 FROM sm WHERE sm.doc_id = m.doc_id
+         |              AND sm.s >= m.s AND sm.e <= m.e)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Intervals.notContaining — same big source, negated filter
+    "interval_not_containing" ->
+      s"""WITH $IntervalContCtes
+         |SELECT doc_id, count(*) AS n_intervals FROM mini m
+         |WHERE NOT EXISTS (SELECT 1 FROM sm WHERE sm.doc_id = m.doc_id
+         |              AND sm.s >= m.s AND sm.e <= m.e)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Intervals.before(unordered(sort, merge), window)
+    "interval_before" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'sort'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |cand AS (SELECT DISTINCT a.doc_id, least(a.pos, b.pos) AS s,
+         |                greatest(a.pos, b.pos) + 1 AS e
+         |         FROM a JOIN b ON b.doc_id = a.doc_id),
+         |mini AS ($IntervalMiniSql)
+         |SELECT doc_id, count(*) AS n_intervals FROM mini m
+         |WHERE EXISTS (SELECT 1 FROM pp w WHERE w.doc_id = m.doc_id
+         |              AND w.term = 'window' AND w.pos >= m.e)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sloppy phrase "key order"~2: raw token positions (stop words count,
     // mirroring StopFilter position-increment holes), window |pb-pa-1|<=2
     "search_phrase_sloppy" ->

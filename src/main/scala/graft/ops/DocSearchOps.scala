@@ -403,6 +403,65 @@ object DocSearchOps {
       term("window")), slop = 10, ordered = true))
   }
 
+  // ---- the Intervals API (minimal-interval semantics) ----
+
+  /** Shared (doc_id, n_intervals) projection for the interval entries:
+    * n_intervals = the number of MINIMAL intervals per doc, the quantity
+    * Lucene's IntervalIterator enumerates — a strictly stronger oracle
+    * check than doc membership.
+    */
+  private def intervalDocs(spark: SparkSession, sfDir: String,
+      root: graft.search.IntervalNode): DataFrame = {
+    val r = reader(spark, sfDir)
+    QueryEngine.matchIntervalTree(r, root)
+      .toDF("docId", "n_intervals")
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"), col("n_intervals"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** Intervals.maxgaps(6, Intervals.ordered(key, value, table))
+    * [B lucene/core/src/java/org/apache/lucene/queries/intervals/Intervals.java:
+    * ordered + maxgaps]: minimal ordered windows, gap-filtered AFTER
+    * minimisation (the wrapper order Lucene uses).
+    */
+  def intervalOrdered(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.IntervalNode._
+    intervalDocs(spark, sfDir, IOrdered(
+      Seq(ITerm("key"), ITerm("value"), ITerm("table")), maxGaps = 6))
+  }
+
+  /** Intervals.unordered(sort, merge): minimal covering windows, any order,
+    * overlap allowed [B .../intervals/UnorderedIntervalsSource.java].
+    */
+  def intervalUnordered(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.IntervalNode._
+    intervalDocs(spark, sfDir, IUnordered(Seq(ITerm("sort"), ITerm("merge"))))
+  }
+
+  /** Intervals.containing(unordered(key, table), or(value, phrase("key
+    * order"))): big windows filtered to those containing a small interval —
+    * the filter family spans cannot express
+    * [B .../intervals/FilteredIntervalsSource.java].
+    */
+  def intervalContaining(spark: SparkSession, sfDir: String,
+      negate: Boolean = false): DataFrame = {
+    import graft.search.IntervalNode._
+    intervalDocs(spark, sfDir, IContaining(
+      IUnordered(Seq(ITerm("key"), ITerm("table"))),
+      IOr(Seq(ITerm("value"), IPhrase(Seq("key", "order")))),
+      negate = negate))
+  }
+
+  /** Intervals.before(unordered(sort, merge), window): minimal sort/merge
+    * windows that end at or before the start of some 'window' occurrence.
+    */
+  def intervalBefore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.IntervalNode._
+    intervalDocs(spark, sfDir, IBefore(
+      IUnordered(Seq(ITerm("sort"), ITerm("merge"))), ITerm("window")))
+  }
+
   /** Sloppy phrase ("a b"~2): positional window match
     * [B lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java]
     * — same distributed two-phase pipeline with |p_b - p_a - 1| <= slop.

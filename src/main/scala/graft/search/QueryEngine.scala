@@ -622,9 +622,38 @@ object QueryEngine {
   def matchSpanTree(reader: Index.Reader, root: SpanNode): Dataset[Long] = {
     val spark = reader.spark
     import spark.implicits._
-    val all = SpanNode.allTerms(root).distinct
-    require(all.nonEmpty, "span tree references no terms")
-    val req = SpanNode.requiredTerms(root).distinct
+    matchPositional(reader, SpanNode.allTerms(root).distinct,
+      SpanNode.requiredTerms(root).distinct,
+      pos => if (SpanAlgebra.matches(root, pos)) 1 else 0).map(_._1)
+  }
+
+  /** Execute an INTERVAL tree (IntervalAlgebra — Lucene's minimal-interval
+    * Intervals API [B lucene/core/src/java/org/apache/lucene/queries/intervals/Intervals.java])
+    * over the same distributed bucket pipeline. Emits (docId, n) where n is
+    * the number of MINIMAL intervals in the doc — the quantity Lucene's
+    * IntervalIterator enumerates and IntervalScoreFunction scores by.
+    */
+  def matchIntervalTree(reader: Index.Reader,
+      root: IntervalNode): Dataset[(Long, Int)] = {
+    matchPositional(reader, IntervalNode.allTerms(root).distinct,
+      IntervalNode.requiredTerms(root).distinct,
+      pos => IntervalAlgebra.count(root, pos))
+  }
+
+  /** Shared positional-match scaffold for the span and interval algebras:
+    * postings pruned to the tree's terms (parquet row-group skip), re-keyed
+    * to docId buckets, then a doc-at-a-time driver — the conjunction
+    * iterator over the REQUIRED terms when the tree requires any, else the
+    * min-disjunction over all present terms — calls `counter` with the
+    * candidate doc's per-term position lookup and emits (docId, n) for
+    * every doc with n > 0 occurrences.
+    */
+  private def matchPositional(reader: Index.Reader, all: Seq[String],
+      req: Seq[String],
+      counter: (String => Array[Int]) => Int): Dataset[(Long, Int)] = {
+    val spark = reader.spark
+    import spark.implicits._
+    require(all.nonEmpty, "positional tree references no terms")
 
     val p = reader.postings.where($"term".isin(all: _*))
     val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
@@ -633,10 +662,11 @@ object QueryEngine {
           BucketTermBlocks(bucket, tp.term, bs.sortBy(_.firstDocId))
         }
     }
-    val specB = spark.sparkContext.broadcast((root, req.toArray, all.toArray))
-    val matched: Dataset[Long] = buckets.groupByKey(_.bucket)
+    val specB = spark.sparkContext.broadcast(
+      (counter, req.toArray.distinct, all.toArray.distinct))
+    val matched: Dataset[(Long, Int)] = buckets.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) =>
-        val (tree, reqT, allT) = specB.value
+        val (cnt, reqT, allT) = specB.value
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
         rows.foreach { r =>
           byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) ++= r.blocks
@@ -649,6 +679,10 @@ object QueryEngine {
               t -> new BmwScorer.TermIterator(0.0, dummyCache,
                 byTerm(t).sortBy(_.firstDocId).toArray)
             }.toMap
+          // accepted-doc counts: the match drivers PREFETCH the next
+          // candidate before a mapped iterator sees the current one, so
+          // the count is stashed per doc, not in a single slot
+          val counts = new mutable.LongMap[Int]()
           def accept(doc: Long): Boolean = {
             def posOf(t: String): Array[Int] = iters.get(t) match {
               case None => Array.emptyIntArray
@@ -663,48 +697,51 @@ object QueryEngine {
                   ps
                 }
             }
-            SpanAlgebra.matches(tree, posOf)
+            val n = cnt(posOf)
+            if (n > 0) counts(doc) = n
+            n > 0
           }
-          if (reqT.nonEmpty)
-            BmwScorer.conjunctionIterator(
-              reqT.map(t => iters(t)).toArray, accept)
-          else {
-            // disjunction driver: min over all present iterators
-            val its = iters.valuesIterator.toArray
-            new Iterator[Long] {
-              private var cur = -1L
-              private def findFrom(target0: Long): Long = {
-                var target = target0
-                while (true) {
-                  var min = BmwScorer.NoMoreDocs
-                  var i = 0
-                  while (i < its.length) {
-                    var d = its(i).docId
-                    if (d < target) d = its(i).advance(target)
-                    if (d < min) min = d
-                    i += 1
+          val docs: Iterator[Long] =
+            if (reqT.nonEmpty)
+              BmwScorer.conjunctionIterator(
+                reqT.map(t => iters(t)).toArray, accept)
+            else {
+              // disjunction driver: min over all present iterators
+              val its = iters.valuesIterator.toArray
+              new Iterator[Long] {
+                private def findFrom(target0: Long): Long = {
+                  var target = target0
+                  while (true) {
+                    var min = BmwScorer.NoMoreDocs
+                    var i = 0
+                    while (i < its.length) {
+                      var d = its(i).docId
+                      if (d < target) d = its(i).advance(target)
+                      if (d < min) min = d
+                      i += 1
+                    }
+                    if (min == BmwScorer.NoMoreDocs) return BmwScorer.NoMoreDocs
+                    if (accept(min)) return min
+                    target = min + 1
                   }
-                  if (min == BmwScorer.NoMoreDocs) return BmwScorer.NoMoreDocs
-                  if (accept(min)) return min
-                  target = min + 1
+                  BmwScorer.NoMoreDocs // unreachable
                 }
-                BmwScorer.NoMoreDocs // unreachable
-              }
-              private var nextDoc = findFrom(0L)
-              def hasNext: Boolean = nextDoc != BmwScorer.NoMoreDocs
-              def next(): Long = {
-                val r = nextDoc
-                nextDoc = findFrom(r + 1)
-                r
+                private var nextDoc = findFrom(0L)
+                def hasNext: Boolean = nextDoc != BmwScorer.NoMoreDocs
+                def next(): Long = {
+                  val r = nextDoc
+                  nextDoc = findFrom(r + 1)
+                  r
+                }
               }
             }
-          }
+          docs.map(d => (d, counts.getOrElse(d, 1)))
         }
       }
     if (!reader.hasTombstones) matched
-    else matched.toDF("docId")
+    else matched.toDF("docId", "n")
       .join(reader.tombstones.toDF("docId"), Seq("docId"), "left_anti")
-      .as[Long]
+      .as[(Long, Int)]
   }
 
   /** Top-k hits joined back to document identity (the two-phase
