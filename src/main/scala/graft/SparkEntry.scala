@@ -46,6 +46,8 @@ object SparkEntry {
     "interval_not_containing" -> ((s, d) =>
       DocSearchOps.intervalContaining(s, d, negate = true)),
     "interval_before" -> ((s, d) => DocSearchOps.intervalBefore(s, d)),
+    "classify_knn" -> ((s, d) => ClassifyOps.classifyKnn(s, d)),
+    "classify_naive_bayes" -> ((s, d) => ClassifyOps.classifyNaiveBayes(s, d)),
     "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
     "search_min_should_match" -> (DocSearchOps.searchMinShouldMatch(_, _)),
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
@@ -1167,6 +1169,68 @@ object SparkEntry {
          |FROM inc JOIN w ON w.doc_id = inc.doc_id
          |WHERE w.pos >= inc.pos + 1 AND (w.pos + 1 - inc.pos) - 2 <= 10
          |ORDER BY doc_id""".stripMargin,
+    // ---- Lucene classification module. Deterministic split: doc_id % 10
+    // == 0 is the test batch, the rest is the labeled train set. ----
+    // KNN: per test doc, BM25 top-7 over the TRAIN-split index with the
+    // doc's distinct terms as the query; majority lang among the hits
+    // (count, then summed score, then label order)
+    "classify_knn" ->
+      s"""WITH $TokCte,
+         |train AS (SELECT * FROM tok WHERE doc_id % 10 <> 0),
+         |test AS (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id % 10 = 0),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM train GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM train GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM dl) AS n,
+         |              (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM dl) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT te.doc_id AS qid, tf.doc_id AS doc_id,
+         |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM test te JOIN tf ON tf.term = te.term
+         |            JOIN dfs ON dfs.term = tf.term
+         |            JOIN qdl ON qdl.doc_id = tf.doc_id
+         |            CROSS JOIN st
+         |       GROUP BY te.doc_id, tf.doc_id),
+         |topk AS (SELECT qid, doc_id, score,
+         |                row_number() OVER (PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rnk
+         |         FROM sc),
+         |votes AS (SELECT t.qid, d.lang, count(*) AS c, round(sum(t.score), 9) AS ssum
+         |          FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+         |          WHERE t.rnk <= 7 GROUP BY t.qid, d.lang)
+         |SELECT qid AS doc_id, lang AS pred_lang FROM (
+         |  SELECT qid, lang, row_number() OVER (PARTITION BY qid
+         |         ORDER BY c DESC, ssum DESC, lang) AS rn
+         |  FROM votes) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // multinomial NB, add-one smoothing: score(d,c) = ln(N_c/N)
+    // + sum_t ln(tf(t,c)+1) - |d| * ln(F_c + |V|)
+    "classify_naive_bayes" ->
+      s"""WITH $TokCte,
+         |train AS (SELECT t.doc_id, d.lang, t.term FROM tok t
+         |          JOIN documents d ON d.doc_id = t.doc_id
+         |          WHERE t.doc_id % 10 <> 0),
+         |test AS (SELECT doc_id, term FROM tok WHERE doc_id % 10 = 0),
+         |cstat AS (SELECT lang, count(*) AS f_c, count(DISTINCT doc_id) AS n_c
+         |          FROM train GROUP BY lang),
+         |tot AS (SELECT count(DISTINCT doc_id) AS n_train,
+         |               count(DISTINCT term) AS v FROM train),
+         |tc AS (SELECT term, lang, count(*) AS tf FROM train GROUP BY term, lang),
+         |present AS (SELECT te.doc_id, tc.lang, sum(ln(tc.tf + 1.0)) AS s1
+         |            FROM test te JOIN tc ON tc.term = te.term
+         |            GROUP BY te.doc_id, tc.lang),
+         |dlen AS (SELECT doc_id, count(*) AS len FROM test GROUP BY doc_id),
+         |scored AS (SELECT dlen.doc_id, c.lang,
+         |             coalesce(p.s1, 0) - dlen.len * ln(c.f_c + t.v)
+         |             + ln(c.n_c * 1.0 / t.n_train) AS score
+         |           FROM dlen CROSS JOIN cstat c CROSS JOIN tot t
+         |                LEFT JOIN present p ON p.doc_id = dlen.doc_id
+         |                     AND p.lang = c.lang)
+         |SELECT doc_id, lang AS pred_lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY round(score, 9) DESC, lang) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // ---- Intervals API: MINIMAL-interval semantics. Candidates = every
     // combination window; `NOT EXISTS a strictly-contained sibling` is the
     // minimisation; filters (maxgaps/containing/before) apply AFTER it,

@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft._
+import graft.index.{Index, IndexConfig}
+import graft.search.QueryEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The Lucene classification module re-expressed Spark-first
+  * [B lucene/classification/src/java/org/apache/lucene/classification/
+  * KNearestNeighborClassifier.java, SimpleNaiveBayesClassifier.java]:
+  * text classifiers driven directly by the index/statistics machinery the
+  * engine already maintains, not a separate ML stack. The deterministic
+  * split is doc_id % 10 == 0 (test) vs != 0 (train) — the same
+  * hash-derived split rule as PipelineOps.sampleHash.
+  *
+  * Note on the demo corpus: the synthetic `lang` labels are statistically
+  * independent of the text, so classification accuracy hovers at the class
+  * prior by construction — the DuckDB oracles pin the ALGORITHM (scores,
+  * smoothing, tie-breaks, vote) exactly, which is what these entries
+  * verify; model quality is a property of the data, not the operator.
+  */
+object ClassifyOps {
+
+  private val Version = "v1"
+  private val trainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
+
+  /** Index over the TRAIN split only — the classifier's search space
+    * (Lucene trains a classifier on an index of labeled docs; the held-out
+    * docs must not be their own nearest neighbours). Same analyzer/config
+    * as the main documents index.
+    */
+  def trainReader(spark: SparkSession, sfDir: String): Index.Reader =
+    trainCache.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_trainindex_${Version}_$safe"
+      if (index.SnapshotStore.read(dir).isEmpty) {
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(col("doc_id") % 10 =!= 0)
+          .select(
+            col("source").as("repo"),
+            col("doc_id").cast("string").as("path"),
+            lit("").as("commit"),
+            col("lang"),
+            col("text").as("content"))
+          .as[SourceDoc]
+        Index.build(corpus, dir,
+          IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000))
+      }
+      Index.reader(spark, dir)
+    })
+
+  /** KNearestNeighborClassifier: each test doc becomes a disjunctive BM25
+    * query of its distinct analyzed terms (the MLT-style query Lucene
+    * builds), run against the train index; the predicted class is the
+    * majority label among the top-k hits, ties broken by summed hit score
+    * then label order. The whole test batch shares ONE postings scan via
+    * the engine's batched search; the per-batch query construction is
+    * driver-side, bounded by the batch size (the classifier's unit of
+    * work), never by the corpus.
+    */
+  def classifyKnn(spark: SparkSession, sfDir: String, k: Int = 7): DataFrame = {
+    import spark.implicits._
+    val r = trainReader(spark, sfDir)
+    val tests: Array[(Long, Seq[String])] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.core.Analyzer.analyze(text).distinct.sorted.toSeq)
+        }
+        .collect()
+    val specs = tests.filter(_._2.nonEmpty).map { case (id, terms) =>
+      QuerySpec(qid = id.toString, should = terms, k = k)
+    }
+    val hits = QueryEngine.search(r, specs.toSeq)
+    val labeled = hits.toDF("qid", "docId", "score")
+      .join(r.docMeta.select(col("docId"), col("lang")), "docId")
+    val votes = labeled.groupBy(col("qid"), col("lang"))
+      .agg(count(lit(1)).as("c"), round(sum("score"), 9).as("ssum"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("c").desc, col("ssum").desc, col("lang").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("qid").cast("long").as("doc_id"),
+        col("lang").as("pred_lang"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** SimpleNaiveBayesClassifier: multinomial Naive Bayes with add-one
+    * smoothing (Manning/Raghavan/Schuetze IR ch.13, the published model
+    * Lucene's simple classifier implements) over the engine's term
+    * statistics. score(d, c) = ln(N_c / N) + sum_t ln(tf(t,c) + 1)
+    * - |d| * ln(F_c + |V|), every test token contributing smoothing mass
+    * whether or not it occurs in class c. All-distributed: the class-term
+    * table shuffles on term (partial aggregation applies), the per-class
+    * totals are a tiny broadcast side.
+    */
+  def classifyNaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val toks = docs.as[(Long, String, String)].flatMap { case (id, lang, text) =>
+      graft.core.Analyzer.analyze(text).iterator.map(t => (id, lang, t))
+    }.toDF("doc_id", "lang", "term")
+
+    val train = toks.where(col("doc_id") % 10 =!= 0)
+    val test = toks.where(col("doc_id") % 10 === 0)
+
+    // per-class token mass + doc counts, |V| over the train vocabulary
+    // (.toDF() on each intermediate severs the shared `toks` lineage —
+    // these reconverge in multi-way joins below)
+    val cstat = train.groupBy("lang")
+      .agg(count(lit(1)).as("f_c"),
+        countDistinct(col("doc_id")).as("n_c"))
+      .toDF("lang", "f_c", "n_c")
+    val nTrain = train.select(countDistinct(col("doc_id")).as("n_train"))
+    val vocab = train.select(countDistinct(col("term")).as("v"))
+    val classes = broadcast(cstat.crossJoin(nTrain).crossJoin(vocab))
+
+    val tc = train.groupBy("term", "lang").agg(count(lit(1)).as("tf"))
+      .toDF("term", "lang", "tf")
+
+    // evidence from tokens PRESENT in (term, class); absent tokens only
+    // contribute the shared smoothing denominator, folded in via |d|
+    val present = test.select(col("doc_id"), col("term")).join(tc, "term")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(log(col("tf") + 1.0)).as("s1"))
+      .toDF("doc_id", "lang", "s1")
+    val dlen = test.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .toDF("doc_id", "len")
+
+    val scored = dlen.crossJoin(classes)
+      .join(present, Seq("doc_id", "lang"), "left")
+      .withColumn("score",
+        coalesce(col("s1"), lit(0.0))
+          - col("len") * log(col("f_c") + col("v"))
+          + log(col("n_c").cast("double") / col("n_train")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 9).desc, col("lang").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+      .orderBy(asc("doc_id"))
+  }
+}
