@@ -48,6 +48,13 @@ object SparkEntry {
     "interval_before" -> ((s, d) => DocSearchOps.intervalBefore(s, d)),
     "classify_knn" -> ((s, d) => ClassifyOps.classifyKnn(s, d)),
     "classify_naive_bayes" -> ((s, d) => ClassifyOps.classifyNaiveBayes(s, d)),
+    "percolate_monitor" -> (MonitorOps.percolate(_, _)),
+    "tag_entities" -> (TextOps.tagEntities(_, _)),
+    "facet_pivot" -> (RelationalOps.facetPivot(_, _)),
+    "facet_intervals" -> (RelationalOps.facetIntervals(_, _)),
+    "stream_leftouter" -> (RelationalOps.streamLeftOuterJoin(_, _)),
+    "stream_fetch" -> (RelationalOps.streamFetch(_, _)),
+    "stream_cartesian" -> (RelationalOps.streamCartesianProduct(_, _)),
     "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
     "search_min_should_match" -> (DocSearchOps.searchMinShouldMatch(_, _)),
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
@@ -1169,6 +1176,48 @@ object SparkEntry {
          |FROM inc JOIN w ON w.doc_id = inc.doc_id
          |WHERE w.pos >= inc.pos + 1 AND (w.pos + 1 - inc.pos) - 2 <= 10
          |ORDER BY doc_id""".stripMargin,
+    // pivot facet: leaf counts once, parent counts as a window sum
+    "facet_pivot" ->
+      """WITH leaf AS (SELECT lang, source AS src, count(*) AS src_cnt
+        |              FROM documents GROUP BY lang, source),
+        |wp AS (SELECT lang, src, src_cnt,
+        |              sum(src_cnt) OVER (PARTITION BY lang) AS lang_cnt FROM leaf),
+        |rk AS (SELECT *, dense_rank() OVER (ORDER BY lang_cnt DESC, lang) AS lr,
+        |              row_number() OVER (PARTITION BY lang
+        |                  ORDER BY src_cnt DESC, src) AS sr FROM wp)
+        |SELECT lang, lang_cnt, src, src_cnt FROM rk WHERE lr <= 3 AND sr <= 2
+        |ORDER BY lang_cnt DESC, lang, src_cnt DESC, src""".stripMargin,
+    // interval facet: overlapping intervals each counted independently
+    "facet_intervals" ->
+      """SELECT iv, cnt FROM (
+        |SELECT '[0,100)' AS iv, count(*) FILTER (WHERE n_chars >= 0 AND n_chars < 100) AS cnt FROM documents
+        |UNION ALL SELECT '[50,200)', count(*) FILTER (WHERE n_chars >= 50 AND n_chars < 200) FROM documents
+        |UNION ALL SELECT '[100,400)', count(*) FILTER (WHERE n_chars >= 100 AND n_chars < 400) FROM documents
+        |UNION ALL SELECT '[0,*)', count(*) FILTER (WHERE n_chars >= 0) FROM documents)
+        |ORDER BY iv""".stripMargin,
+    "stream_leftouter" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        |round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+    "stream_fetch" ->
+      """WITH top AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+        |SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM top JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "stream_cartesian" ->
+      s"""SELECT doc_id, CAST(i AS INT) AS pos, toks[i + 1] AS term
+         |FROM (SELECT doc_id, $QualityTokSql AS toks FROM documents
+         |      WHERE doc_id < 20) t, unnest(range(len(toks))) AS r(i)
+         |ORDER BY doc_id, pos""".stripMargin,
+    // reverse search (Monitor/percolator): generated from the SAME
+    // registered-query value the operator runs, so query set and oracle
+    // cannot drift
+    "percolate_monitor" -> MonitorOps.oracleSql(TokCte),
+    // dictionary entity tagging over raw token positions, generated from
+    // the same TagDictionary value
+    "tag_entities" -> TextOps.tagOracleSql(PosCtes),
     // ---- Lucene classification module. Deterministic split: doc_id % 10
     // == 0 is the test batch, the rest is the labeled train set. ----
     // KNN: per test doc, BM25 top-7 over the TRAIN-split index with the

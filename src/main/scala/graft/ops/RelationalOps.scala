@@ -57,6 +57,59 @@ object RelationalOps {
     main.unionByName(missing)
   }
 
+  /** Pivot facet (facet.pivot=lang,source) — hierarchical value pairs with
+    * counts at each level [B solr/core/src/java/org/apache/solr/handler/component/PivotFacetProcessor.java]:
+    * top-3 langs by count, and within each the top-2 sources, emitted flat
+    * as (lang, lang_cnt, src, src_cnt). One aggregation computes the leaf
+    * counts; the parent level is a window sum over it — a single shuffle,
+    * no second scan, and no Solr-style per-shard refinement pass (Spark's
+    * shuffle is exact).
+    */
+  def facetPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val leaf = t(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("src_cnt"))
+    val withParent = leaf.withColumn("lang_cnt",
+      sum(col("src_cnt")).over(Window.partitionBy(col("lang"))))
+    val langRank = dense_rank().over(
+      Window.orderBy(desc("lang_cnt"), asc("lang")))
+    val srcRank = row_number().over(
+      Window.partitionBy(col("lang"))
+        .orderBy(desc("src_cnt"), asc("source")))
+    withParent
+      .withColumn("lr", langRank)
+      .withColumn("sr", srcRank)
+      .where(col("lr") <= 3 && col("sr") <= 2)
+      .select(col("lang"), col("lang_cnt"), col("source").as("src"),
+        col("src_cnt"))
+      .orderBy(desc("lang_cnt"), asc("lang"), desc("src_cnt"), asc("src"))
+  }
+
+  /** Interval facet [B solr/core/src/java/org/apache/solr/request/IntervalFacets.java]:
+    * arbitrary, possibly OVERLAPPING intervals over a numeric field, each
+    * counted independently (the semantic difference from range facets,
+    * whose buckets partition). One scan, one aggregate row of conditional
+    * counts, unpivoted to (interval, cnt) — no per-interval rescans.
+    */
+  def facetIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv: Seq[(String, Long, Long)] = Seq( // [lo, hi)
+      ("[0,100)", 0L, 100L),
+      ("[50,200)", 50L, 200L),
+      ("[100,400)", 100L, 400L),
+      ("[0,*)", 0L, Long.MaxValue))
+    val agged = t(spark, sfDir, "documents").agg(
+      iv.map { case (label, lo, hi) =>
+        sum(when(col("n_chars") >= lo && col("n_chars") < hi, 1L)
+          .otherwise(0L)).as(label)
+      }.head, iv.tail.map { case (label, lo, hi) =>
+        sum(when(col("n_chars") >= lo && col("n_chars") < hi, 1L)
+          .otherwise(0L)).as(label)
+      }: _*)
+    val stackExpr = iv.map { case (l, _, _) => s"'$l', `$l`" }
+      .mkString(s"stack(${iv.size}, ", ", ", ") AS (iv, cnt)")
+    agged.selectExpr(stackExpr).orderBy(asc("iv"))
+  }
+
   /** Range facet: fixed-gap numeric buckets [B .../facet/FacetRange.java]. */
   def facetRange(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -242,6 +295,49 @@ object RelationalOps {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(asc("c_mktsegment"))
   }
+
+  /** leftOuterJoin [B solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/LeftOuterJoinStream.java]:
+    * every left tuple survives, null-extended when unmatched — customers
+    * with their order rollup including zero-order customers.
+    */
+  def streamLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("sum_price"))
+      .orderBy(asc("c_custkey"))
+  }
+
+  /** fetch decorator [B solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/FetchStream.java]:
+    * enrich a (small) tuple stream with fields looked up from another
+    * collection by key — the stream side BROADCASTS (Solr fetches in
+    * driver-bounded batches; here the bounded batch is the broadcast),
+    * the collection is never shuffled.
+    */
+  def streamFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = t(spark, sfDir, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+    val c = t(spark, sfDir, "customer")
+    broadcast(top).join(c, top("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+        col("c_mktsegment"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+  }
+
+  /** cartesianProduct [B solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/CartesianProductStream.java]:
+    * one tuple per element of a multivalued field — the documents' token
+    * array posexploded for a bounded id range (narrow map; the filter is
+    * pushed to the scan).
+    */
+  def streamCartesianProduct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(TextOps.tokensCol(col("text"))))
+      .toDF("doc_id", "pos", "term")
+      .orderBy(asc("doc_id"), asc("pos"))
 
   /** hashJoin == broadcast hash join of the small side. */
   def streamHashJoin(spark: SparkSession, sfDir: String): DataFrame = {

@@ -267,4 +267,72 @@ object TextOps {
     scored.select(col("doc_id"), pred.as("pred_lang"))
       .orderBy(asc("doc_id"))
   }
+
+  /** The dictionary for the entity tagger: (tag, token phrase). One source
+    * of truth — the SQL oracle is generated from this value.
+    */
+  val TagDictionary: Seq[(String, Seq[String])] = Seq(
+    ("MERGE_SORT", Seq("merge", "sort")),
+    ("KEY_ORDER", Seq("key", "order")),
+    ("HASH_TABLE", Seq("hash", "table")),
+    ("WINDOW_TABLE", Seq("window", "table")),
+    ("SPARK", Seq("spark")),
+    ("STREAM_BATCH", Seq("stream", "batch")))
+
+  /** Dictionary-driven entity tagging — the SolrTextTagger capability
+    * [B solr/core/src/java/org/apache/solr/handler/tagger/TaggerRequestHandler.java]:
+    * find every occurrence of every dictionary phrase in every document's
+    * RAW token stream (stop words keep their slots, matching the tagger's
+    * analyzer-chain view of the text). Emits (doc_id, tag, n) occurrence
+    * counts, ALL overlapping occurrences reported (the tagger's
+    * overlaps=ALL mode; LONGEST_DOMINANT_RIGHT is a post-filter on spans).
+    * Map-only over the corpus: the dictionary rides along as a tiny
+    * first-token-keyed map in the closure; the only shuffle is the final
+    * (doc, tag) count aggregation, which partial-aggregates map-side.
+    */
+  def tagEntities(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byFirst: Map[String, Seq[(String, Array[String])]] =
+      TagDictionary.map { case (tag, ph) => (tag, ph.toArray) }
+        .groupBy(_._2.head)
+        .map { case (k, v) => (k, v.map { case (t, p) => (t, p) }) }
+    val tagged = docs(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = Analyzer.tokenize(text)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        var i = 0
+        while (i < toks.length) {
+          byFirst.get(toks(i)).foreach(_.foreach { case (tag, ph) =>
+            if (i + ph.length <= toks.length) {
+              var j = 1
+              while (j < ph.length && toks(i + j) == ph(j)) j += 1
+              if (j == ph.length) out += ((id, tag))
+            }
+          })
+          i += 1
+        }
+        out
+      }
+    tagged.toDF("doc_id", "tag")
+      .groupBy("doc_id", "tag").agg(count(lit(1)).as("n"))
+      .orderBy(asc("doc_id"), asc("tag"))
+  }
+
+  /** The tagger's oracle SQL, generated from TagDictionary. `posCtes` must
+    * define pp(doc_id, pos, term) over the raw token stream.
+    */
+  def tagOracleSql(posCtes: String): String = {
+    val branches = TagDictionary.map { case (tag, ph) =>
+      val joins = ph.indices.drop(1).map { j =>
+        s"JOIN pp t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j AND t$j.term = '${ph(j)}'"
+      }.mkString(" ")
+      s"""SELECT t0.doc_id, '$tag' AS tag, count(*) AS n
+         |FROM pp t0 $joins
+         |WHERE t0.term = '${ph.head}' GROUP BY t0.doc_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $posCtes
+       |$branches
+       |ORDER BY doc_id, tag""".stripMargin
+  }
 }
