@@ -52,6 +52,9 @@ object SparkEntry {
     "tag_entities" -> (TextOps.tagEntities(_, _)),
     "facet_pivot" -> (RelationalOps.facetPivot(_, _)),
     "facet_intervals" -> (RelationalOps.facetIntervals(_, _)),
+    "facet_drill_sideways" -> (RelationalOps.facetDrillSideways(_, _)),
+    "function_recency" -> ((s, d) => RelationalOps.functionRecency(s, d)),
+    "search_common_terms" -> ((s, d) => DocSearchOps.searchCommonTerms(s, d)),
     "stream_leftouter" -> (RelationalOps.streamLeftOuterJoin(_, _)),
     "stream_fetch" -> (RelationalOps.streamFetch(_, _)),
     "stream_cartesian" -> (RelationalOps.streamCartesianProduct(_, _)),
@@ -1176,6 +1179,46 @@ object SparkEntry {
          |FROM inc JOIN w ON w.doc_id = inc.doc_id
          |WHERE w.pos >= inc.pos + 1 AND (w.pos + 1 - inc.pos) - 2 <= 10
          |ORDER BY doc_id""".stripMargin,
+    // drill-sideways: per dimension, counts with its own filter excluded
+    "facet_drill_sideways" ->
+      """SELECT dim, value, cnt FROM (
+        |SELECT 'lang' AS dim, lang AS value, count(*) AS cnt
+        |FROM documents WHERE source = 'src3' GROUP BY lang
+        |UNION ALL
+        |SELECT 'source', source, count(*) FROM documents WHERE lang = 'en'
+        |GROUP BY source)
+        |ORDER BY dim, value""".stripMargin,
+    // recip(age_days) recency boost against a pinned NOW
+    "function_recency" ->
+      """SELECT o_orderkey,
+        |round(1.0 / (0.01 * datediff('day', CAST(o_orderdate AS DATE),
+        |                             DATE '2002-01-01') + 1.0), 9) AS score
+        |FROM orders
+        |ORDER BY score DESC, o_orderkey LIMIT 20""".stripMargin,
+    // CommonTermsQuery: the df split (df/N > 0.5 => common) happens in SQL
+    // too, so oracle and engine agree at every scale factor; candidates
+    // must hit >= 1 rare term (unless no term is rare at this sf)
+    "search_common_terms" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('dup', 'merge', 'sort') GROUP BY term),
+         |split AS (SELECT dfs.term, dfs.df,
+         |          CASE WHEN dfs.df * 1.0 / st.n > 0.5 THEN 1 ELSE 0 END AS is_common
+         |          FROM dfs CROSS JOIN st),
+         |sc AS (SELECT tf.doc_id,
+         |       sum(ln(1 + (st.n - s.df + 0.5) / (s.df + 0.5)) * tf.tf
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN split s ON tf.term = s.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |       GROUP BY tf.doc_id
+         |       HAVING count(DISTINCT CASE WHEN s.is_common = 0 THEN tf.term END)
+         |              >= least(1, (SELECT count(*) FROM split WHERE is_common = 0)))
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // pivot facet: leaf counts once, parent counts as a window sum
     "facet_pivot" ->
       """WITH leaf AS (SELECT lang, source AS src, count(*) AS src_cnt

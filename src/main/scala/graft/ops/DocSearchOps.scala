@@ -403,6 +403,33 @@ object DocSearchOps {
       term("window")), slop = 10, ordered = true))
   }
 
+  /** CommonTermsQuery [B lucene/queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java]:
+    * query terms split by docFreq at createWeight time — terms with
+    * df/N > maxTermFrequency are "common" and demoted to optional scoring
+    * clauses; the rare terms drive candidate generation as a required
+    * SHOULD group. The split is computed from the index's term dictionary
+    * (a cached slim-dict lookup, the same TermStatistics gather every
+    * scored query does), then lowered through the parser's clause tree:
+    * `+(rare...) common...`. At scale this is the whole point of the
+    * operator: the fat common-term postings are never enumerated as
+    * candidates, only advanced to the rare terms' hits.
+    */
+  def searchCommonTerms(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("dup", "merge", "sort"),
+      maxTermFrequency: Double = 0.5): DataFrame = {
+    val r = reader(spark, sfDir)
+    val n = r.stats.docCount.toDouble
+    val dfs = r.termDfs(terms)
+    val (common, rare) =
+      terms.partition(t => dfs.getOrElse(t, 0L).toDouble / n > maxTermFrequency)
+    // all-common degenerates to a plain disjunction (Lucene's fallback)
+    val q =
+      if (rare.isEmpty) common.mkString(" ")
+      else s"+(${rare.mkString(" ")}) ${common.mkString(" ")}"
+    val tree = graft.search.QueryLowering.parseAndLower(r, q)
+    rankDf(r, graft.search.QueryEngine.searchTree(r, "common", tree))
+  }
+
   // ---- the Intervals API (minimal-interval semantics) ----
 
   /** Shared (doc_id, n_intervals) projection for the interval entries:

@@ -110,6 +110,44 @@ object RelationalOps {
     agged.selectExpr(stackExpr).orderBy(asc("iv"))
   }
 
+  /** Drill-sideways faceting [B lucene/facet/src/java/org/apache/lucene/facet/DrillSideways.java]:
+    * with drill-down filters applied on several dimensions, each dimension's
+    * facet counts are computed with ITS OWN filter excluded and all the
+    * others kept — the counts a user sees as "what would I get if I picked
+    * a different value here". Filters: lang='en', source='src3'. One
+    * narrow filtered aggregate per dimension (both filters reach the scan;
+    * no join, no full-corpus pass).
+    */
+  def facetDrillSideways(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    val langDim = d.where(col("source") === "src3")
+      .groupBy(col("lang").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("lang").as("dim"), col("value"), col("cnt"))
+    val srcDim = d.where(col("lang") === "en")
+      .groupBy(col("source").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("source").as("dim"), col("value"), col("cnt"))
+    langDim.unionByName(srcDim).orderBy(asc("dim"), asc("value"))
+  }
+
+  /** Recency-boost function query — Solr's recip(ms(NOW,date),m,a,b)
+    * ranking idiom [B solr/core/src/java/org/apache/solr/search/ValueSourceParser.java
+    * recip/ms]: score = a / (m * age_days + b) against a fixed reference
+    * date (NOW is pinned for determinism), top-20 freshest orders. Pure
+    * projection + top-k: no shuffle beyond the final ordering.
+    */
+  def functionRecency(spark: SparkSession, sfDir: String,
+      refDate: String = "2002-01-01"): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        round(lit(1.0) / (lit(0.01) *
+          datediff(lit(refDate).cast("date"), col("o_orderdate").cast("date"))
+          + lit(1.0)), 9)
+          .as("score"))
+      .orderBy(desc("score"), asc("o_orderkey"))
+      .limit(20)
+
   /** Range facet: fixed-gap numeric buckets [B .../facet/FacetRange.java]. */
   def facetRange(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
