@@ -55,6 +55,8 @@ object SparkEntry {
     "facet_drill_sideways" -> (RelationalOps.facetDrillSideways(_, _)),
     "function_recency" -> ((s, d) => RelationalOps.functionRecency(s, d)),
     "search_common_terms" -> ((s, d) => DocSearchOps.searchCommonTerms(s, d)),
+    "solr_join_score" -> ((s, d) => DocSearchOps.solrJoinScore(s, d)),
+    "analysis_phonetic" -> (AnalysisOps.phonetic(_, _)),
     "stream_leftouter" -> (RelationalOps.streamLeftOuterJoin(_, _)),
     "stream_fetch" -> (RelationalOps.streamFetch(_, _)),
     "stream_cartesian" -> (RelationalOps.streamCartesianProduct(_, _)),
@@ -1179,6 +1181,32 @@ object SparkEntry {
          |FROM inc JOIN w ON w.doc_id = inc.doc_id
          |WHERE w.pos >= inc.pos + 1 AND (w.pos + 1 - inc.pos) - 2 <= 10
          |ORDER BY doc_id""".stripMargin,
+    // Soundex over the corpus vocabulary (generated collapse-pass SQL)
+    "analysis_phonetic" -> AnalysisOps.phoneticOracleSql,
+    // JoinUtil ScoreMode.Max: from-hits (must 'dup', scored with 'merge')
+    // roll up to max score per source, every doc of a matched source
+    // returned with the propagated score
+    "solr_join_score" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('dup', 'merge') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |       sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN dfs ON tf.term = dfs.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |       GROUP BY tf.doc_id
+         |       HAVING count(DISTINCT CASE WHEN tf.term = 'dup' THEN tf.term END) = 1),
+         |fj AS (SELECT d.source, max(round(sc.score, 9)) AS jscore
+         |       FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+         |       GROUP BY d.source),
+         |tt AS (SELECT d.doc_id, fj.jscore FROM documents d
+         |       JOIN fj ON fj.source = d.source)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY jscore DESC, doc_id) AS rank,
+         |         doc_id, round(jscore, 4) AS score FROM tt)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // drill-sideways: per dimension, counts with its own filter excluded
     "facet_drill_sideways" ->
       """SELECT dim, value, cnt FROM (

@@ -148,6 +148,38 @@ object Analyzer {
   def asciiFold(s: String): String =
     AsciiFoldMap.foldLeft(s) { case (acc, (from, to)) => acc.replace(from, to) }
 
+  /** American Soundex, simplified database variant (the National Archives
+    * coding with h/w treated as vowels — the rule set SQL soundex()
+    * implementations use), the phonetic-module capability
+    * [B lucene/analysis/phonetic/src/java/org/apache/lucene/analysis/phonetic/PhoneticFilter.java].
+    * Pipeline (mirrored step-for-step by the SQL oracle): code every
+    * letter, collapse adjacent equal codes, drop the first code, strip
+    * zeros, first letter + first 3 digits zero-padded. Only defined for
+    * all-alphabetic lowercase tokens; others pass through unchanged.
+    */
+  def soundex(t: String): String = {
+    if (t.isEmpty || !t.forall(c => c >= 'a' && c <= 'z')) return t
+    @inline def code(c: Char): Char = c match {
+      case 'b' | 'f' | 'p' | 'v' => '1'
+      case 'c' | 'g' | 'j' | 'k' | 'q' | 's' | 'x' | 'z' => '2'
+      case 'd' | 't' => '3'
+      case 'l' => '4'
+      case 'm' | 'n' => '5'
+      case 'r' => '6'
+      case _ => '0'
+    }
+    val collapsed = new StringBuilder
+    var i = 0
+    while (i < t.length) {
+      val c = code(t.charAt(i))
+      if (collapsed.isEmpty || collapsed.charAt(collapsed.length - 1) != c)
+        collapsed.append(c)
+      i += 1
+    }
+    val digits = collapsed.substring(1).filter(_ != '0').take(3)
+    t.charAt(0).toUpper +: digits.padTo(3, '0')
+  }
+
   /** Analyzed per-doc term frequencies, terms in sorted order (the per-doc
     * slice of the DWPT-style in-memory inverted index, SURVEY.md §2.3).
     * Returns (sortedTerms, tfs, totalTokenCount-after-stop).

@@ -195,4 +195,45 @@ object AnalysisOps {
        |  md5(array_to_string(grams, '|')) AS grams_md5
        |FROM g ORDER BY doc_id""".stripMargin
   }
+
+  // ---- Phonetic (Soundex) --------------------------------------------------
+
+  /** Soundex code per distinct alphabetic vocabulary term
+    * [B lucene/analysis/phonetic/src/java/org/apache/lucene/analysis/phonetic/PhoneticFilter.java]:
+    * the phonetic-module capability over the corpus vocabulary. Map-only
+    * over the distinct-term set.
+    */
+  def phonetic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select(explode(TextOps.tokensCol(col("text"))).as("term"))
+      .where(col("term").rlike("^[a-z]+$"))
+      .distinct()
+      .as[String]
+      .map(t => (t, Analyzer.soundex(t)))
+      .toDF("term", "code")
+      .orderBy(asc("term"))
+  }
+
+  /** Soundex as pure SQL: translate letters to digit codes, collapse
+    * adjacent equal codes by log2-many replace passes (RE2 has no
+    * backreferences), drop the first code, strip zeros, pad. Generated
+    * here so the oracle and any future SQL surface share one definition.
+    */
+  def soundexSql(c: String): String = {
+    //              abcdefghijklmnopqrstuvwxyz
+    val mapped = s"translate($c, 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202')"
+    // 8 halving passes per digit handle runs up to 2^8 = 256 > max token 255
+    val collapsed = (0 to 6).foldLeft(mapped) { (acc, d) =>
+      (1 to 8).foldLeft(acc)((a, _) => s"replace($a, '$d$d', '$d')")
+    }
+    s"upper(substr($c, 1, 1)) || rpad(substr(replace(substr($collapsed, 2), '0', ''), 1, 3), 3, '0')"
+  }
+
+  def phoneticOracleSql: String = {
+    val toks = "list_filter(string_split_regex(lower(d.text), '[^a-z0-9_]+'), x -> x <> '')"
+    s"""WITH v AS (SELECT DISTINCT t.term FROM documents d, unnest($toks) AS t(term)
+       |           WHERE regexp_matches(t.term, '^[a-z]+$$'))
+       |SELECT term, ${soundexSql("term")} AS code FROM v ORDER BY term""".stripMargin
+  }
 }

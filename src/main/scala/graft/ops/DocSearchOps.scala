@@ -403,6 +403,34 @@ object DocSearchOps {
       term("window")), slop = 10, ordered = true))
   }
 
+  /** Query-time join with SCORE propagation — JoinUtil ScoreMode.Max
+    * [B lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java],
+    * Solr's {!join score=max}: the from-query's BM25 hits aggregate to a
+    * per-join-key max score, and every to-side doc under a matched key is
+    * returned carrying that propagated score. Unlike the existing left-semi
+    * solr_join, scores survive the hop. The from query is required-rare
+    * ('dup' must match), so its full hit set fits any top-k bound the
+    * distributed merge switch handles; the key rollup is a tiny aggregate
+    * and the to-side expansion is one broadcast join against docMeta.
+    */
+  def solrJoinScore(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    val hits = QueryEngine.search(r, Seq(QuerySpec("j",
+      should = Seq("merge"), must = Seq("dup"), k = 100000)))
+    val from = hits.toDF("qid", "docId", "score")
+      .join(r.docMeta.select(col("docId"), col("repo")), "docId")
+      .groupBy(col("repo"))
+      .agg(max(round(col("score"), 9)).as("jscore"))
+    val to = r.docMeta.select(col("docId"), col("path"), col("repo"))
+      .join(broadcast(from), "repo")
+    val w = Window.orderBy(col("jscore").desc, asc("doc_id"))
+    to.withColumn("doc_id", col("path").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), round(col("jscore"), 4).as("score"))
+      .where(col("rank") <= k)
+      .orderBy(asc("rank"))
+  }
+
   /** CommonTermsQuery [B lucene/queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java]:
     * query terms split by docFreq at createWeight time — terms with
     * df/N > maxTermFrequency are "common" and demoted to optional scoring
