@@ -53,6 +53,8 @@ object SparkEntry {
     "facet_pivot" -> (RelationalOps.facetPivot(_, _)),
     "facet_intervals" -> (RelationalOps.facetIntervals(_, _)),
     "facet_drill_sideways" -> (RelationalOps.facetDrillSideways(_, _)),
+    "facet_range_other" -> ((s, d) => RelationalOps.facetRangeOther(s, d)),
+    "facet_grouped" -> (RelationalOps.facetGrouped(_, _)),
     "function_recency" -> ((s, d) => RelationalOps.functionRecency(s, d)),
     "search_common_terms" -> ((s, d) => DocSearchOps.searchCommonTerms(s, d)),
     "solr_join_score" -> ((s, d) => DocSearchOps.solrJoinScore(s, d)),
@@ -1207,6 +1209,17 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY jscore DESC, doc_id) AS rank,
          |         doc_id, round(jscore, 4) AS score FROM tt)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // facet.range.other=all: BEFORE/BETWEEN/AFTER window counts
+    "facet_range_other" ->
+      """SELECT bucket, cnt FROM (
+        |SELECT 'before' AS bucket, count(*) FILTER (WHERE l_quantity < 10) AS cnt FROM lineitem
+        |UNION ALL SELECT 'between', count(*) FILTER (WHERE l_quantity >= 10 AND l_quantity < 40) FROM lineitem
+        |UNION ALL SELECT 'after', count(*) FILTER (WHERE l_quantity >= 40) FROM lineitem)
+        |ORDER BY bucket""".stripMargin,
+    // group.facet: one count per distinct group per facet value
+    "facet_grouped" ->
+      """SELECT lang, count(DISTINCT source) AS n_groups, count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // drill-sideways: per dimension, counts with its own filter excluded
     "facet_drill_sideways" ->
       """SELECT dim, value, cnt FROM (

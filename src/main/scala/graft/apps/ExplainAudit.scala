@@ -129,7 +129,30 @@ object ExplainAudit {
           "BroadcastHashJoin; the training side's shingles stream raw into " +
           "the join (no pre-join shuffle) and dedupe inside the final " +
           "per-doc aggregate (the one expected exchange, keyed by doc_id).",
-        fmt(PipelineOps.decontaminate(spark, sfDir))))
+        fmt(PipelineOps.decontaminate(spark, sfDir))),
+      ("Percolator (broadcast standing queries, corpus never shuffles pre-join)",
+        "Expect: the registered-query term table rides a BroadcastHashJoin " +
+          "against the streamed per-doc term set; the only exchange is the " +
+          "(doc, query) verification aggregate — reverse search scans the " +
+          "corpus exactly once, map-side.",
+        fmt(MonitorOps.percolate(spark, sfDir))),
+      ("Naive Bayes classifier (class stats broadcast, evidence shuffles on term)",
+        "Expect: the per-class totals (5 rows) CROSS-join via broadcast; the " +
+          "class-term table and the test tokens meet in a join keyed on " +
+          "term with partial aggregation on (doc, class); the argmax is one " +
+          "Window over 5 rows per doc.",
+        fmt(ClassifyOps.classifyNaiveBayes(spark, sfDir))),
+      ("Interval facet (overlapping buckets, ONE scan)",
+        "Expect: a single documents scan and a single partial -> final " +
+          "aggregate producing every interval's conditional count; the " +
+          "unpivot (stack) is a projection — no per-interval re-scan, no " +
+          "join.",
+        fmt(RelationalOps.facetIntervals(spark, sfDir))),
+      ("Dictionary tagger (map-only, broadcast dictionary in closure)",
+        "Expect: one documents scan feeding a DeserializeToObject/MapElements " +
+          "chain (the fused trie scan), then the (doc, tag) count aggregate " +
+          "— no join, no window, no second scan.",
+        fmt(TextOps.tagEntities(spark, sfDir))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.apps.ExplainAudit)\n\n")

@@ -156,6 +156,39 @@ object RelationalOps {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(asc("bucket"))
 
+  /** Range facet `other` buckets [B solr/core/src/java/org/apache/solr/search/facet/FacetRange.java
+    * FacetRangeOther]: facet.range.other=all — BEFORE / BETWEEN / AFTER
+    * counts around the [start, end) window, alongside the in-window gap
+    * buckets. One scan, one conditional aggregate, the unpivot a
+    * projection.
+    */
+  def facetRangeOther(spark: SparkSession, sfDir: String,
+      start: Double = 10, end: Double = 40): DataFrame = {
+    val q = col("l_quantity")
+    t(spark, sfDir, "lineitem")
+      .agg(
+        sum(when(q < start, 1L).otherwise(0L)).as("before"),
+        sum(when(q >= start && q < end, 1L).otherwise(0L)).as("between"),
+        sum(when(q >= end, 1L).otherwise(0L)).as("after"))
+      .selectExpr(
+        "stack(3, 'before', before, 'between', between, 'after', after) AS (bucket, cnt)")
+      .orderBy(asc("bucket"))
+  }
+
+  /** Grouped faceting (group.facet=true)
+    * [B solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    * getGroupedCounts]: facet counts where each GROUP (here: source)
+    * counts once per facet value regardless of how many of its docs carry
+    * it — count(DISTINCT group) per value. Single hash aggregate; the
+    * distinct rides the same shuffle.
+    */
+  def facetGrouped(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("source")).as("n_groups"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(asc("lang"))
+
   /** Spatial heatmap facet
     * [B solr/core/src/java/org/apache/solr/handler/component/SpatialHeatmapFacets.java]:
     * 2D grid counts over a lat/lon point field inside a bounding box at a
