@@ -132,9 +132,11 @@ object ExplainAudit {
         fmt(PipelineOps.decontaminate(spark, sfDir))),
       ("Percolator (broadcast standing queries, corpus never shuffles pre-join)",
         "Expect: the registered-query term table rides a BroadcastHashJoin " +
-          "against the streamed per-doc term set; the only exchange is the " +
-          "(doc, query) verification aggregate — reverse search scans the " +
-          "corpus exactly once, map-side.",
+          "against the streamed per-doc term set; the corpus is scanned " +
+          "exactly once and never shuffled before the join. The exchanges " +
+          "that remain are keyed by (doc, query): the verification " +
+          "aggregate plus countDistinct's second pass on the same key, and " +
+          "the presentation sort.",
         fmt(MonitorOps.percolate(spark, sfDir))),
       ("Naive Bayes classifier (class stats broadcast, evidence shuffles on term)",
         "Expect: the per-class totals (5 rows) CROSS-join via broadcast; the " +

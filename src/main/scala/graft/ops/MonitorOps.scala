@@ -50,10 +50,14 @@ object MonitorOps {
         graft.core.Analyzer.analyze(text).distinct.iterator.map(t => (id, t))
       }.toDF("doc_id", "term")
 
+    // rows are unique per (doc, qid, term): docTerms is per-doc distinct
+    // and the query table has one row per (qid, term) — plain conditional
+    // sums, no countDistinct (which would add a second aggregate pass on
+    // the same key)
     docTerms.join(qterms, "term")
       .groupBy(col("doc_id"), col("qid"))
       .agg(
-        countDistinct(when(!col("is_not"), col("term"))).as("got"),
+        sum(when(!col("is_not"), 1).otherwise(0)).as("got"),
         sum(when(col("is_not"), 1).otherwise(0)).as("bad"))
       .join(nMust, "qid")
       .where(col("got") === col("n_must") && col("bad") === 0)
