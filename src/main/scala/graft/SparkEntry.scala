@@ -59,6 +59,10 @@ object SparkEntry {
     "search_common_terms" -> ((s, d) => DocSearchOps.searchCommonTerms(s, d)),
     "solr_join_score" -> ((s, d) => DocSearchOps.solrJoinScore(s, d)),
     "analysis_phonetic" -> (AnalysisOps.phonetic(_, _)),
+    "search_interval_scored" -> ((s, d) =>
+      DocSearchOps.searchIntervalScored(s, d)),
+    "payload_score" -> ((s, d) => DocSearchOps.payloadScore(s, d)),
+    "stream_corr" -> (RelationalOps.streamCorr(_, _)),
     "stream_leftouter" -> (RelationalOps.streamLeftOuterJoin(_, _)),
     "stream_fetch" -> (RelationalOps.streamFetch(_, _)),
     "stream_cartesian" -> (RelationalOps.streamCartesianProduct(_, _)),
@@ -1183,6 +1187,38 @@ object SparkEntry {
          |FROM inc JOIN w ON w.doc_id = inc.doc_id
          |WHERE w.pos >= inc.pos + 1 AND (w.pos + 1 - inc.pos) - 2 <= 10
          |ORDER BY doc_id""".stripMargin,
+    // IntervalQuery + saturation: freq = sum 1/(1+gaps) over minimal
+    // ordered(key, value) intervals, score = freq/(freq+1)
+    "search_interval_scored" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'value'),
+         |cand AS (SELECT DISTINCT a.doc_id, a.pos AS s, b.pos + 1 AS e
+         |         FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos),
+         |mini AS ($IntervalMiniSql),
+         |sc AS (SELECT doc_id, sum(1.0 / (1 + (e - s - 2))) AS freq
+         |       FROM mini GROUP BY doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(freq / (freq + 1), 9) DESC,
+         |         doc_id) AS rank,
+         |         doc_id, round(freq / (freq + 1), 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // PayloadScoreQuery(max): payload(occurrence) = pos % 5 + 1 (synth,
+    // same derivation both sides), doc score = max over occurrences
+    "payload_score" ->
+      s"""WITH $PosCtes,
+         |sc AS (SELECT doc_id, max(pos % 5 + 1) AS payload FROM pp
+         |       WHERE term = 'merge' GROUP BY doc_id)
+         |SELECT rank, doc_id, payload FROM (
+         |  SELECT row_number() OVER (ORDER BY payload DESC, doc_id) AS rank,
+         |         doc_id, CAST(payload AS BIGINT) AS payload FROM sc)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // streaming-math corr evaluator
+    "stream_corr" ->
+      """SELECT event_type,
+        |round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_value_hour,
+        |round(stddev_samp(value), 6) AS stddev_value, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Soundex over the corpus vocabulary (generated collapse-pass SQL)
     "analysis_phonetic" -> AnalysisOps.phoneticOracleSql,
     // JoinUtil ScoreMode.Max: from-hits (must 'dup', scored with 'merge')

@@ -517,6 +517,52 @@ object DocSearchOps {
       IUnordered(Seq(ITerm("sort"), ITerm("merge"))), ITerm("window")))
   }
 
+  /** SCORED interval query: IntervalQuery(ordered(key, value)) under the
+    * saturation score function — freq = sum over minimal intervals of
+    * 1/(1 + gaps), score = freq/(freq + 1)
+    * [B lucene/core/src/java/org/apache/lucene/queries/intervals/IntervalQuery.java,
+    * IntervalScoreFunction.java]. Top-10 by (score desc, doc_id).
+    */
+  def searchIntervalScored(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    import graft.search.IntervalNode._
+    val r = reader(spark, sfDir)
+    val hits = QueryEngine.matchIntervalScored(r,
+      IOrdered(Seq(ITerm("key"), ITerm("value"))), widthSum = 2)
+    val w = Window.orderBy(round(col("score"), 9).desc, asc("doc_id"))
+    hits.toDF("docId", "score")
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(asc("rank"))
+  }
+
+  /** Payload scoring — PayloadScoreQuery with the `max` payload function
+    * [B lucene/queries/src/java/org/apache/lucene/queries/payloads/PayloadScoreQuery.java,
+    * MaxPayloadFunction.java]: score(doc) = max payload over the term's
+    * occurrences. The index stores no payload channel (the sandbox corpus
+    * has no payload source), so the payload of an occurrence is an
+    * explicit deterministic function of its position, pos % 5 + 1 — the
+    * read-path mechanics (per-position metadata consumed by a score
+    * function over positional postings) are the real thing; only the
+    * payload VALUES are synthesized, and the oracle synthesizes the same.
+    */
+  def payloadScore(spark: SparkSession, sfDir: String, term: String = "merge",
+      k: Int = 20): DataFrame = {
+    val r = reader(spark, sfDir)
+    val payload = QueryEngine.matchPayloadMax(r, term, p => (p % 5 + 1).toDouble)
+    val w = Window.orderBy(round(col("score"), 9).desc, asc("doc_id"))
+    payload.toDF("docId", "score")
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("score").cast("long").as("payload"))
+      .orderBy(asc("rank"))
+  }
+
   /** Sloppy phrase ("a b"~2): positional window match
     * [B lucene/core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java]
     * — same distributed two-phase pipeline with |p_b - p_a - 1| <= slop.

@@ -410,6 +410,22 @@ object RelationalOps {
       .toDF("doc_id", "pos", "term")
       .orderBy(asc("doc_id"), asc("pos"))
 
+  /** Solr streaming math/statistics module — `corr` evaluator
+    * [B solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/CorrelationEvaluator.java]:
+    * Pearson correlation between the event value and its hour-of-day, per
+    * event type, plus the sample stddev — one hash aggregate, all moments
+    * in a single pass.
+    */
+  def streamCorr(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast("double").as("h"))
+      .groupBy(col("event_type"))
+      .agg(round(corr(col("value"), col("h")), 6).as("corr_value_hour"),
+        round(stddev_samp(col("value")), 6).as("stddev_value"),
+        count(lit(1)).as("n"))
+      .orderBy(asc("event_type"))
+
   /** hashJoin == broadcast hash join of the small side. */
   def streamHashJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")

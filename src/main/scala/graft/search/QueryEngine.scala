@@ -624,7 +624,7 @@ object QueryEngine {
     import spark.implicits._
     matchPositional(reader, SpanNode.allTerms(root).distinct,
       SpanNode.requiredTerms(root).distinct,
-      pos => if (SpanAlgebra.matches(root, pos)) 1 else 0).map(_._1)
+      pos => if (SpanAlgebra.matches(root, pos)) 1.0 else 0.0).map(_._1)
   }
 
   /** Execute an INTERVAL tree (IntervalAlgebra — Lucene's minimal-interval
@@ -635,9 +635,59 @@ object QueryEngine {
     */
   def matchIntervalTree(reader: Index.Reader,
       root: IntervalNode): Dataset[(Long, Int)] = {
+    val spark = reader.spark
+    import spark.implicits._
     matchPositional(reader, IntervalNode.allTerms(root).distinct,
       IntervalNode.requiredTerms(root).distinct,
-      pos => IntervalAlgebra.count(root, pos))
+      pos => IntervalAlgebra.count(root, pos).toDouble)
+      .map { case (d, n) => (d, n.toInt) }
+  }
+
+  /** SCORED interval query — IntervalQuery + saturation score function
+    * [B lucene/core/src/java/org/apache/lucene/queries/intervals/IntervalQuery.java,
+    * IntervalScoreFunction.java]: per doc,
+    * freq = sum over MINIMAL intervals of 1/(1 + gaps) (the classic
+    * 1/(distance+1) sloppy weight over the interval's slack) and
+    * score = boost * freq / (freq + pivot) — the saturation function.
+    * `widthSum` is the children's total fixed width (gaps = width - it).
+    */
+  def matchIntervalScored(reader: Index.Reader, root: IntervalNode,
+      widthSum: Int, pivot: Double = 1.0,
+      boost: Double = 1.0): Dataset[(Long, Double)] = {
+    matchPositional(reader, IntervalNode.allTerms(root).distinct,
+      IntervalNode.requiredTerms(root).distinct,
+      pos => {
+        val ivs = IntervalAlgebra.eval(root, pos)
+        var freq = 0.0
+        var i = 0
+        while (i < ivs.length) {
+          val w = SpanAlgebra.endOf(ivs(i)) - SpanAlgebra.startOf(ivs(i))
+          freq += 1.0 / (1 + (w - widthSum))
+          i += 1
+        }
+        if (freq == 0.0) 0.0 else boost * freq / (freq + pivot)
+      })
+  }
+
+  /** Payload-function scoring over positional postings — PayloadScoreQuery
+    * with MaxPayloadFunction [B lucene/queries/src/java/org/apache/lucene/queries/payloads/PayloadScoreQuery.java]:
+    * per matching doc, the max of `payloadOf(position)` over the term's
+    * occurrences. The payload derivation is a caller-supplied pure function
+    * of position (see DocSearchOps.payloadScore for why).
+    */
+  def matchPayloadMax(reader: Index.Reader, term: String,
+      payloadOf: Int => Double): Dataset[(Long, Double)] = {
+    matchPositional(reader, Seq(term), Seq(term), pos => {
+      val ps = pos(term)
+      var best = 0.0
+      var i = 0
+      while (i < ps.length) {
+        val p = payloadOf(ps(i))
+        if (p > best) best = p
+        i += 1
+      }
+      best
+    })
   }
 
   /** Shared positional-match scaffold for the span and interval algebras:
@@ -650,7 +700,7 @@ object QueryEngine {
     */
   private def matchPositional(reader: Index.Reader, all: Seq[String],
       req: Seq[String],
-      counter: (String => Array[Int]) => Int): Dataset[(Long, Int)] = {
+      counter: (String => Array[Int]) => Double): Dataset[(Long, Double)] = {
     val spark = reader.spark
     import spark.implicits._
     require(all.nonEmpty, "positional tree references no terms")
@@ -664,7 +714,7 @@ object QueryEngine {
     }
     val specB = spark.sparkContext.broadcast(
       (counter, req.toArray.distinct, all.toArray.distinct))
-    val matched: Dataset[(Long, Int)] = buckets.groupByKey(_.bucket)
+    val matched: Dataset[(Long, Double)] = buckets.groupByKey(_.bucket)
       .flatMapGroups { (_, rows) =>
         val (cnt, reqT, allT) = specB.value
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlock]]
@@ -682,7 +732,7 @@ object QueryEngine {
           // accepted-doc counts: the match drivers PREFETCH the next
           // candidate before a mapped iterator sees the current one, so
           // the count is stashed per doc, not in a single slot
-          val counts = new mutable.LongMap[Int]()
+          val counts = new mutable.LongMap[Double]()
           def accept(doc: Long): Boolean = {
             def posOf(t: String): Array[Int] = iters.get(t) match {
               case None => Array.emptyIntArray
@@ -735,13 +785,13 @@ object QueryEngine {
                 }
               }
             }
-          docs.map(d => (d, counts.getOrElse(d, 1)))
+          docs.map(d => (d, counts.getOrElse(d, 1.0)))
         }
       }
     if (!reader.hasTombstones) matched
     else matched.toDF("docId", "n")
       .join(reader.tombstones.toDF("docId"), Seq("docId"), "left_anti")
-      .as[(Long, Int)]
+      .as[(Long, Double)]
   }
 
   /** Top-k hits joined back to document identity (the two-phase
