@@ -63,6 +63,7 @@ object SparkEntry {
       DocSearchOps.searchIntervalScored(s, d)),
     "payload_score" -> ((s, d) => DocSearchOps.payloadScore(s, d)),
     "stream_corr" -> (RelationalOps.streamCorr(_, _)),
+    "index_field_stats" -> (DocSearchOps.indexFieldStats(_, _)),
     "stream_leftouter" -> (RelationalOps.streamLeftOuterJoin(_, _)),
     "stream_fetch" -> (RelationalOps.streamFetch(_, _)),
     "stream_cartesian" -> (RelationalOps.streamCartesianProduct(_, _)),
@@ -1213,6 +1214,20 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY payload DESC, doc_id) AS rank,
          |         doc_id, CAST(payload AS BIGINT) AS payload FROM sc)
          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // Luke field stats: the norm byte's encode/decode round-trip — avg
+    // quantized dl recomputed from raw text via the same byte4 bucketing
+    "index_field_stats" ->
+      s"""WITH $TokCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl)
+         |SELECT d.lang, count(*) AS n_docs,
+         |       sum(dl.dl) AS sum_tokens,
+         |       round(avg(qdl.qdl), 6) AS avg_qdl
+         |FROM documents d JOIN dl ON dl.doc_id = d.doc_id
+         |     JOIN qdl ON qdl.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // streaming-math corr evaluator
     "stream_corr" ->
       """SELECT event_type,

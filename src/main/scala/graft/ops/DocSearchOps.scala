@@ -431,6 +431,27 @@ object DocSearchOps {
       .orderBy(asc("rank"))
   }
 
+  /** Luke-style per-field statistics [B lucene/luke/src/java/org/apache/lucene/luke/models/overview/Overview.java]
+    * read from the INDEX's own metadata channel: per lang, doc count,
+    * total analyzed tokens, and the mean LOSSY doc length decoded from the
+    * stored SmallFloat norm byte — the oracle recomputes the byte4
+    * quantization from raw text, so this entry pins the norm channel's
+    * round-trip (encode at build, decode at read) end-to-end.
+    */
+  def indexFieldStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    r.docMeta
+      .map(m => (m.lang, m.tokenCount.toLong,
+        graft.core.SmallFloatUtil.byte4ToInt(m.normByte).toLong))
+      .toDF("lang", "tokens", "qdl")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        round(avg(col("qdl")), 6).as("avg_qdl"))
+      .orderBy(asc("lang"))
+  }
+
   /** CommonTermsQuery [B lucene/queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java]:
     * query terms split by docFreq at createWeight time — terms with
     * df/N > maxTermFrequency are "common" and demoted to optional scoring
