@@ -116,6 +116,8 @@ object SparkEntry {
     "facet_range" -> (RelationalOps.facetRange(_, _)),
     "facet_query" -> (RelationalOps.facetQuery(_, _)),
     "facet_heatmap" -> (RelationalOps.facetHeatmap(_, _)),
+    "geo_distance" -> ((s, d) => RelationalOps.geoDistance(s, d)),
+    "facet_taxonomy" -> ((s, d) => RelationalOps.facetTaxonomy(s, d)),
     "facet_json_api" -> (RelationalOps.jsonFacet(_, _)),
     "facet_nested" -> (RelationalOps.facetNested(_, _)),
     "facet_stats" -> (RelationalOps.facetStats(_, _)),
@@ -154,6 +156,7 @@ object SparkEntry {
     "analysis_edge_ngram" -> (AnalysisOps.edgeNgram(_, _)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "sample_stratified" -> ((s, d) => PipelineOps.sampleStratified(s, d)),
+    "host_cap" -> ((s, d) => PipelineOps.hostCap(s, d)),
     "mix_weights" -> ((s, d) => PipelineOps.mixWeights(s, d)),
     "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
     // production shape: the benchmark is its OWN table argument, so the
@@ -1616,6 +1619,37 @@ object SparkEntry {
         |FROM pts
         |WHERE lat >= -45.0 AND lat < 45.0 AND lon >= -90.0 AND lon < 90.0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "geo_distance" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         -90.0 + 180.0 * ((event_id * 48271) % 100003) / 100003.0 AS lat,
+        |         -180.0 + 360.0 * ((event_id * 16807) % 100019) / 100019.0 AS lon
+        |  FROM events),
+        |d AS (
+        |  SELECT event_id,
+        |         2 * 6371.0087714 * asin(sqrt(
+        |           pow(sin(radians(lat - 12.5) / 2), 2) +
+        |           cos(radians(12.5)) * cos(radians(lat)) *
+        |           pow(sin(radians(lon - 42.0) / 2), 2))) AS dist
+        |  FROM pts
+        |  WHERE lat >= 12.5 - 2500.0 / 6371.0087714 * (180.0 / pi())
+        |    AND lat <= 12.5 + 2500.0 / 6371.0087714 * (180.0 / pi()))
+        |SELECT event_id, round(dist, 4) AS dist_km FROM d
+        |WHERE dist <= 2500.0
+        |ORDER BY round(dist, 4), event_id LIMIT 20""".stripMargin,
+    "facet_taxonomy" ->
+      """WITH r AS (
+        |  SELECT lang, source, count(*) AS cnt FROM documents
+        |  GROUP BY ROLLUP (lang, source)),
+        |lv AS (
+        |  SELECT CASE WHEN source IS NULL THEN 1 ELSE 2 END AS level,
+        |         CASE WHEN source IS NULL THEN lang
+        |              ELSE lang || '/' || source END AS path, cnt
+        |  FROM r WHERE lang IS NOT NULL)
+        |SELECT level, path, cnt FROM (
+        |  SELECT lv.*, row_number() OVER (PARTITION BY level
+        |    ORDER BY cnt DESC, path) AS rk FROM lv)
+        |WHERE rk <= 5 ORDER BY level, cnt DESC, path""".stripMargin,
     "facet_query" ->
       """SELECT o_orderstatus, count(*) AS cnt_all,
         |CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_big,
@@ -1818,6 +1852,15 @@ object SparkEntry {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "host_cap" ->
+      """WITH k AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':host'), doc_id) AS rn
+        |  FROM documents WHERE source NOT IN ('src7'))
+        |SELECT source, count(*) AS n_kept,
+        |       md5(list_aggregate(list_sort(list(doc_id)), 'string_agg', ',')) AS kept_md5
+        |FROM k WHERE rn <= 15 GROUP BY source ORDER BY source""".stripMargin,
     "mix_weights" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
         |       round(200000.0 / sum(n_chars), 6) AS weight,

@@ -57,6 +57,34 @@ object PipelineOps {
       .orderBy(asc("lang"), asc("rn"))
   }
 
+  /** Per-host document cap + host blocklist — the C4/CCNet-style URL-level
+    * hygiene pass (a handful of hosts dominate any web crawl; pretraining
+    * pipelines cap documents per registered domain and drop known-bad
+    * hosts outright). `source` plays the host role here. Selection within
+    * a host is ranked by an md5 of doc_id — a pure row function, so the
+    * kept set is identical under any partitioning or cluster size. One
+    * window per host (WindowGroupLimit pushes the cap below the sort); the
+    * blocklist is a pushed-down NOT IN scan predicate, never a join.
+    * Output is host-cardinality-sized: kept count + an order-insensitive
+    * digest of the kept ids, which pins the exact kept SET in the oracle.
+    */
+  def hostCap(spark: SparkSession, sfDir: String, cap: Int = 15,
+      block: Seq[String] = Seq("src7")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(asc("h"), asc("doc_id"))
+    docs(spark, sfDir)
+      .where(!col("source").isin(block: _*))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":host"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(sort_array(collect_list(col("doc_id"))).cast("array<string>"), ",")
+          .cast("binary")).as("kept_md5"))
+      .orderBy(asc("source"))
+  }
+
   /** Domain-mix weighting: given a per-stratum token budget, compute each
     * stratum's sampling rate (or epoch count when the budget exceeds the
     * stratum) — the planning step of training-mix construction (how many

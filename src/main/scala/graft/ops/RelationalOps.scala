@@ -221,6 +221,66 @@ object RelationalOps {
       .orderBy(asc("grid_y"), asc("grid_x"))
   }
 
+  /** Geo distance filter + sort — Solr's {!geofilt}/geodist() pair over a
+    * LatLonPoint field [B lucene/core/src/java/org/apache/lucene/document/LatLonPoint.java
+    * #newDistanceQuery; solr/core/src/java/org/apache/solr/search/function/distance/HaversineConstFunction.java]:
+    * points within `radiusKm` of a center, nearest-first with the haversine
+    * distance as the returned pseudo-field. Points derive from event_id by
+    * the same Lehmer arithmetic as facetHeatmap (the corpus has no geo
+    * column; the derivation is reproduced verbatim in the DuckDB oracle).
+    * Plan shape: scan -> map (distance arithmetic, codegen'd trig) ->
+    * filter -> global top-k — Lucene's bounding-box pre-filter optimization
+    * is expressed as a cheap lat-window predicate BEFORE the trig, which
+    * Catalyst keeps inside the same WholeStageCodegen stage; the top-k is
+    * an orderBy.limit (TakeOrderedAndProject — no full sort at scale).
+    */
+  def geoDistance(spark: SparkSession, sfDir: String,
+      centerLat: Double = 12.5, centerLon: Double = 42.0,
+      radiusKm: Double = 2500.0, k: Int = 20): DataFrame = {
+    val R = 6371.0087714 // IUGG mean earth radius, Lucene's GeoUtils constant
+    val latWindow = radiusKm / R * (180.0 / math.Pi) // bbox pre-filter (lat only: exact bound)
+    val pts = t(spark, sfDir, "events").select(
+      col("event_id"),
+      (lit(-90.0) + lit(180.0) * ((col("event_id") * lit(48271L)) % lit(100003L)) / lit(100003.0)).as("lat"),
+      (lit(-180.0) + lit(360.0) * ((col("event_id") * lit(16807L)) % lit(100019L)) / lit(100019.0)).as("lon"))
+    val dLat = radians(col("lat") - lit(centerLat)) / 2
+    val dLon = radians(col("lon") - lit(centerLon)) / 2
+    val h = pow(sin(dLat), 2) +
+      cos(radians(lit(centerLat))) * cos(radians(col("lat"))) * pow(sin(dLon), 2)
+    pts
+      .where(col("lat") >= centerLat - latWindow && col("lat") <= centerLat + latWindow)
+      .withColumn("dist_km", lit(2 * R) * asin(sqrt(h)))
+      .where(col("dist_km") <= radiusKm)
+      .select(col("event_id"), round(col("dist_km"), 4).as("dist_km"))
+      .orderBy(asc("dist_km"), asc("event_id"))
+      .limit(k)
+  }
+
+  /** Hierarchical (taxonomy) facet counts
+    * [B lucene/facet/src/java/org/apache/lucene/facet/taxonomy/TaxonomyFacetCounts.java]:
+    * a doc under path lang/source counts at EVERY ancestor, the way the
+    * taxonomy index aggregates ordinals up the tree. Spark-first this is
+    * ONE pass — `rollup` emits each prefix level of the hierarchy from a
+    * single shuffle (partial aggregates per level ride the same exchange),
+    * rather than one aggregate per level. Top-N per level, count-ordered.
+    */
+  def facetTaxonomy(spark: SparkSession, sfDir: String, topN: Int = 5): DataFrame = {
+    val leveled = t(spark, sfDir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("lang").isNotNull) // the grand-total row is not a taxonomy node
+      .select(
+        when(col("source").isNull, lit(1)).otherwise(lit(2)).as("level"),
+        when(col("source").isNull, col("lang"))
+          .otherwise(concat_ws("/", col("lang"), col("source"))).as("path"),
+        col("cnt"))
+    val w = Window.partitionBy(col("level")).orderBy(desc("cnt"), asc("path"))
+    leveled.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topN)
+      .select(col("level"), col("path"), col("cnt"))
+      .orderBy(asc("level"), desc("cnt"), asc("path"))
+  }
+
   /** The JSON Facet API end-to-end (request string -> JsonFacetOps parse ->
     * Catalyst lowering): top-4 langs by count, each with an avg(n_chars)
     * stat and its top-2 sources sub-facet carrying the same stat.
