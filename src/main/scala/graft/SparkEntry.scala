@@ -63,6 +63,11 @@ object SparkEntry {
       DocSearchOps.searchIntervalScored(s, d)),
     "payload_score" -> ((s, d) => DocSearchOps.payloadScore(s, d)),
     "stream_corr" -> (RelationalOps.streamCorr(_, _)),
+    "search_complex_phrase" -> ((s, d) => DocSearchOps.searchComplexPhrase(s, d)),
+    "function_range" -> ((s, d) => DocSearchOps.functionRange(s, d)),
+    "suggest_freetext" -> ((s, d) => DocSearchOps.suggestFreeText(s, d)),
+    "spell_wordbreak" -> ((s, d) => DocSearchOps.wordBreakSpell(s, d)),
+    "text_perplexity" -> ((s, d) => TextOps.perplexity(s, d)),
     "index_field_stats" -> (DocSearchOps.indexFieldStats(_, _)),
     "stream_leftouter" -> (RelationalOps.streamLeftOuterJoin(_, _)),
     "stream_fetch" -> (RelationalOps.streamFetch(_, _)),
@@ -1494,6 +1499,47 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok
          |WHERE term LIKE 's%' GROUP BY term
          |ORDER BY df DESC, term LIMIT 8""".stripMargin,
+    // FreeTextSuggester: bigram LM with 0.4 stupid backoff to unigrams
+    "suggest_freetext" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |bi AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+         |       FROM tk, unnest(range(len(toks) - 1)) AS r(i)
+         |       WHERE len(toks) >= 2),
+         |ctx AS (SELECT count(*) AS c FROM bi WHERE w1 = 'merge'),
+         |tot AS (SELECT sum(len(toks)) AS t FROM tk),
+         |bg AS (SELECT w2 AS term, 'bigram' AS src,
+         |         round(CAST(count(*) AS DOUBLE) /
+         |               (SELECT CAST(c AS DOUBLE) FROM ctx), 6) AS score
+         |       FROM bi WHERE w1 = 'merge' AND w2 LIKE 's%' GROUP BY w2),
+         |un AS (SELECT term, 'backoff' AS src,
+         |         round(0.4 * CAST(count(*) AS DOUBLE) /
+         |               (SELECT CAST(t AS DOUBLE) FROM tot), 6) AS score
+         |       FROM (SELECT unnest(toks) AS term FROM tk)
+         |       WHERE term LIKE 's%' AND term NOT IN (SELECT term FROM bg)
+         |       GROUP BY term)
+         |SELECT term, src, score FROM (SELECT * FROM bg UNION ALL SELECT * FROM un)
+         |ORDER BY score DESC, term LIMIT 8""".stripMargin,
+    // WordBreakSolrSpellChecker: break unknown terms / combine adjacent ones
+    "spell_wordbreak" ->
+      s"""WITH $TokCte,
+         |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         |inp AS (SELECT * FROM (VALUES ('mergesort'), ('bigtable'), ('hashjoin'),
+         |                              ('keyorder')) AS v(input)),
+         |sp AS (SELECT input, substring(input, 1, CAST(i AS INT)) AS l,
+         |              substring(input, CAST(i AS INT) + 1) AS r, CAST(i AS INT) AS pos
+         |       FROM inp, unnest(range(3, length(input) - 2)) AS rr(i)),
+         |br AS (SELECT sp.input, 'break' AS kind, sp.l || ' ' || sp.r AS suggestion,
+         |              least(dl.df, dr.df) AS rarest_df, sp.pos
+         |       FROM sp JOIN dict dl ON dl.term = sp.l
+         |               JOIN dict dr ON dr.term = sp.r),
+         |cmb AS (SELECT * FROM (VALUES ('mer', 'ge'), ('ta', 'ble'),
+         |                              ('so', 'rt')) AS v(t1, t2)),
+         |cm AS (SELECT t1 || ' ' || t2 AS input, 'combine' AS kind,
+         |              t1 || t2 AS suggestion, d.df AS rarest_df, CAST(0 AS INT) AS pos
+         |       FROM cmb JOIN dict d ON d.term = t1 || t2)
+         |SELECT input, kind, suggestion, rarest_df, pos
+         |FROM (SELECT * FROM br UNION ALL SELECT * FROM cm)
+         |ORDER BY input, rarest_df DESC, pos""".stripMargin,
     // TermVectorComponent: one doc's term-frequency vector
     "term_vectors" ->
       s"""WITH t AS (SELECT doc_id, unnest($QualityTokSql) AS term
@@ -1619,6 +1665,39 @@ object SparkEntry {
         |FROM pts
         |WHERE lat >= -45.0 AND lat < 45.0 AND lon >= -90.0 AND lon < 90.0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ComplexPhraseQueryParser: "merge s*" — prefix wildcard INSIDE a phrase
+    "search_complex_phrase" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term LIKE 's%')
+         |SELECT DISTINCT a.doc_id AS doc_id
+         |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |ORDER BY doc_id""".stripMargin,
+    // {!frange}: unscored filter on a function-query value
+    "function_range" ->
+      """SELECT doc_id,
+        |  round(sqrt(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE)), 4) AS fval
+        |FROM documents
+        |WHERE sqrt(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE))
+        |      BETWEEN 90.0 AND 110.0
+        |ORDER BY doc_id""".stripMargin,
+    // CCNet-style bigram-LM perplexity: model trained on doc_id % 7 == 3
+    "text_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+         |       FROM tk2, unnest(range(len(toks) - 1)) AS r(i)),
+         |tr AS (SELECT * FROM bi WHERE doc_id % 7 = 3),
+         |bm AS (SELECT w1, w2, count(*) AS cb FROM tr GROUP BY w1, w2
+         |       ORDER BY cb DESC, w1, w2 LIMIT 1000000),
+         |um AS (SELECT w1, count(*) AS cu FROM tr GROUP BY w1),
+         |vv AS (SELECT count(DISTINCT w1) AS v FROM tr),
+         |dg AS (SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY doc_id, w1, w2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |       round(exp(-sum(c * ln((coalesce(bm.cb, 0) + 1.0) /
+         |                             (coalesce(um.cu, 0) + vv.v))) / sum(c)), 4) AS ppl
+         |FROM dg LEFT JOIN bm USING (w1, w2) LEFT JOIN um USING (w1) CROSS JOIN vv
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "geo_distance" ->
       """WITH pts AS (
         |  SELECT event_id,

@@ -403,6 +403,24 @@ object DocSearchOps {
       term("window")), slop = 10, ordered = true))
   }
 
+  /** ComplexPhraseQueryParser's wildcard-in-phrase
+    * [B lucene/queryparser/src/java/org/apache/lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.java]:
+    * "merge s*" — a phrase whose second position is ANY term matching the
+    * prefix. The multi-term rewrite happens where Lucene does it: the
+    * prefix expands against the slim termdict (bounded, TooManyClauses
+    * above the cap), and the phrase lowers to the span algebra as
+    * SpanNear(ordered, slop=0)[term, SpanOr(expansions)] — no new kernel,
+    * the algebra-closure machinery carries it.
+    */
+  def searchComplexPhrase(spark: SparkSession, sfDir: String,
+      first: String = "merge", prefix: String = "s"): DataFrame = {
+    import graft.search.SpanNode._
+    val r = reader(spark, sfDir)
+    val exp = graft.search.QueryLowering.expandWildcard(r, prefix + "*")
+    spanTreeDocs(spark, sfDir, SNear(Seq(
+      term(first), SOr(exp.map(term))), slop = 0, ordered = true))
+  }
+
   /** Query-time join with SCORE propagation — JoinUtil ScoreMode.Max
     * [B lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java],
     * Solr's {!join score=max}: the from-query's BM25 hits aggregate to a
@@ -831,6 +849,25 @@ object DocSearchOps {
       .limit(10)
   }
 
+  /** Function-range query — Solr's {!frange l=.. u=..}func fq
+    * [B solr/core/src/java/org/apache/solr/search/FunctionRangeQParserPlugin.java,
+    * lucene/queries/src/java/org/apache/lucene/queries/function/FunctionRangeQuery.java]:
+    * an UNSCORED filter admitting docs whose function value lies in
+    * [lo, hi]. Pure map-stage work: the ValueSource is a codegen'd
+    * arithmetic column and the range is a Filter Catalyst can evaluate
+    * inside the scan's WholeStageCodegen span — no index structure is
+    * consulted, exactly like Lucene's ValueSourceScorer matching-all-docs
+    * iterator with a per-doc check.
+    */
+  def functionRange(spark: SparkSession, sfDir: String,
+      lo: Double = 90.0, hi: Double = 110.0): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("fval",
+        sqrt(col("n_chars").cast("double")) * log(col("n_chars").cast("double")))
+      .where(col("fval") >= lo && col("fval") <= hi)
+      .select(col("doc_id"), round(col("fval"), 4).as("fval"))
+      .orderBy(asc("doc_id"))
+
   /** The SQL text front-end (Solr's Calcite SQL handler is subsumed by
     * Spark SQL, SURVEY.md §2.8): the same single-term BM25 query expressed
     * as spark.sql over the registered custom Catalyst expressions
@@ -993,6 +1030,91 @@ object DocSearchOps {
       .where(col("rk") === 1)
       .select(col("qterm"), col("term").as("suggestion"), col("dist"), col("df"))
       .orderBy(asc("qterm"))
+  }
+
+  /** FreeTextSuggester [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FreeTextSuggester.java]:
+    * "what word comes next" completion from an n-gram LM over the corpus
+    * itself, with Jelinek-Mercer-style backoff to the unigram model (Lucene
+    * uses ALPHA = 0.4 stupid backoff; reproduced literally). Given context
+    * word + typed prefix: candidates seen as a (context, w) bigram score
+    * cb/ctx_count; prefix matches NEVER seen after the context back off to
+    * 0.4 * cu/T. Spark-first: the two model aggregates are one explode
+    * pass each, candidate ranking is a union + top-n; every division is a
+    * single IEEE op so the DuckDB oracle reproduces scores bit-for-bit.
+    */
+  def suggestFreeText(spark: SparkSession, sfDir: String,
+      context: String = "merge", prefix: String = "s", n: Int = 8): DataFrame = {
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+    val bi = toks.where(size(col("toks")) >= 2).select(explode(expr(
+      "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+      .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ctxCount = bi.where(col("w1") === context).count()
+    val total = toks.select(sum(size(col("toks")))).head().getLong(0)
+    val bigram = bi
+      .where(col("w1") === context && col("w2").startsWith(prefix))
+      .groupBy(col("w2").as("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("term"), lit("bigram").as("src"),
+        round(col("cnt").cast("double") / lit(ctxCount.toDouble), 6).as("score"))
+    val uni = toks.select(explode(col("toks")).as("term"))
+      .where(col("term").startsWith(prefix))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(bigram.select(col("term")), Seq("term"), "left_anti")
+      .select(col("term"), lit("backoff").as("src"),
+        round(lit(0.4) * col("cnt").cast("double") / lit(total.toDouble), 6).as("score"))
+    bigram.union(uni)
+      .orderBy(desc("score"), asc("term"))
+      .limit(n)
+  }
+
+  /** WordBreakSolrSpellChecker [B solr/core/src/java/org/apache/solr/spelling/WordBreakSolrSpellChecker.java,
+    * lucene/suggest/src/java/org/apache/lucene/search/spell/WordBreakSpellChecker.java]:
+    * corrections that BREAK an unknown term into two dictionary words
+    * ("bigtable" -> big table) or COMBINE two adjacent query terms into one
+    * ("mer ge" -> merge). Candidate generation is pure arithmetic over the
+    * tiny query side (every split point of every input term, minBreakLength
+    * 3 per fragment, matching WordBreakSpellChecker's default); the
+    * dictionary side stays a pushed-down termdict scan, joined twice (left
+    * fragment, right fragment) with the candidates BROADCAST — never a
+    * dictionary self-product. Ranked per input by the rarest fragment's df
+    * (the spell-checker's popularity heuristic), then split position.
+    */
+  def wordBreakSpell(spark: SparkSession, sfDir: String,
+      breaks: Seq[String] = Seq("mergesort", "bigtable", "hashjoin", "keyorder"),
+      combines: Seq[(String, String)] = Seq(("mer", "ge"), ("ta", "ble"), ("so", "rt")),
+      minBreak: Int = 3): DataFrame = {
+    val r = reader(spark, sfDir)
+    import spark.implicits._
+    val dict = r.termDict
+      .where(!col("term").contains(graft.index.FieldOf.Sep.toString))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val splits = breaks.toDF("input")
+      .where(length(col("input")) >= 2 * minBreak)
+      .select(col("input"), explode(expr(
+        s"transform(sequence($minBreak, length(input) - $minBreak), " +
+          "i -> struct(substring(input, 1, i) AS l, substring(input, i + 1) AS r, i AS pos))"))
+        .as("sp"))
+      .select(col("input"), col("sp.l").as("l"), col("sp.r").as("r"),
+        col("sp.pos").as("pos"))
+    val breakHits = dict.as("dl").join(broadcast(splits), col("dl.term") === col("l"))
+      .select(col("input"), col("l"), col("r"), col("pos"), col("dl.df").as("df_l"))
+    val breakBoth = dict.as("dr")
+      .join(broadcast(breakHits), col("dr.term") === col("r"))
+      .select(col("input"), lit("break").as("kind"),
+        concat_ws(" ", col("l"), col("r")).as("suggestion"),
+        least(col("df_l"), col("dr.df")).as("rarest_df"), col("pos"))
+    val comb = combines.toDF("t1", "t2")
+      .select(concat_ws(" ", col("t1"), col("t2")).as("input"),
+        concat(col("t1"), col("t2")).as("joined"))
+    val combined = dict.as("dc").join(broadcast(comb), col("dc.term") === col("joined"))
+      .select(col("input"), lit("combine").as("kind"),
+        col("joined").as("suggestion"), col("dc.df").as("rarest_df"),
+        lit(0).as("pos"))
+    breakBoth.union(combined)
+      .orderBy(asc("input"), desc("rarest_df"), asc("pos"))
   }
 
   /** Highlighting: snippet extraction around the first hit of the best

@@ -68,6 +68,55 @@ object TextOps {
       .orderBy(asc("doc_id"))
   }
 
+  /** Bigram-LM perplexity quality filter — the CCNet-style "score every
+    * document by an in-domain language model" pass (Wenzek et al. 2020 use
+    * a 5-gram KenLM; the standard small-scale stand-in is a bigram model
+    * with add-one smoothing, which is exactly reproducible in SQL). The
+    * model trains on a deterministic hash slice of the corpus itself
+    * (doc_id % `trainMod` == `trainRes`), then EVERY document is scored:
+    *
+    *   ppl(d) = exp(-1/N * sum over bigrams c*ln((cb+1)/(cu+V)))
+    *
+    * where cb/cu are the model's bigram/context counts and V the trained
+    * vocabulary size. Spark-first shape: the model is two tiny aggregates
+    * over the train slice (bounded by vocab², capped at `maxModel` rows by
+    * deterministic (count desc, bigram) order — the broadcast-ability
+    * contract at 100 TB), the doc side is one explode + per-doc bigram
+    * group, and both model joins are broadcasts, so the only full-data
+    * shuffle is the per-doc bigram aggregate on (doc_id, w1, w2).
+    */
+  def perplexity(spark: SparkSession, sfDir: String, trainMod: Int = 7,
+      trainRes: Int = 3, maxModel: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d = docs(spark, sfDir)
+      .withColumn("toks", tokensCol(col("text")))
+      .where(size(col("toks")) >= 2)
+    val bi = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+      .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val train = bi.where(col("doc_id") % trainMod === trainRes)
+    val bgModel = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .orderBy(desc("cb"), asc("w1"), asc("w2")).limit(maxModel)
+    val ugModel = train.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = train.agg(countDistinct(col("w1")).as("v"))
+    bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(bgModel), Seq("w1", "w2"), "left")
+      .join(broadcast(ugModel), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        sum(col("c") * log(
+          (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("cu"), lit(0L)) + col("v")))).as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-col("lp") / col("n_bigrams")), 4).as("ppl"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** Canonical document fingerprint (Solr-style dedup signature): md5 of the
     * sorted distinct token set — whitespace/word-order/duplication invariant.
     */
