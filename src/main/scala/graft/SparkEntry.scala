@@ -64,6 +64,7 @@ object SparkEntry {
     "payload_score" -> ((s, d) => DocSearchOps.payloadScore(s, d)),
     "stream_corr" -> (RelationalOps.streamCorr(_, _)),
     "search_complex_phrase" -> ((s, d) => DocSearchOps.searchComplexPhrase(s, d)),
+    "search_atomic_update" -> ((s, d) => DocSearchOps.searchAtomicUpdate(s, d)),
     "function_range" -> ((s, d) => DocSearchOps.functionRange(s, d)),
     "suggest_freetext" -> ((s, d) => DocSearchOps.suggestFreeText(s, d)),
     "spell_wordbreak" -> ((s, d) => DocSearchOps.wordBreakSpell(s, d)),
@@ -159,6 +160,8 @@ object SparkEntry {
     "analysis_ascii_folding" -> (AnalysisOps.asciiFolding(_, _)),
     "analysis_shingle" -> (AnalysisOps.shingle(_, _)),
     "analysis_edge_ngram" -> (AnalysisOps.edgeNgram(_, _)),
+    "analysis_pattern_replace" -> (AnalysisOps.patternReplace(_, _)),
+    "analysis_length_filter" -> ((s, d) => AnalysisOps.lengthFilter(s, d)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "sample_stratified" -> ((s, d) => PipelineOps.sampleStratified(s, d)),
     "host_cap" -> ((s, d) => PipelineOps.hostCap(s, d)),
@@ -1665,6 +1668,41 @@ object SparkEntry {
         |FROM pts
         |WHERE lat >= -45.0 AND lat < 45.0 AND lon >= -90.0 AND lon < 90.0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Atomic update through updateByTerm: docs matching 'dup' get
+    // ' atomicupd' appended and are tombstone+re-add replaced; collection
+    // stats keep the tombstoned versions until a merge (Lucene semantics),
+    // so the oracle scores over originals UNION updated copies (ver 0/1)
+    "search_atomic_update" ->
+      s"""WITH dup AS (SELECT doc_id, text || ' atomicupd' AS text FROM documents
+         |  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+         |        x -> x = 'dup')) > 0),
+         |tokall AS (
+         |  SELECT 0 AS ver, d.doc_id, t.term FROM documents d,
+         |    unnest(list_filter(string_split_regex(lower(d.text), '[^a-z0-9_]+'),
+         |           x -> x <> '' AND x NOT IN ($StopSql))) AS t(term)
+         |  UNION ALL
+         |  SELECT 1 AS ver, d.doc_id, t.term FROM dup d,
+         |    unnest(list_filter(string_split_regex(lower(d.text), '[^a-z0-9_]+'),
+         |           x -> x <> '' AND x NOT IN ($StopSql))) AS t(term)),
+         |tf AS (SELECT ver, doc_id, term, count(*) AS tf FROM tokall
+         |       GROUP BY ver, doc_id, term),
+         |dl AS (SELECT ver, doc_id, count(*) AS dl FROM tokall GROUP BY ver, doc_id),
+         |qdl AS (SELECT ver, doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM dl) AS n,
+         |              (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM dl) AS avgdl),
+         |dfs AS (SELECT count(*) AS df FROM tf WHERE term = 'atomicupd'),
+         |sc AS (SELECT tf.doc_id,
+         |         ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |       FROM tf JOIN qdl ON qdl.ver = tf.ver AND qdl.doc_id = tf.doc_id
+         |            CROSS JOIN st CROSS JOIN dfs
+         |       WHERE tf.term = 'atomicupd' AND tf.ver = 1)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // ComplexPhraseQueryParser: "merge s*" — prefix wildcard INSIDE a phrase
     "search_complex_phrase" ->
       s"""WITH $PosCtes,
@@ -1923,6 +1961,8 @@ object SparkEntry {
     "analysis_ascii_folding" -> AnalysisOps.asciiFoldingOracleSql,
     "analysis_shingle" -> AnalysisOps.shingleOracleSql,
     "analysis_edge_ngram" -> AnalysisOps.edgeNgramOracleSql,
+    "analysis_pattern_replace" -> AnalysisOps.patternReplaceOracleSql,
+    "analysis_length_filter" -> AnalysisOps.lengthFilterOracleSql,
     // deterministic hash split: held-out = md5(doc_id) first hex in {0,1}
     "sample_stratified" ->
       """SELECT lang, doc_id, rn FROM (

@@ -196,6 +196,61 @@ object AnalysisOps {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  // ---- PatternReplace + Length filters -------------------------------------
+
+  /** PatternReplaceFilter [B lucene/analysis/common/src/java/org/apache/lucene/analysis/pattern/PatternReplaceFilter.java]:
+    * per-token regex rewrite (here: strip trailing digit runs — the
+    * classic "normalize version-suffixed identifiers" config), dropping
+    * tokens the rewrite empties. Pure codegen'd higher-order array
+    * expressions; md5-of-token-stream pins every surviving token.
+    */
+  def patternReplace(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokensCol(col("text")))
+      .withColumn("reps", filter(
+        transform(col("toks"), t => regexp_replace(t, "[0-9]+$", "")),
+        t => t =!= ""))
+      .select(col("doc_id"),
+        size(col("reps")).cast("long").as("n_tokens"),
+        md5(array_join(col("reps"), "|").cast("binary")).as("toks_md5"))
+      .orderBy(asc("doc_id"))
+
+  def patternReplaceOracleSql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |p AS (SELECT doc_id, list_filter(
+       |      list_transform(toks, t -> regexp_replace(t, '[0-9]+$$', '')),
+       |      t -> t <> '') AS reps FROM d)
+       |SELECT doc_id, len(reps)::BIGINT AS n_tokens,
+       |  md5(array_to_string(reps, '|')) AS toks_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** LengthFilter [B lucene/analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/LengthFilter.java]:
+    * keep tokens whose length lies in [min, max] — the cheap noise gate in
+    * front of most production chains. Reported as kept count + kept-stream
+    * md5 so the oracle pins the exact surviving sequence.
+    */
+  def lengthFilter(spark: SparkSession, sfDir: String,
+      min: Int = 4, max: Int = 6): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("kept", filter(TextOps.tokensCol(col("text")),
+        t => length(t) >= min && length(t) <= max))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), "|").cast("binary")).as("kept_md5"))
+      .orderBy(asc("doc_id"))
+
+  def lengthFilterOracleSql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |p AS (SELECT doc_id, list_filter(toks,
+       |      t -> length(t) >= 4 AND length(t) <= 6) AS kept FROM d)
+       |SELECT doc_id, len(kept)::BIGINT AS n_kept,
+       |  md5(array_to_string(kept, '|')) AS kept_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Phonetic (Soundex) --------------------------------------------------
 
   /** Soundex code per distinct alphabetic vocabulary term

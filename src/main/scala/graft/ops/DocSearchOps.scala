@@ -173,6 +173,55 @@ object DocSearchOps {
       Seq(QuerySpec("restored", should = Seq("stream", "window")))))
   }
 
+  /** Solr atomic update [B solr/core/src/java/org/apache/solr/update/processor/AtomicUpdateDocumentMerger.java]:
+    * a partial-document update ({add: ' atomicupd'} to the content of
+    * every doc matching term 'dup') applied THROUGH the index's
+    * update-by-term machinery — Lucene docs are immutable, so the merger
+    * rebuilds the full document and updateDocument() tombstones + re-adds,
+    * exactly the delete-then-add queue a single IndexWriter gives. The
+    * rebuilt docs derive from the PRISTINE stored source (not the current
+    * index), so the entry is idempotent across Verify's repeated runs:
+    * every run tombstones the previous updated versions and commits
+    * byte-identical replacements. The follow-up query scores the newly
+    * minted term over the updated index — read-your-writes through a
+    * fresh reader.
+    */
+  def searchAtomicUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val live = reader(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val abak = s"${sys.props("java.io.tmpdir")}/graft_atomicbak_${Version}_$safe"
+    val adir = s"${sys.props("java.io.tmpdir")}/graft_atomic_${Version}_$safe"
+    Index.backup(live.indexDir, abak)
+    // fresh clone per run: collection stats include tombstoned docs until a
+    // merge (Lucene semantics), so accumulating update increments across
+    // repeated runs would drift the scores — one clone + one update is the
+    // deterministic shape the oracle mirrors
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    rmTree(java.nio.file.Paths.get(adir))
+    Index.restore(abak, adir)
+    val upd = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(array_contains(TextOps.tokensCol(col("text")), "dup"))
+      .select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("").as("commit"),
+        col("lang"),
+        concat(col("text"), lit(" atomicupd")).as("content"))
+      .as[SourceDoc]
+    Index.updateByTerm(spark, adir, "dup", upd,
+      IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000,
+        indexPositions = true, extraFields = Seq("repo")))
+    val r2 = Index.reader(spark, adir)
+    rankDf(r2, QueryEngine.search(r2,
+      Seq(QuerySpec("atom", should = Seq("atomicupd")))))
+  }
+
   /** Disjunctive BM25 top-10 (BooleanQuery SHOULD via block-max WAND). */
   def searchOr(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("or", should = Seq("merge", "sort", "window")))
