@@ -65,6 +65,7 @@ object SparkEntry {
     "stream_corr" -> (RelationalOps.streamCorr(_, _)),
     "search_complex_phrase" -> ((s, d) => DocSearchOps.searchComplexPhrase(s, d)),
     "search_atomic_update" -> ((s, d) => DocSearchOps.searchAtomicUpdate(s, d)),
+    "search_index_sorted" -> ((s, d) => DocSearchOps.searchIndexSorted(s, d)),
     "function_range" -> ((s, d) => DocSearchOps.functionRange(s, d)),
     "suggest_freetext" -> ((s, d) => DocSearchOps.suggestFreeText(s, d)),
     "spell_wordbreak" -> ((s, d) => DocSearchOps.wordBreakSpell(s, d)),
@@ -1668,6 +1669,13 @@ object SparkEntry {
         |FROM pts
         |WHERE lat >= -45.0 AND lat < 45.0 AND lon >= -90.0 AND lon < 90.0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Index-time sort + early termination: top-k by the index sort field
+    "search_index_sorted" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  len(list_filter($QualityTokSql, x -> x NOT IN ($StopSql))) AS token_count
+         |  FROM documents)
+         |SELECT doc_id, token_count FROM d
+         |ORDER BY token_count DESC, doc_id LIMIT 25""".stripMargin,
     // Atomic update through updateByTerm: docs matching 'dup' get
     // ' atomicupd' appended and are tombstone+re-add replaced; collection
     // stats keep the tombstoned versions until a merge (Lucene semantics),

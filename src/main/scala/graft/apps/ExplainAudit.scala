@@ -154,7 +154,32 @@ object ExplainAudit {
         "Expect: one documents scan feeding a DeserializeToObject/MapElements " +
           "chain (the fused trie scan), then the (doc, tag) count aggregate " +
           "— no join, no window, no second scan.",
-        fmt(TextOps.tagEntities(spark, sfDir))))
+        fmt(TextOps.tagEntities(spark, sfDir))),
+      ("Index-sorted top-k (early termination via partition pruning)",
+        "Expect: scan of the bucket-partitioned sorted table with " +
+          "PartitionFilters on tc_bucket — only the leading buckets covering " +
+          "k rows are opened (the index-sort early-termination analogue: " +
+          "trailing segments are never read), finished by " +
+          "TakeOrderedAndProject over the pruned rows.",
+        fmt(DocSearchOps.searchIndexSorted(spark, sfDir))),
+      ("Geo distance (bbox pre-filter ahead of the trig, top-k)",
+        "Expect: one events scan; the cheap lat-window Filter and the " +
+          "haversine arithmetic share a WholeStageCodegen stage; the " +
+          "nearest-first k rows come from TakeOrderedAndProject, never a " +
+          "full sort.",
+        fmt(RelationalOps.geoDistance(spark, sfDir))),
+      ("Per-host cap (blocklist pushdown, WindowGroupLimit below the sort)",
+        "Expect: documents scan with the host blocklist as a pushed-down " +
+          "Not(In(source,...)) scan predicate (never a join); the per-host " +
+          "cap is one Window whose WindowGroupLimit pushes the rank cutoff " +
+          "below the sort; the digest aggregate is keyed by host.",
+        fmt(PipelineOps.hostCap(spark, sfDir))),
+      ("Bigram-LM perplexity (broadcast model, one wide doc aggregate)",
+        "Expect: both LM model joins (bigram + context counts) ride " +
+          "BroadcastHashJoins; the only full-data exchanges are the per-doc " +
+          "bigram aggregate on (doc_id, w1, w2) and its doc_id rollup — the " +
+          "corpus is never joined against itself.",
+        fmt(TextOps.perplexity(spark, sfDir))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.apps.ExplainAudit)\n\n")

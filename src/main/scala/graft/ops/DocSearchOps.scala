@@ -173,6 +173,52 @@ object DocSearchOps {
       Seq(QuerySpec("restored", should = Seq("stream", "window")))))
   }
 
+  /** Index-time sort + early termination
+    * [B lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java#setIndexSort,
+    * lucene/core/src/java/org/apache/lucene/search/TopFieldCollector.java]:
+    * when the query sort matches the index sort, Lucene stops reading each
+    * segment after k competitive docs. The Spark-native equivalent: the
+    * sorted index variant is materialized PARTITIONED BY a bucketed sort
+    * key and sorted within partitions, and a top-k-by-sort-field query
+    * (a) consults the tiny bucket-count sidecar to find the smallest
+    * leading bucket set covering k rows, then (b) scans ONLY those
+    * buckets — directory-level partition pruning, the early-termination
+    * analogue where "segments past the k-th competitive doc" are never
+    * opened. The sidecar read is bounded by bucket count (~16 rows), the
+    * pruned scan by the leading buckets' size, never the corpus.
+    */
+  def searchIndexSorted(spark: SparkSession, sfDir: String,
+      k: Int = 25): DataFrame = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_sortedidx_${Version}_$safe"
+    val stop = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+    if (!new java.io.File(s"$dir/_done").exists()) {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          size(filter(TextOps.tokensCol(col("text")),
+            t => !t.isin(stop: _*))).cast("long").as("token_count"))
+        .withColumn("tc_bucket", (col("token_count") / 8).cast("int"))
+      d.repartition(col("tc_bucket"))
+        .sortWithinPartitions(desc("token_count"), asc("doc_id"))
+        .write.mode("overwrite").partitionBy("tc_bucket").parquet(s"$dir/sorted")
+      d.groupBy(col("tc_bucket")).agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/buckets")
+      new java.io.File(s"$dir/_done").createNewFile()
+    }
+    // sidecar: smallest leading-bucket set covering k rows (<= ~16 rows read)
+    val buckets = spark.read.parquet(s"$dir/buckets")
+      .orderBy(desc("tc_bucket")).collect()
+    var cum = 0L; var cutoff = Int.MinValue
+    buckets.foreach { r =>
+      if (cum < k) { cutoff = r.getInt(0); cum += r.getLong(1) }
+    }
+    spark.read.parquet(s"$dir/sorted")
+      .where(col("tc_bucket") >= cutoff) // partition pruning: leading buckets only
+      .orderBy(desc("token_count"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("token_count"))
+  }
+
   /** Solr atomic update [B solr/core/src/java/org/apache/solr/update/processor/AtomicUpdateDocumentMerger.java]:
     * a partial-document update ({add: ' atomicupd'} to the content of
     * every doc matching term 'dup') applied THROUGH the index's
