@@ -40,6 +40,8 @@ object SparkEntry {
     "search_span_or_near" -> ((s, d) => DocSearchOps.searchSpanOrNear(s, d)),
     "search_span_not_nested" -> ((s, d) =>
       DocSearchOps.searchSpanNotNested(s, d)),
+    "search_span_containing" -> ((s, d) => DocSearchOps.searchSpanContaining(s, d)),
+    "search_span_within" -> ((s, d) => DocSearchOps.searchSpanWithin(s, d)),
     "interval_ordered" -> ((s, d) => DocSearchOps.intervalOrdered(s, d)),
     "interval_unordered" -> ((s, d) => DocSearchOps.intervalUnordered(s, d)),
     "interval_containing" -> ((s, d) => DocSearchOps.intervalContaining(s, d)),
@@ -1199,6 +1201,34 @@ object SparkEntry {
          |SELECT DISTINCT inc.doc_id AS doc_id
          |FROM inc JOIN w ON w.doc_id = inc.doc_id
          |WHERE w.pos >= inc.pos + 1 AND (w.pos + 1 - inc.pos) - 2 <= 10
+         |ORDER BY doc_id""".stripMargin,
+    // SpanContaining: merge..window near spans (slop 8, widths 1+1) that
+    // contain a 'sort' position
+    "search_span_containing" ->
+      s"""WITH $PosCtes,
+         |m AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |w AS (SELECT doc_id, pos FROM pp WHERE term = 'window'),
+         |big AS (SELECT m.doc_id, m.pos AS s, w.pos + 1 AS e
+         |        FROM m JOIN w ON w.doc_id = m.doc_id
+         |        WHERE w.pos >= m.pos + 1 AND (w.pos + 1 - m.pos) - 2 <= 8),
+         |lit AS (SELECT doc_id, pos FROM pp WHERE term = 'sort')
+         |SELECT DISTINCT big.doc_id AS doc_id
+         |FROM big JOIN lit ON lit.doc_id = big.doc_id
+         |WHERE big.s <= lit.pos AND lit.pos + 1 <= big.e
+         |ORDER BY doc_id""".stripMargin,
+    // SpanWithin under SpanFirst: 'sort' inside a merge..window span,
+    // ending by position 60
+    "search_span_within" ->
+      s"""WITH $PosCtes,
+         |m AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |w AS (SELECT doc_id, pos FROM pp WHERE term = 'window'),
+         |big AS (SELECT m.doc_id, m.pos AS s, w.pos + 1 AS e
+         |        FROM m JOIN w ON w.doc_id = m.doc_id
+         |        WHERE w.pos >= m.pos + 1 AND (w.pos + 1 - m.pos) - 2 <= 8),
+         |lit AS (SELECT doc_id, pos FROM pp WHERE term = 'sort')
+         |SELECT DISTINCT lit.doc_id AS doc_id
+         |FROM lit JOIN big ON big.doc_id = lit.doc_id
+         |WHERE big.s <= lit.pos AND lit.pos + 1 <= big.e AND lit.pos + 1 <= 60
          |ORDER BY doc_id""".stripMargin,
     // IntervalQuery + saturation: freq = sum 1/(1+gaps) over minimal
     // ordered(key, value) intervals, score = freq/(freq+1)

@@ -67,6 +67,19 @@ object SpanNode {
     */
   final case class SFirst(child: SpanNode, end: Int) extends SpanNode
 
+  /** SpanContainingQuery [B .../queries/spans/SpanContainingQuery.java]:
+    * spans of `big` that contain at least one `little` span
+    * (big.start <= little.start && little.end <= big.end). Emits the BIG
+    * span, Lucene's ContainSpans with the big side as the driving spans.
+    */
+  final case class SContaining(big: SpanNode, little: SpanNode) extends SpanNode
+
+  /** SpanWithinQuery [B .../queries/spans/SpanWithinQuery.java]: spans of
+    * `little` that lie within some `big` span — the same containment test,
+    * emitting the LITTLE side.
+    */
+  final case class SWithin(little: SpanNode, big: SpanNode) extends SpanNode
+
   /** Single-term leaf. */
   def term(t: String): STerm = STerm(Seq(t), Seq(0))
 
@@ -77,6 +90,8 @@ object SpanNode {
     case SNear(cs, _, _) => cs.flatMap(allTerms)
     case SNot(i, e, _) => allTerms(i) ++ allTerms(e)
     case SFirst(c, _) => allTerms(c)
+    case SContaining(b, l) => allTerms(b) ++ allTerms(l)
+    case SWithin(l, b) => allTerms(l) ++ allTerms(b)
   }
 
   /** Terms a matching doc MUST contain — the cheap-phase conjunction
@@ -90,6 +105,9 @@ object SpanNode {
     case SNear(cs, _, _) => cs.flatMap(requiredTerms)
     case SNot(i, _, _) => requiredTerms(i)
     case SFirst(c, _) => requiredTerms(c)
+    // a containment match needs BOTH sides present in the doc
+    case SContaining(b, l) => requiredTerms(b) ++ requiredTerms(l)
+    case SWithin(l, b) => requiredTerms(l) ++ requiredTerms(b)
   }
 }
 
@@ -162,6 +180,30 @@ object SpanAlgebra {
     case SFirst(c, end) =>
       val in = eval(c, pos)
       if (in.isEmpty) Empty else in.filter(endOf(_) <= end)
+
+    case SContaining(big, little) =>
+      val b = eval(big, pos)
+      if (b.isEmpty) Empty
+      else {
+        val l = eval(little, pos)
+        if (l.isEmpty) Empty
+        else b.filter { s =>
+          val s0 = startOf(s); val e0 = endOf(s)
+          l.exists(x => s0 <= startOf(x) && endOf(x) <= e0)
+        }
+      }
+
+    case SWithin(little, big) =>
+      val l = eval(little, pos)
+      if (l.isEmpty) Empty
+      else {
+        val b = eval(big, pos)
+        if (b.isEmpty) Empty
+        else l.filter { s =>
+          val s0 = startOf(s); val e0 = endOf(s)
+          b.exists(x => startOf(x) <= s0 && e0 <= endOf(x))
+        }
+      }
   }
 
   /** exists-a-span shortcut (the per-doc accept check). */

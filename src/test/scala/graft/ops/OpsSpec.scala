@@ -354,4 +354,58 @@ class OpsSpec extends AnyFunSuite {
     assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
     assert(a.map(_.getLong(0)).distinct.length == 500)
   }
+
+  test("searchIndexSorted: pruned top-k equals brute-force over the full table") {
+    val stop = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+    val brute = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(filter(TextOps.tokensCol(col("text")),
+          t => !t.isin(stop: _*))).cast("long").as("token_count"))
+      .orderBy(desc("token_count"), asc("doc_id"))
+      .limit(25).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pruned = DocSearchOps.searchIndexSorted(spark, sf, 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.sameElements(brute))
+    // k past the corpus size: every bucket survives the cutoff, all rows return
+    assert(DocSearchOps.searchIndexSorted(spark, sf, 100000).count() == 500)
+  }
+
+  test("wordBreakSpell: known splits found, unsplittable input yields nothing") {
+    val rows = DocSearchOps.wordBreakSpell(spark, sf,
+      breaks = Seq("mergesort", "zzzqqq"), combines = Seq(("ta", "ble")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.contains(("mergesort", "break", "merge sort")))
+    assert(rows.exists { case (i, k, s) => i == "ta ble" && k == "combine" && s == "table" })
+    assert(!rows.exists(_._1 == "zzzqqq"))
+  }
+
+  test("searchComplexPhrase matches exactly the brute-force adjacency set") {
+    import spark.implicits._
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+      .filter { case (_, ts) =>
+        ts.zip(ts.drop(1)).exists { case (a, b) => a == "merge" && b.startsWith("s") }
+      }.map(_._1).toSet
+    val got = DocSearchOps.searchComplexPhrase(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("perplexity: finite positive scores, n_bigrams = tokens - 1") {
+    import spark.implicits._
+    val ppl = TextOps.perplexity(spark, sf).collect()
+    assert(ppl.length == 500)
+    assert(ppl.forall(r => r.getDouble(2) > 0 && !r.getDouble(2).isInfinite))
+    val nToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(TextOps.tokensCol(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(ppl.forall(r => r.getLong(1) == nToks(r.getLong(0)) - 1))
+  }
+
+  test("atomic update is idempotent: identical rows on a second run") {
+    val a = DocSearchOps.searchAtomicUpdate(spark, sf).collect()
+    val b = DocSearchOps.searchAtomicUpdate(spark, sf).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
 }

@@ -63,6 +63,16 @@ class SpanAlgebraSpec extends AnyFunSuite {
         !ex.exists { case (s2, e2) => s2 < en + d && e2 > s - d }
       }
     case SFirst(c, end) => refSpans(c, tokens).filter(_._2 <= end)
+    case SContaining(b, l) =>
+      val ls = refSpans(l, tokens)
+      refSpans(b, tokens).filter { case (s, e) =>
+        ls.exists { case (s2, e2) => s <= s2 && e2 <= e }
+      }
+    case SWithin(l, b) =>
+      val bs = refSpans(b, tokens)
+      refSpans(l, tokens).filter { case (s, e) =>
+        bs.exists { case (s2, e2) => s2 <= s && e <= e2 }
+      }
   }
 
   private def evalSet(n: SpanNode, tokens: Vector[String]): Set[(Int, Int)] =
@@ -82,7 +92,7 @@ class SpanAlgebraSpec extends AnyFunSuite {
 
   private def genTree(depth: Int): Gen[SpanNode] =
     if (depth <= 0) genTermLeaf
-    else Gen.chooseNum(0, 4).flatMap {
+    else Gen.chooseNum(0, 6).flatMap {
       case 0 => genTermLeaf
       case 1 => for {
         a <- genTree(depth - 1); b <- genTree(depth - 1)
@@ -97,9 +107,15 @@ class SpanAlgebraSpec extends AnyFunSuite {
         i <- genTree(depth - 1); e <- genTermLeaf
         d <- Gen.chooseNum(0, 3)
       } yield SNot(i, e, d)
-      case _ => for {
+      case 4 => for {
         c <- genTree(depth - 1); end <- Gen.chooseNum(0, 14)
       } yield SFirst(c, end)
+      case 5 => for {
+        b <- genTree(depth - 1); l <- genTree(depth - 1)
+      } yield SContaining(b, l)
+      case _ => for {
+        l <- genTree(depth - 1); b <- genTree(depth - 1)
+      } yield SWithin(l, b)
     }
 
   private val genCase: Gen[(SpanNode, Vector[String])] = for {
