@@ -92,6 +92,10 @@ object SparkEntry {
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
+    "function_query_tfidf" -> ((s, d) => DocSearchOps.functionQueryTfIdf(s, d)),
+    "search_combined_field" -> ((s, d) => DocSearchOps.searchCombinedField(s, d)),
+    "search_feature_boost" -> ((s, d) => DocSearchOps.searchFeatureBoost(s, d)),
+    "search_diversified" -> ((s, d) => DocSearchOps.searchDiversified(s, d)),
     "more_like_this" -> ((s, d) => DocSearchOps.moreLikeThis(s, d)),
     "significant_terms" -> ((s, d) => DocSearchOps.significantTerms(s, d)),
     "search_sql_expr" -> (DocSearchOps.searchSqlExpr(_, _)),
@@ -293,6 +297,15 @@ object SparkEntry {
        |  FROM sc)
        |WHERE rank > $offset AND rank <= $offset + $k ORDER BY rank""".stripMargin
   }
+
+  /** SmallFloat byte4 quantization of an arbitrary length expression — the
+    * same formula the qdl CTE applies to dl (used by the BM25F oracle for
+    * per-FIELD lengths; a length bounded below 32 quantizes to itself).
+    */
+  private def qlenOracle(e: String): String =
+    s"""CASE WHEN $e < 32 THEN $e
+       |ELSE 24 + ((($e - 24) >> (length(printf('%b', $e - 24)) - 4))
+       |           << (length(printf('%b', $e - 24)) - 4)) END""".stripMargin
 
   private val QualityTokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
@@ -1643,6 +1656,90 @@ object SparkEntry {
          |FROM documents)
          |SELECT doc_id, round(ln(n_chars * 1.0) * 2 + sqrt(token_count * 1.0), 4) AS fscore
          |FROM tc ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
+    // Solr termfreq()/idf() value sources: tf('merge') from postings,
+    // classic idf 1 + ln(N/(df+1)), composed tf*idf ranking
+    "function_query_tfidf" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge'
+         |       GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT count(*) FROM tf) AS df)
+         |SELECT doc_id, tf,
+         |       round(tf * (1 + ln(st.n * 1.0 / (st.df + 1))), 4) AS score
+         |FROM tf CROSS JOIN st
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // CombinedFieldQuery / BM25F: title = first 8 analyzed tokens (w=2),
+    // body = rest (w=1); freq/dl/df/avgdl merged into one pseudo-field,
+    // SmallFloat-quantized per-field lengths, then Lucene-8 BM25
+    "search_combined_field" ->
+      s"""WITH ftk AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+         |              x -> x <> '' AND x NOT IN ($StopSql)) AS toks FROM documents),
+         |fld AS (SELECT doc_id, list_slice(toks, 1, 8) AS title,
+         |               list_slice(toks, 9, len(toks)) AS body FROM ftk),
+         |dls AS (SELECT doc_id,
+         |        2.0 * len(title) + (${qlenOracle("len(body)")}) AS dl FROM fld),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT sum(dl) FROM dls) / (SELECT count(*) FROM documents) AS avgdl),
+         |tfq AS (SELECT f.doc_id, t.term,
+         |        2.0 * len(list_filter(f.title, x -> x = t.term))
+         |        + len(list_filter(f.body, x -> x = t.term)) AS freq
+         |        FROM fld f, (VALUES ('merge'), ('window')) t(term)),
+         |pos AS (SELECT * FROM tfq WHERE freq > 0),
+         |dfs AS (SELECT term, count(*) AS df FROM pos GROUP BY term),
+         |sc AS (SELECT p.doc_id,
+         |       sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * p.freq /
+         |           (p.freq + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl))) AS score
+         |       FROM pos p JOIN dfs d ON d.term = p.term
+         |            JOIN dls l ON l.doc_id = p.doc_id
+         |            CROSS JOIN st
+         |       GROUP BY p.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // FeatureField.newLogQuery: BM25(merge, sort) + 1.5*ln(1 + n_chars/1000)
+    "search_feature_boost" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |       sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN dfs ON tf.term = dfs.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id
+         |            CROSS JOIN st
+         |       GROUP BY tf.doc_id),
+         |fb AS (SELECT sc.doc_id,
+         |       sc.score + 1.5 * ln(1.0 + d.n_chars / 1000.0) AS score
+         |       FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM fb)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // DiversifiedTopDocsCollector: <=2 hits per source key, then top-10
+    "search_diversified" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'window') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |       sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN dfs ON tf.term = dfs.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id
+         |            CROSS JOIN st
+         |       GROUP BY tf.doc_id),
+         |keyed AS (SELECT sc.doc_id, d.source, sc.score,
+         |          row_number() OVER (PARTITION BY d.source
+         |            ORDER BY round(sc.score, 9) DESC, sc.doc_id) AS nkey
+         |          FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+         |SELECT rank, doc_id, source, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, source, round(score, 4) AS score
+         |  FROM keyed WHERE nkey <= 2)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "index_term_stats" ->
       s"""WITH $TokCte
          |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf

@@ -1613,4 +1613,174 @@ object DocSearchOps {
       .take(5)
     searchDf(spark, sfDir, QuerySpec("mlt", should = topTerms.toSeq, k = 10))
   }
+
+  /** SmallFloat byte4 doc-length quantization as a codegen'd SQL fragment
+    * (identical to SmallFloatUtil.byte4ToInt(intToByte4(dl)) and to the
+    * oracle's qdl CTE): dl < 32 exact, else 24 + top-4-significant-bits of
+    * (dl - 24).
+    */
+  private def qlenSql(dl: String): String =
+    s"""CASE WHEN $dl < 32 THEN $dl
+       |ELSE 24 + shiftleft(shiftright($dl - 24, length(bin($dl - 24)) - 4),
+       |                    length(bin($dl - 24)) - 4) END""".stripMargin
+
+  /** CombinedFieldQuery (BM25F)
+    * [B lucene/sandbox/src/java/org/apache/lucene/sandbox/search/CombinedFieldQuery.java]:
+    * scores query terms against multiple fields AS IF they were one merged
+    * pseudo-field — per-doc freq = Σ_f w_f·tf_f(t), per-doc length =
+    * Σ_f w_f·quantized(len_f) (the MultiNormsLeafSimScorer weighted-norm
+    * sum), df = docs where the merged freq > 0, avgdl over merged lengths —
+    * then plain BM25 (k1=1.2, b=0.75, Lucene-8 no-(k1+1) numerator) on the
+    * merged statistics. Unlike edismax qf (per-field scores dismax'd
+    * together), BM25F fixes the "term split across fields" underscoring by
+    * merging STATS, not scores. Fields here: title = first `titleLen`
+    * analyzed tokens (weight `wTitle`), body = the rest (weight 1) — the
+    * classic title/body split. All per-doc work is map-only higher-order
+    * array functions inside WholeStageCodegen; the only shuffles are the
+    * tiny df/avgdl aggregates and the final TakeOrdered top-k, so the shape
+    * holds at any corpus size.
+    */
+  def searchCombinedField(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "window"), titleLen: Int = 8,
+      wTitle: Double = 2.0, k: Int = 10): DataFrame = {
+    val stop = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+    val fielded = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        filter(TextOps.tokensCol(col("text")), t => !t.isin(stop: _*)).as("toks"))
+      .select(col("doc_id"),
+        slice(col("toks"), 1, titleLen).as("title"),
+        expr(s"slice(toks, ${titleLen + 1}, greatest(size(toks) - $titleLen, 0))")
+          .as("body"))
+      .withColumn("dl",
+        lit(wTitle) * expr(qlenSql("size(title)")) + expr(qlenSql("size(body)")))
+    val (nDocs, sumDl) = {
+      val r = fielded.agg(count(lit(1)), sum(col("dl"))).head
+      (r.getLong(0), r.getDouble(1))
+    }
+    val avgdl = sumDl / nDocs
+    val tfq = fielded
+      .select(col("doc_id"), col("dl"), explode(array(terms.map(t =>
+        struct(lit(t).as("term"),
+          (lit(wTitle) * size(filter(col("title"), x => x === t)) +
+            size(filter(col("body"), x => x === t))).cast("double").as("freq"))): _*))
+        .as("tq"))
+      .select(col("doc_id"), col("dl"), col("tq.term").as("term"),
+        col("tq.freq").as("freq"))
+      .where(col("freq") > 0)
+    // merged-field df per term: tiny aggregate (one row per query term)
+    val dfMap = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfExpr = terms.filter(dfMap.contains).map { t =>
+      val df = dfMap(t)
+      when(col("term") === t,
+        lit(math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))))
+    }.reduceOption(_.otherwise(_)).getOrElse(lit(0.0))
+    val scored = tfq
+      .withColumn("ts", idfExpr * col("freq") /
+        (col("freq") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id")).agg(sum(col("ts")).as("score"))
+    val top = scored.orderBy(round(col("score"), 9).desc, asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(round(col("score"), 9).desc, asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(asc("rank"))
+  }
+
+  /** FeatureField static-rank boosting
+    * [B lucene/core/src/java/org/apache/lucene/document/FeatureField.java]:
+    * a per-document static feature (pagerank-style; here n_chars/1000 as
+    * the deterministic stand-in) contributes w·ln(a + feature) to every
+    * matching doc's score — Lucene's FeatureField.newLogQuery added as a
+    * SHOULD clause next to the text query. The text query runs through the
+    * REAL engine at k > MergeCollectMax, so the full matching set arrives
+    * via the distributed heap merge (never a driver collect), the boost is
+    * a map-only join against doc metadata, and the final top-k is a
+    * TakeOrdered — no unbounded window at any scale.
+    */
+  def searchFeatureBoost(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "sort"), w: Double = 1.5,
+      k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    val kAll = math.max(r.stats.docCount + 1,
+      QueryEngine.MergeCollectMax + 1).toInt
+    val hits = QueryEngine.search(r, Seq(QuerySpec("feat", should = terms, k = kAll)))
+    val feat = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        (lit(w) * log(lit(1.0) + col("n_chars") / lit(1000.0))).as("boost"))
+    val boosted = hits.join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .join(feat, "doc_id")
+      .withColumn("score", col("score") + col("boost"))
+    val top = boosted.orderBy(round(col("score"), 9).desc, asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(round(col("score"), 9).desc, asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(asc("rank"))
+  }
+
+  /** DiversifiedTopDocsCollector
+    * [B lucene/misc/src/java/org/apache/lucene/misc/search/DiversifiedTopDocsCollector.java]:
+    * top-k where at most `maxPerKey` hits share a key (here the doc's
+    * `source` repo) — "no more than N results per artist" de-duplication of
+    * the ranking. The full matching set comes from the engine through the
+    * distributed merge (k > MergeCollectMax); the per-key cap is a
+    * row_number window partitioned BY KEY (shuffles on the key, each
+    * partition streams — the collector's per-key reservoir, distributed),
+    * and the global top-k after the cap is a TakeOrdered.
+    */
+  def searchDiversified(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "window"), maxPerKey: Int = 2,
+      k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    val kAll = math.max(r.stats.docCount + 1,
+      QueryEngine.MergeCollectMax + 1).toInt
+    val hits = QueryEngine.search(r, Seq(QuerySpec("div", should = terms, k = kAll)))
+    val perKey = Window.partitionBy(col("source"))
+      .orderBy(round(col("score"), 9).desc, asc("doc_id"))
+    val kept = hits
+      .join(r.docMeta.select(col("docId"), col("path"), col("repo").as("source")),
+        "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("nkey", row_number().over(perKey))
+      .where(col("nkey") <= maxPerKey)
+    val top = kept.orderBy(round(col("score"), 9).desc, asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(round(col("score"), 9).desc, asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("source"),
+        round(col("score"), 4).as("score"))
+      .orderBy(asc("rank"))
+  }
+
+  /** Relevance-function queries — Solr's termfreq()/docfreq()/idf() value
+    * sources [B solr/core/src/java/org/apache/solr/search/ValueSourceParser.java,
+    * lucene/queries/src/java/org/apache/lucene/queries/function/valuesource/TermFreqValueSource.java]:
+    * per-doc tf comes from DECODING THE TERM'S OWN POSTINGS (a pushed-down
+    * single-term scan — never a corpus re-tokenize), df/N from the slim
+    * termdict + collection stats, and the composed function
+    * tf · (1 + ln(N/(df+1))) (ClassicSimilarity idf) ranks the docs. The
+    * scan reads exactly one term's blocks; everything after is map-only +
+    * one TakeOrdered.
+    */
+  def functionQueryTfIdf(spark: SparkSession, sfDir: String,
+      term: String = "merge", k: Int = 15): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val n = r.stats.docCount
+    val df = r.termStatsMap(Seq(term)).get(term).map(_._1).getOrElse(0L)
+    val idf = 1.0 + math.log(n.toDouble / (df + 1.0))
+    val tf = r.postings.where(col("term") === term).as[TermPostings]
+      .flatMap { tp =>
+        tp.blocks.iterator.flatMap { b =>
+          val (docs, tfs, _) = graft.core.PostingBlocks.decode(b)
+          docs.iterator.zip(tfs.iterator)
+        }
+      }
+      .toDF("docId", "tf")
+      .groupBy(col("docId")).agg(sum(col("tf")).as("tf")) // snapshots/slices merge
+    tf.join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"), col("tf"),
+        round(col("tf") * lit(idf), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
 }

