@@ -92,6 +92,9 @@ object SparkEntry {
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
+    "facet_sampled" -> ((s, d) => RelationalOps.facetSampled(s, d)),
+    "facet_block_domain" -> ((s, d) => RelationalOps.facetBlockDomain(s, d)),
+    "collapse_ngroups" -> ((s, d) => RelationalOps.collapseNgroups(s, d)),
     "function_query_tfidf" -> ((s, d) => DocSearchOps.functionQueryTfIdf(s, d)),
     "search_combined_field" -> ((s, d) => DocSearchOps.searchCombinedField(s, d)),
     "search_feature_boost" -> ((s, d) => DocSearchOps.searchFeatureBoost(s, d)),
@@ -1656,6 +1659,35 @@ object SparkEntry {
          |FROM documents)
          |SELECT doc_id, round(ln(n_chars * 1.0) * 2 + sqrt(token_count * 1.0), 4) AS fscore
          |FROM tc ORDER BY fscore DESC, doc_id LIMIT 10""".stripMargin,
+    // RandomSamplingFacetsCollector: facet over the md5-sampled hit set,
+    // counts amortized by the exact totalHits/sampleSize correction
+    "facet_sampled" ->
+      s"""WITH $TokCte,
+         |hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+         |m AS (SELECT h.doc_id, d.lang FROM hit h JOIN documents d USING (doc_id)),
+         |s AS (SELECT * FROM m
+         |      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+         |st AS (SELECT (SELECT count(*) FROM m) AS nm, (SELECT count(*) FROM s) AS ns)
+         |SELECT lang, count(*) AS sampled_cnt,
+         |       round(count(*) * st.nm * 1.0 / st.ns, 4) AS est_cnt
+         |FROM s CROSS JOIN st GROUP BY lang, st.nm, st.ns
+         |ORDER BY sampled_cnt DESC, lang""".stripMargin,
+    // blockChildren facet domain: child query 'merge' -> matched parents
+    // (source blocks) -> facet ALL their children by lang
+    "facet_block_domain" ->
+      s"""WITH $TokCte,
+         |p AS (SELECT DISTINCT d.source FROM tok t
+         |      JOIN documents d ON d.doc_id = t.doc_id WHERE t.term = 'merge')
+         |SELECT d2.lang, count(*) AS cnt
+         |FROM documents d2 JOIN p USING (source)
+         |GROUP BY d2.lang ORDER BY cnt DESC, lang""".stripMargin,
+    // group.ngroups: hit count + distinct group count for the term query
+    "collapse_ngroups" ->
+      s"""WITH $TokCte,
+         |hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+         |SELECT (SELECT count(*) FROM hit) AS matches,
+         |       (SELECT count(DISTINCT d.source) FROM hit h
+         |        JOIN documents d ON d.doc_id = h.doc_id) AS ngroups""".stripMargin,
     // Solr termfreq()/idf() value sources: tf('merge') from postings,
     // classic idf 1 + ln(N/(df+1)), composed tf*idf ranking
     "function_query_tfidf" ->

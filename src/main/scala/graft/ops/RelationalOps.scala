@@ -641,4 +641,72 @@ object RelationalOps {
       .orderBy(asc("user_id"), asc("session_id"))
   }
 
+  /** Sampled facet counts
+    * [B lucene/facet/src/java/org/apache/lucene/facet/RandomSamplingFacetsCollector.java]:
+    * facet over a DETERMINISTIC hash sample of the query's hit set (md5
+    * first hex digit — the same partitioning-independent sampler the
+    * hash-split op uses, instead of Lucene's XORShift bin sampling), then
+    * amortize the counts back to the full domain by the exact
+    * totalHits/sampleSize correction factor. At 100 TB the facet aggregate
+    * reads a 4/16 sample; the two domain counts are one scalar aggregate.
+    */
+  def facetSampled(spark: SparkSession, sfDir: String,
+      term: String = "merge", hexDigits: Seq[String] = Seq("0", "1", "2", "3"))
+      : DataFrame = {
+    val matched = t(spark, sfDir, "documents")
+      .where(array_contains(TextOps.tokensCol(col("text")), term))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin(hexDigits: _*)
+          .as("in_sample"))
+    val r = matched.agg(count(lit(1)),
+      count(when(col("in_sample"), lit(1)))).head
+    val correction = r.getLong(0).toDouble / r.getLong(1)
+    matched.where(col("in_sample"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled_cnt"))
+      .withColumn("est_cnt", round(col("sampled_cnt") * lit(correction), 4))
+      .orderBy(desc("sampled_cnt"), asc("lang"))
+  }
+
+  /** JSON Facet API domain transform blockChildren
+    * [B solr/core/src/java/org/apache/solr/search/facet/FacetRequest.java
+    * (domain: blockChildren/blockParent)]: start from a CHILD query's hit
+    * set, widen to the matched parents (block = the doc's `source` repo),
+    * then facet over ALL children of those parents — "facet the whole
+    * families any matching child belongs to". The parent domain is a tiny
+    * DISTINCT broadcast back against the corpus, so no shuffle touches the
+    * child side.
+    */
+  def facetBlockDomain(spark: SparkSession, sfDir: String,
+      term: String = "merge"): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val parents = docs
+      .where(array_contains(TextOps.tokensCol(col("text")), term))
+      .select(col("source")).distinct()
+    docs.join(broadcast(parents), "source")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("lang"))
+  }
+
+  /** Grouping totals — Solr group.ngroups / Lucene AllGroupsCollector
+    * [B lucene/grouping/src/java/org/apache/lucene/search/grouping/AllGroupsCollector.java]:
+    * alongside the hits, report how many DISTINCT groups matched. The hit
+    * set comes off the term's own pushed-down postings scan (never a
+    * corpus re-tokenize); matches + distinct-group-count is one two-phase
+    * aggregate with map-side partials.
+    */
+  def collapseNgroups(spark: SparkSession, sfDir: String,
+      term: String = "merge"): DataFrame = {
+    import spark.implicits._
+    val r = DocSearchOps.reader(spark, sfDir)
+    val hits = r.postings.where(col("term") === term).as[graft.TermPostings]
+      .flatMap(tp => tp.blocks.iterator
+        .flatMap(b => graft.core.PostingBlocks.decode(b)._1.iterator))
+      .toDF("docId")
+    hits.join(r.docMeta.select(col("docId"), col("repo")), "docId")
+      .agg(count(lit(1)).as("matches"),
+        countDistinct(col("repo")).as("ngroups"))
+  }
+
 }

@@ -475,6 +475,44 @@ class OpsSpec extends AnyFunSuite {
     assert(boosted.nonEmpty)
   }
 
+  test("facetSampled estimates amortize back to the exact hit total") {
+    import spark.implicits._
+    val rows = RelationalOps.facetSampled(spark, sf).collect()
+    val estSum = rows.map(_.getDouble(2)).sum
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .count { case (_, t) => localToks(t).contains("merge") }
+    // sum over langs of sampled*nm/ns telescopes to nm (up to per-bucket rounding)
+    assert(math.abs(estSum - exact) < 0.01 * rows.length,
+      s"est $estSum vs exact $exact")
+  }
+
+  test("facetBlockDomain broadcasts the parent domain and matches brute force") {
+    import spark.implicits._
+    val df = RelationalOps.facetBlockDomain(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast parent domain:\n$plan")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .as[(Long, String, String, String)].collect()
+    val parents = docs.filter(d => localToks(d._2).contains("merge")).map(_._3).toSet
+    val want = docs.filter(d => parents(d._3)).groupBy(_._4).map { case (l, xs) => l -> xs.length.toLong }
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("collapseNgroups matches a local matches/ngroups count") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect()
+    val hit = docs.filter(d => localToks(d._2).contains("merge"))
+    val r = RelationalOps.collapseNgroups(spark, sf).head
+    assert(r.getLong(0) == hit.length)
+    assert(r.getLong(1) == hit.map(_._3).distinct.length)
+  }
+
   test("functionQueryTfIdf tf equals a local tokenize count") {
     import spark.implicits._
     val texts = spark.read.parquet(s"$sf/documents.parquet")
