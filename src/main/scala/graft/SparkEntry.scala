@@ -126,6 +126,7 @@ object SparkEntry {
     "search_regex" -> ((s, d) => DocSearchOps.searchRegex(s, d)),
     "search_highlight" -> ((s, d) => DocSearchOps.searchHighlight(s, d)),
     "index_term_stats" -> (DocSearchOps.indexTermStats(_, _)),
+    "terms_regex" -> ((s, d) => DocSearchOps.termsRegex(s, d)),
     // -- facets / OLAP (SURVEY.md §2.7) --
     "facet_terms" -> (RelationalOps.facetTerms(_, _)),
     "facet_terms_params" -> ((s, d) => RelationalOps.facetTermsParams(s, d)),
@@ -177,6 +178,8 @@ object SparkEntry {
     "host_cap" -> ((s, d) => PipelineOps.hostCap(s, d)),
     "mix_weights" -> ((s, d) => PipelineOps.mixWeights(s, d)),
     "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
+    "decontaminate_fraction" -> ((s, d) => PipelineOps.decontaminateFraction(s, d)),
+    "pack_sequences" -> ((s, d) => PipelineOps.packSequences(s, d)),
     // production shape: the benchmark is its OWN table argument, so the
     // training corpus is scanned exactly once (bench = %19==3 slice read
     // as a separate frame, standing in for an external eval suite)
@@ -196,6 +199,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh(_, _)),
     "dedup_simhash" -> (DedupOps.dedupSimhash(_, _)),
     "dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
+    "dedup_keep_best" -> ((s, d) => DedupOps.keepBest(s, d)),
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
     // -- similarity search --
     "ann_brute_force" -> (AnnOps.annBruteForce(_, _)),
@@ -1777,6 +1781,12 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
          |FROM tok WHERE term IN ($ProbeTermsIn)
          |GROUP BY term ORDER BY term""".stripMargin,
+    // TermsComponent terms.regex: dictionary terms matching ^s[a-z]*t$
+    "terms_regex" ->
+      s"""WITH $TokCte
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+         |FROM tok WHERE regexp_matches(term, '^s[a-z]*[kmt]$$')
+         |GROUP BY term ORDER BY df DESC, term LIMIT 10""".stripMargin,
 
     "facet_terms" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 5",
@@ -2171,6 +2181,35 @@ object SparkEntry {
          |FROM sh s JOIN bench b ON s.sh = b.sh
          |WHERE s.doc_id % 7 <> 0
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // contamination FRACTION + drop policy: share of a doc's distinct
+    // shingles found in the pseudo-benchmark, dropped above 5%
+    "decontaminate_fraction" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |shd AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 7),
+         |        i -> md5(array_to_string(toks[i + 1 : i + 8], ' ')))) AS shs
+         |        FROM tk WHERE len(toks) >= 8),
+         |tr AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh
+         |       FROM shd WHERE doc_id % 7 <> 0),
+         |be AS (SELECT DISTINCT unnest(shs) AS sh FROM shd WHERE doc_id % 7 = 0),
+         |h AS (SELECT tr.doc_id, tr.n_sh, count(*) AS n_hits
+         |      FROM tr JOIN be USING (sh) GROUP BY tr.doc_id, tr.n_sh)
+         |SELECT doc_id, n_sh, n_hits,
+         |       round(n_hits * 1.0 / n_sh, 4) AS frac,
+         |       n_hits * 1.0 / n_sh > 0.05 AS dropped
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // GPT-style sequence packing: cumulative token offsets chunked into
+    // 512-token sequences, straddlers flagged
+    "pack_sequences" ->
+      s"""WITH tc AS (SELECT doc_id, len($QualityTokSql) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |        AS start_off FROM tc)
+         |SELECT doc_id, n_tokens, start_off,
+         |       CAST(floor(start_off / 512.0) AS BIGINT) AS seq_id,
+         |       floor((start_off + n_tokens - 1) / 512.0) > floor(start_off / 512.0)
+         |         AS spans_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
     // external-benchmark-table decontamination (bench = the %19==3 slice
     // standing in for a separate eval-suite table)
     "decontaminate_table" ->
@@ -2236,6 +2275,23 @@ object SparkEntry {
          |       c.node = c.cluster_id AS keep
          |FROM comp c JOIN sz s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // keep-best cluster resolution: longest member (token count) wins
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM est WHERE est_jaccard >= 0.78125
+         |        UNION SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.78125),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk),
+         |rr AS (SELECT c.node AS doc_id, c.cluster_id, q.n_tokens,
+         |       row_number() OVER (PARTITION BY c.cluster_id
+         |         ORDER BY q.n_tokens DESC, c.node) AS rn
+         |       FROM comp c JOIN q ON q.doc_id = c.node)
+         |SELECT doc_id, cluster_id, n_tokens, rn = 1 AS keep
+         |FROM rr ORDER BY doc_id""".stripMargin,
     // exact shingle-set Jaccard >= 0.5 over the guaranteed-recall candidates
     "dedup_ngram_jaccard" ->
       s"""WITH $MinhashCtes,

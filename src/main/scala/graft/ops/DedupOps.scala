@@ -350,6 +350,31 @@ object DedupOps {
       .orderBy(asc("doc_id"))
   }
 
+  /** Quality-aware duplicate-cluster resolution — the production keep
+    * policy (RefinedWeb/C4-style "keep the best member", vs
+    * duplicateClusters' smallest-id canonical): within each near-dup
+    * cluster keep the LONGEST document (token count; tiebreak smallest
+    * id). The per-cluster argmax is a row_number window partitioned by
+    * cluster label — bounded by cluster size, shuffles only the clustered
+    * docs (never the corpus), quality is a map-only column.
+    */
+  def keepBest(spark: SparkSession, sfDir: String,
+      threshold: Double = MinhashThreshold): DataFrame = {
+    val aug = augmentedDocs(spark, sfDir)
+    val pairs = minhashCandidates(aug, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = clusterPairs(pairs)
+    val quality = aug.select(col("doc_id"),
+      size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(desc("n_tokens"), asc("node"))
+    labels.join(quality, labels("node") === quality("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("n_tokens"), (col("rn") === 1).as("keep"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** Exact n-gram Jaccard verification over the MinHash-LSH candidates
     * (never a global cross join): recompute true shingle-set Jaccard for
     * each candidate pair and keep those >= `threshold`.

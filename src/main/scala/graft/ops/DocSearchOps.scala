@@ -310,6 +310,25 @@ object DocSearchOps {
       .orderBy(asc("term"))
   }
 
+  /** Solr TermsComponent terms.regex listing
+    * [B solr/core/src/java/org/apache/solr/handler/component/TermsComponent.java]:
+    * enumerate dictionary terms matching a regex, with df/ttf stats, top-k
+    * by df. The regex's literal prefix becomes a StartsWith predicate the
+    * SLIM termdict scan pushes into parquet row-group pruning (the sorted
+    * termdict's min/max stats make it a range scan); the regex itself then
+    * filters only the pruned range — the TermsEnum.intersect shape.
+    */
+  def termsRegex(spark: SparkSession, sfDir: String, prefix: String = "s",
+      pattern: String = "^s[a-z]*[kmt]$", k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    r.termDict
+      .where(col("term").startsWith(prefix) && col("term").rlike(pattern))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
   /** MultiTermQuery rewrite: expand a dictionary predicate on the SLIM
     * termdict table (ReadSchema = term only, no blocks), then hit postings
     * via a broadcast SEMI-JOIN on term — matching terms never collect to

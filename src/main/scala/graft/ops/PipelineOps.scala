@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline operators beyond the reference's own surface:
   * deterministic corpus splitting, benchmark decontamination, and exact
@@ -152,6 +153,72 @@ object PipelineOps {
     tr.join(broadcast(be), "sh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("n_hits"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** Contamination FRACTION + drop policy (the thresholded form of
+    * decontaminate): per training doc, the share of its distinct `n`-token
+    * shingles that also occur in the benchmark set, and the drop verdict
+    * at `threshold` — the policy knob real pipelines tune (a doc quoting
+    * one bench sentence survives; a near-copy is dropped). The per-doc
+    * denominator is a map-only array_distinct size (no extra shuffle over
+    * the training shingle set — the distinct array rides the same row as
+    * the explode), the bench side stays a tiny broadcast.
+    */
+  def decontaminateFraction(spark: SparkSession, sfDir: String, n: Int = 8,
+      benchMod: Int = 7, threshold: Double = 0.05): DataFrame = {
+    val d = docs(spark, sfDir)
+    val tr = d.where(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"),
+        array_distinct(shingleDigests(TextOps.tokensCol(col("text")), n)).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
+    val be = d.where(col("doc_id") % benchMod === 0)
+      .select(explode(shingleDigests(TextOps.tokensCol(col("text")), n)).as("sh"))
+      .distinct()
+    tr.join(broadcast(be), "sh")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_hits")) // shs pre-distinct, so count == countDistinct
+      .withColumn("frac", round(col("n_hits") / col("n_sh"), 4))
+      .withColumn("dropped", col("n_hits") / col("n_sh") > threshold)
+      .select(col("doc_id"), col("n_sh"), col("n_hits"), col("frac"), col("dropped"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** GPT-style sequence packing: concatenate documents in doc_id order and
+    * chunk the token stream into fixed `budget`-token training sequences;
+    * each doc reports its start offset, owning sequence, and whether it
+    * straddles a boundary. The global prefix sum is TWO-LEVEL: per-block
+    * (doc_id div 1000) token totals get a cumulative offset (a window over
+    * the tiny block-totals frame), then each block's docs cumsum locally
+    * under a window PARTITIONED by block — no stage ever puts the corpus
+    * in one partition. At 10^12 docs the block-offset frame is 10^9 rows:
+    * swap the broadcast join for a shuffle join and add a third level;
+    * the shape is otherwise unchanged.
+    */
+  def packSequences(spark: SparkSession, sfDir: String,
+      budget: Int = 512, blockSize: Int = 1000): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") / blockSize).cast("long").as("blk"))
+    val wb = Window.orderBy(asc("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = base.groupBy(col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_off", coalesce(sum(col("blk_tokens")).over(wb), lit(0L)))
+      .select(col("blk"), col("blk_off"))
+    val wd = Window.partitionBy(col("blk")).orderBy(asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(blkOff), "blk")
+      .withColumn("start_off",
+        col("blk_off") + coalesce(sum(col("n_tokens")).over(wd), lit(0L)))
+      .withColumn("seq_id", floor(col("start_off") / budget))
+      .withColumn("spans_boundary",
+        floor((col("start_off") + col("n_tokens") - 1) / budget) > col("seq_id"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"), col("seq_id"),
+        col("spans_boundary"))
       .orderBy(asc("doc_id"))
   }
 

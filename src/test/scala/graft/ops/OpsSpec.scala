@@ -513,6 +513,69 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == hit.map(_._3).distinct.length)
   }
 
+  test("packSequences offsets chain exactly and straddlers are flagged") {
+    val rows = PipelineOps.packSequences(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.head.getLong(2) == 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(2) + a.getLong(1),
+        s"offset break at doc ${b.getLong(0)}")
+    }
+    rows.foreach { r =>
+      val (n, off, seq) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(seq == off / 512)
+      assert(r.getBoolean(4) == ((off + n - 1) / 512 > off / 512))
+    }
+    // packing is real: some doc must straddle a sequence boundary
+    assert(rows.exists(_.getBoolean(4)))
+  }
+
+  test("keepBest keeps exactly one longest member per cluster") {
+    val rows = DedupOps.keepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cid keepers: ${keepers.length}")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head == best, s"cluster $cid kept ${keepers.head}, want $best")
+    }
+    // the marker-augmented copy is one token longer than its original, so
+    // an original is never kept while its own longer copy sits in the
+    // same cluster
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.filter(r => r._4 && byId.contains(r._1 + 1000000L)).foreach { r =>
+      val copy = byId(r._1 + 1000000L)
+      assert(copy._2 != r._2 || copy._3 <= r._3,
+        s"original ${r._1} kept over its longer copy in cluster ${r._2}")
+    }
+  }
+
+  test("decontaminateFraction bounds and policy are consistent") {
+    val rows = PipelineOps.decontaminateFraction(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSh, nHits, frac, dropped) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(nHits >= 1 && nHits <= nSh)
+      assert(math.abs(frac - nHits.toDouble / nSh) < 5e-5)
+      assert(dropped == (nHits.toDouble / nSh > 0.05))
+    }
+  }
+
+  test("termsRegex lists exactly the regex-matching dictionary terms") {
+    import spark.implicits._
+    val rows = DocSearchOps.termsRegex(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        localToks(t).distinct.filter(_.matches("^s[a-z]*[kmt]$")).map(_ -> id)
+      }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    assert(rows == want)
+  }
+
   test("functionQueryTfIdf tf equals a local tokenize count") {
     import spark.implicits._
     val texts = spark.read.parquet(s"$sf/documents.parquet")
