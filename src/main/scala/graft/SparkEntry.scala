@@ -107,6 +107,8 @@ object SparkEntry {
     "search_parsed_filter" -> ((s, d) => DocSearchOps.searchParsedFilter(s, d)),
     "search_parsed_nested" -> ((s, d) => DocSearchOps.searchParsedNested(s, d)),
     "search_phrase_scored" -> ((s, d) => DocSearchOps.searchPhraseScored(s, d)),
+    "search_multi_phrase" -> ((s, d) => DocSearchOps.searchMultiPhrase(s, d)),
+    "search_range_adaptive" -> ((s, d) => DocSearchOps.searchRangeAdaptive(s, d)),
     "search_phrase_sloppy3" -> ((s, d) => DocSearchOps.searchPhraseSloppyScored(s, d)),
     "search_fuzzy_docs" -> ((s, d) => DocSearchOps.searchFuzzyDocs(s, d)),
     "search_term_range" -> ((s, d) => DocSearchOps.searchTermRange(s, d)),
@@ -179,6 +181,7 @@ object SparkEntry {
     "mix_weights" -> ((s, d) => PipelineOps.mixWeights(s, d)),
     "decontaminate_ngram" -> ((s, d) => PipelineOps.decontaminate(s, d)),
     "decontaminate_fraction" -> ((s, d) => PipelineOps.decontaminateFraction(s, d)),
+    "quality_bins" -> ((s, d) => TextOps.qualityBins(s, d)),
     "pack_sequences" -> ((s, d) => PipelineOps.packSequences(s, d)),
     // production shape: the benchmark is its OWN table argument, so the
     // training corpus is scanned exactly once (bench = %19==3 slice read
@@ -849,6 +852,37 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // scored MultiPhrase "merge (sort|window)": slot-2 union, phrase freq
+    // over merged positions, weight = sum of all three member idfs
+    "search_multi_phrase" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |$PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term IN ('sort', 'window')),
+         |pf AS (SELECT a.doc_id, count(*) * 1.0 AS pf
+         |       FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |       GROUP BY a.doc_id),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'sort', 'window') GROUP BY term),
+         |w AS (SELECT sum(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))) AS w FROM dfs),
+         |sc AS (SELECT pf.doc_id,
+         |       w.w * pf.pf / (pf.pf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |       FROM pf CROSS JOIN w CROSS JOIN st
+         |            JOIN qdl ON qdl.doc_id = pf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // adaptive range execution: per-lang count of docs holding any
+    // non-stop term in [sa, so) — path choice is execution-only
+    "search_range_adaptive" ->
+      s"""WITH $TokCte,
+         |hit AS (SELECT DISTINCT doc_id FROM tok
+         |        WHERE term >= 'sa' AND term < 'so')
+         |SELECT d.lang, count(*) AS cnt
+         |FROM hit h JOIN documents d ON d.doc_id = h.doc_id
+         |GROUP BY d.lang ORDER BY cnt DESC, lang""".stripMargin,
     // edismax pf: BM25 over should(key, order) + 2.0-boosted exact-phrase
     // component for docs where "key order" occurs adjacently
     "search_edismax_pf" ->
@@ -2197,6 +2231,20 @@ object SparkEntry {
          |       round(n_hits * 1.0 / n_sh, 4) AS frac,
          |       n_hits * 1.0 / n_sh > 0.05 AS dropped
          |FROM h ORDER BY doc_id""".stripMargin,
+    // quality-decile binning: ntile(10) by uniqueness ratio within lang
+    "quality_bins" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  CAST(len($QualityTokSql) AS BIGINT) AS n_tokens,
+         |  len(list_distinct($QualityTokSql)) * 1.0 /
+         |    greatest(len($QualityTokSql), 1) AS uniq_ratio
+         |  FROM documents),
+         |n AS (SELECT lang, n_tokens, uniq_ratio,
+         |  ntile(10) OVER (PARTITION BY lang
+         |    ORDER BY uniq_ratio DESC, doc_id) AS decile FROM b)
+         |SELECT lang, decile, count(*) AS cnt,
+         |       round(avg(uniq_ratio), 4) AS avg_uniq,
+         |       round(avg(n_tokens), 4) AS avg_tokens
+         |FROM n GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
     // GPT-style sequence packing: cumulative token offsets chunked into
     // 512-token sequences, straddlers flagged
     "pack_sequences" ->

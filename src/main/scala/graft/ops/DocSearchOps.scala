@@ -1324,6 +1324,62 @@ object DocSearchOps {
     rankDf(r, graft.search.QueryEngine.searchTree(r, "slop3", tree))
   }
 
+  /** SCORED MultiPhraseQuery
+    * [B lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java]:
+    * "merge (sort|window)" — position 1 admits two alternatives, matched by
+    * per-slot postings union and scored with the phrase kernels over the
+    * merged position lists (weight = Σ idf over all three member terms).
+    */
+  def searchMultiPhrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    val tree = graft.search.ClauseNode.MultiPhraseNode(
+      Seq(Seq("merge"), Seq("sort", "window")), Seq(0, 1))
+    rankDf(r, graft.search.QueryEngine.searchTree(r, "mphrase", tree))
+  }
+
+  /** IndexOrDocValuesQuery-style adaptive range execution
+    * [B lucene/core/src/java/org/apache/lucene/search/IndexOrDocValuesQuery.java,
+    * LUCENE-7055]: a term-range filter served by whichever access path the
+    * STATS say is cheaper — Lucene gives range queries both a points/index
+    * executor (good when few docs match) and a doc-values executor (good
+    * when the lead iterator already visits most docs), choosing by cost().
+    * Here the slim termdict's Σdf over the range is the cost estimate:
+    * below `threshold` of the corpus, decode the range's own postings
+    * (pushed-down term-range scan, touches only matching docs); above it,
+    * a full column scan with a codegen'd EXISTS filter (cheaper than
+    * decoding most of the postings lists anyway). Both paths produce
+    * identical per-lang counts — the choice is pure execution cost, which
+    * is the point.
+    */
+  def searchRangeAdaptive(spark: SparkSession, sfDir: String,
+      lo: String = "sa", hi: String = "so",
+      threshold: Double = 0.10): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val estDf = r.termDict
+      .where(col("term") >= lo && col("term") < hi)
+      .agg(coalesce(sum(col("df")), lit(0L))).head.getLong(0)
+    if (estDf < threshold * r.stats.docCount) {
+      // sparse range: postings path — decode only the range's blocks
+      val ids = r.postings.where(col("term") >= lo && col("term") < hi)
+        .as[TermPostings]
+        .flatMap(tp => tp.blocks.iterator
+          .flatMap(b => graft.core.PostingBlocks.decode(b)._1.iterator))
+        .toDF("docId").distinct()
+      ids.join(r.docMeta.select(col("docId"), col("lang")), "docId")
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("lang"))
+    } else {
+      // dense range: stored-field scan with a codegen'd exists() filter
+      val stop = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(exists(TextOps.tokensCol(col("text")),
+          t => t >= lo && t < hi && !t.isin(stop: _*)))
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("lang"))
+    }
+  }
+
   /** FuzzyQuery returning RANKED DOCUMENTS (VERDICT r2 next-3): bounded
     * dictionary expansion (nearest <= 50 terms within maxEdits), each term
     * boosted 1 - dist/min(len) [B .../search/FuzzyQuery.java,

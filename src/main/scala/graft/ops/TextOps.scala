@@ -68,6 +68,33 @@ object TextOps {
       .orderBy(asc("doc_id"))
   }
 
+  /** Quality-decile binning — the curriculum/data-mix bucketing step that
+    * follows quality scoring in a pretraining pipeline: rank docs by a
+    * quality signal (token-uniqueness ratio) WITHIN each language and cut
+    * into `bins` ntile deciles, reporting per-bucket size and averages
+    * (the frame a mixer samples from, e.g. "oversample deciles 1-3").
+    * The ntile window shuffles on lang only; each language's sort spreads
+    * over its hash partitions and WindowGroupLimit-style evaluation keeps
+    * it streaming — no global sort, no driver collect.
+    */
+  def qualityBins(spark: SparkSession, sfDir: String, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(spark, sfDir)
+      .withColumn("toks", tokensCol(col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("uniq_ratio"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(desc("uniq_ratio"), asc("doc_id"))
+    base.withColumn("decile", ntile(bins).over(w))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("uniq_ratio")), 4).as("avg_uniq"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy(asc("lang"), asc("decile"))
+  }
+
   /** Bigram-LM perplexity quality filter — the CCNet-style "score every
     * document by an in-domain language model" pass (Wenzek et al. 2020 use
     * a 5-gram KenLM; the standard small-scale stand-in is a bigram model

@@ -36,6 +36,17 @@ object ClauseNode {
   final case class PhraseNode(terms: Seq[String], offsets: Seq[Int],
       slop: Int = 0, boost: Double = 1.0) extends ClauseNode
 
+  /** MultiPhraseQuery [B lucene/core/src/java/org/apache/lucene/search/MultiPhraseQuery.java]:
+    * a phrase where each position admits ALTERNATIVE terms ("merge
+    * (sort|window)"). Matching unions the alternatives' postings per
+    * position (Lucene's UnionPostingsEnum), freq counts anchor positions
+    * where every slot matches one of its alternatives, and the clause
+    * scores like a phrase with weight = boost * Σ idf over ALL member
+    * terms (MultiPhraseWeight's termStatistics composition).
+    */
+  final case class MultiPhraseNode(positions: Seq[Seq[String]],
+      offsets: Seq[Int], slop: Int = 0, boost: Double = 1.0) extends ClauseNode
+
   /** SynonymQuery [B lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java]:
     * scores N interchangeable terms as ONE pseudo-term — per-doc freq =
     * sum of the member terms' freqs, document frequency = max of the
@@ -67,6 +78,7 @@ object ClauseNode {
     case TermNode(t, _) => Seq(t)
     case ConstNode(ts, _) => ts
     case PhraseNode(ts, _, _, _) => ts
+    case MultiPhraseNode(ps, _, _, _) => ps.flatten
     case SynNode(ts, _) => ts
     case LangNode(_) => Nil
     case BoolNode(m, s, mn, _, _) => (m ++ s ++ mn).flatMap(terms)
@@ -194,6 +206,84 @@ object ClauseScorers {
     def score(): Double = {
       computeFreq()
       sim.scoreFreq(weight, freq, its(0).normValue)
+    }
+  }
+
+  /** MultiPhraseQuery scorer: approximation = conjunction over position
+    * GROUPS, each group a union-min over its alternatives' iterators
+    * (UnionPostingsEnum); confirm merges the present alternatives'
+    * position lists per slot and runs the same exact/sloppy freq kernels
+    * as PhraseScorer.
+    */
+  final class MultiPhraseScorer(groups: Array[Array[TermIterator]],
+      offsets: Array[Int], slop: Int, weight: Double,
+      sim: Similarity) extends Scorer {
+    require(groups.length > 0 && groups.forall(_.length > 0))
+    private var cur = -1L
+    private var freqDoc = -2L
+    private var freq = 0.0
+    def docId: Long = cur
+    def nextDoc(): Long = advance(if (cur < 0) 0L else cur + 1)
+    def advance(target0: Long): Long = {
+      var target = target0
+      var done = false
+      while (!done && target != NoMoreDocs) {
+        var max = target
+        var aligned = true
+        var g = 0
+        while (g < groups.length) {
+          var min = NoMoreDocs
+          var i = 0
+          while (i < groups(g).length) {
+            var d = groups(g)(i).docId
+            if (d < target) d = groups(g)(i).advance(target)
+            if (d < min) min = d
+            i += 1
+          }
+          if (min > max) { max = min; aligned = false }
+          g += 1
+        }
+        if (aligned) done = true else target = max
+      }
+      cur = target
+      cur
+    }
+    private def computeFreq(): Unit = {
+      if (freqDoc == cur) return
+      freqDoc = cur
+      val posLists = groups.map { g =>
+        val lists = g.filter(_.docId == cur).map(_.positions())
+        require(lists.forall(_ != null),
+          "positional query over an index built without indexPositions")
+        if (lists.length == 1) lists(0)
+        // union-merge of the slot's alternatives; per-doc tf-bounded arrays
+        else lists.iterator.flatMap(_.iterator).toArray.distinct.sorted
+      }
+      freq =
+        if (slop == 0) PhraseMatcher.exactFreq(posLists, offsets).toDouble
+        else PhraseMatcher.sloppyFreq(posLists, offsets, slop)
+    }
+    def matches(): Boolean = {
+      if (cur == NoMoreDocs) return false
+      computeFreq()
+      freq > 0
+    }
+    def score(): Double = {
+      computeFreq()
+      var norm = 0.0
+      var g = 0
+      var found = false
+      while (g < groups.length && !found) {
+        var i = 0
+        while (i < groups(g).length && !found) {
+          if (groups(g)(i).docId == cur) {
+            norm = groups(g)(i).normValue; found = true
+          }
+          i += 1
+        }
+        g += 1
+      }
+      sim.scoreFreq(weight, freq, norm)
     }
   }
 
@@ -369,6 +459,15 @@ object ClauseScorers {
         // termStatistics composition (clause order fixes the double sum)
         val w = b * ts.map(termIdf).sum
         new PhraseScorer(its.map(_.get).toArray, offs.toArray, slop, w, sim)
+      }
+    case ClauseNode.MultiPhraseNode(poss, offs, slop, b) =>
+      val groups = poss.map(alts => alts.flatMap(t => mkIter(t, 1.0)))
+      // a slot with NO alternative present in this bucket can never match
+      if (groups.exists(_.isEmpty)) EmptyScorer
+      else {
+        val w = b * poss.flatten.map(termIdf).sum
+        new MultiPhraseScorer(groups.map(_.toArray).toArray, offs.toArray,
+          slop, w, sim)
       }
     case ClauseNode.LangNode(l) =>
       val ids = langDocs(l)

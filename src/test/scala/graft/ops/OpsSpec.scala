@@ -576,6 +576,58 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == want)
   }
 
+  test("multi-phrase with singleton slots degenerates to the scored phrase") {
+    val r = DocSearchOps.reader(spark, sf)
+    val mp = graft.search.QueryEngine.searchTree(r, "mp",
+      graft.search.ClauseNode.MultiPhraseNode(
+        Seq(Seq("key"), Seq("order")), Seq(0, 1))).collect()
+      .map(s => (s.docId, s.score)).sortBy(_._1)
+    val ph = graft.search.QueryEngine.searchTree(r, "ph",
+      graft.search.ClauseNode.PhraseNode(
+        Seq("key", "order"), Seq(0, 1))).collect()
+      .map(s => (s.docId, s.score)).sortBy(_._1)
+    assert(mp.nonEmpty && mp.sameElements(ph))
+  }
+
+  test("searchMultiPhrase hits all contain the adjacency") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val rows = DocSearchOps.searchMultiPhrase(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val toks = "[^a-z0-9_]+".r.split(texts(r.getLong(1)).toLowerCase)
+        .filter(_.nonEmpty)
+      assert(toks.zip(toks.drop(1)).exists { case (a, b) =>
+        a == "merge" && (b == "sort" || b == "window")
+      }, s"doc ${r.getLong(1)} lacks the multi-phrase adjacency")
+    }
+  }
+
+  test("searchRangeAdaptive: postings and scan paths agree") {
+    val viaPostings = DocSearchOps
+      .searchRangeAdaptive(spark, sf, threshold = Double.MaxValue)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaScan = DocSearchOps.searchRangeAdaptive(spark, sf, threshold = 0.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaPostings.nonEmpty && viaPostings.sameElements(viaScan))
+  }
+
+  test("qualityBins deciles are balanced and partition each language") {
+    import spark.implicits._
+    val rows = TextOps.qualityBins(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val langTotals = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._3).sum == langTotals(lang))
+      assert(bs.map(_._2).sorted.sameElements(1 to 10), s"$lang deciles")
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang ntile imbalance: ${sizes.toSeq}")
+    }
+  }
+
   test("functionQueryTfIdf tf equals a local tokenize count") {
     import spark.implicits._
     val texts = spark.read.parquet(s"$sf/documents.parquet")
