@@ -216,7 +216,8 @@ object SparkEntry {
     //    Trigger.AvailableNow into a memory sink) --
     "stream_window_hourly" -> (graft.streaming.StreamingOps.windowedCounts(_, _)),
     "stream_session_window" -> (graft.streaming.StreamingOps.sessionWindows(_, _)),
-    "stream_dedup_events" -> (graft.streaming.StreamingOps.streamDedupEvents(_, _)))
+    "stream_dedup_events" -> (graft.streaming.StreamingOps.streamDedupEvents(_, _)),
+    "stream_stream_join" -> (graft.streaming.StreamingOps.streamStreamJoin(_, _)))
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL
@@ -2421,6 +2422,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt FROM (
         |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // stream-stream interval join == the batch range self-join
+    "stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY 1""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'GRFT' AS magic, octet_length(encode(text)) AS n_bytes,

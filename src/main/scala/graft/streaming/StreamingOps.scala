@@ -169,4 +169,39 @@ object StreamingOps {
         col("n_events"), col("sum_value"))
       .orderBy(asc("user_id"), asc("session_start"))
   }
+
+  /** Stream-STREAM interval join — click→purchase attribution: each
+    * purchase joins the same user's clicks from the preceding 30 minutes,
+    * two independently watermarked event streams inner-joined on a range
+    * condition. The event-time bound is what makes this run forever: the
+    * range + 1-hour watermarks let the state store EVICT clicks older
+    * than the join horizon, so state is bounded by the horizon's event
+    * rate, never the stream's lifetime (the batch twin of this query is
+    * the oracle — streaming and batch agree row-for-row once the
+    * AvailableNow drain completes). Output: per-user attributed-pair
+    * counts, aggregated as a batch query over the append-mode sink.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark) {
+    val src = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val name = s"graft_ssjoin_${sinkId.incrementAndGet()}"
+    def side(t: String, alias: String) = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> LTZ for event time
+      .where(col("event_type") === t)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as(s"${alias}_user"), col("ts").as(s"${alias}_ts"),
+        col("event_id").as(s"${alias}_id"))
+    val q = side("click", "c").join(side("purchase", "p"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", checkpointRoot())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("c_user").as("user_id")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(asc("user_id"))
+  }
 }

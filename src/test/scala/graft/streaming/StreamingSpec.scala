@@ -60,4 +60,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("stream-stream interval join equals the batch range self-join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamStreamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e = spark.read.parquet(s"$sf/events.parquet")
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("cu")).agg(count(lit(1)).as("n"))
+      .orderBy(asc("cu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
 }
