@@ -179,7 +179,36 @@ object ExplainAudit {
           "BroadcastHashJoins; the only full-data exchanges are the per-doc " +
           "bigram aggregate on (doc_id, w1, w2) and its doc_id rollup — the " +
           "corpus is never joined against itself.",
-        fmt(TextOps.perplexity(spark, sfDir))))
+        fmt(TextOps.perplexity(spark, sfDir))),
+      ("BM25F combined fields (map-only scoring, stats as scalars)",
+        "Expect: one documents scan; the title/body split, SmallFloat " +
+          "quantization, and weighted freqs all in one codegen'd Project " +
+          "(higher-order array functions, no UDF); the only exchanges are " +
+          "the per-doc score aggregate and a TakeOrderedAndProject — " +
+          "df/avgdl were collected as scalars beforehand.",
+        fmt(DocSearchOps.searchCombinedField(spark, sfDir))),
+      ("Sequence packing (two-level prefix sum, no global window)",
+        "Expect: the block-totals frame (corpus/1000 rows) takes the " +
+          "single-partition cumsum; the full corpus only sees a Window " +
+          "PARTITIONED by blk plus a broadcast join of the tiny offsets — " +
+          "no unpartitioned Window over the data itself.",
+        fmt(PipelineOps.packSequences(spark, sfDir))),
+      ("Adaptive range: sparse path (postings decode, range pushdown)",
+        "Expect: postings scan with GreaterThanOrEqual/LessThan(term) " +
+          "PushedFilters — only the range's row groups are read; docIds " +
+          "decode in a flatMap and meet docmeta in a join keyed by docId.",
+        fmt(DocSearchOps.searchRangeAdaptive(spark, sfDir,
+          threshold = Double.MaxValue))),
+      ("Adaptive range: dense path (codegen'd exists() column scan)",
+        "Expect: one documents scan with the exists() predicate inside " +
+          "WholeStageCodegen feeding a two-phase HashAggregate on lang — " +
+          "no postings decode, no join.",
+        fmt(DocSearchOps.searchRangeAdaptive(spark, sfDir, threshold = 0.0))),
+      ("blockChildren facet domain (parent set broadcast back)",
+        "Expect: the matched-parent DISTINCT is aggregate-sized (|sources|) " +
+          "and returns via BroadcastHashJoin; the child side is one scan " +
+          "into the lang aggregate.",
+        fmt(RelationalOps.facetBlockDomain(spark, sfDir))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.apps.ExplainAudit)\n\n")
