@@ -42,6 +42,7 @@ object SparkEntry {
       DocSearchOps.searchSpanNotNested(s, d)),
     "search_span_containing" -> ((s, d) => DocSearchOps.searchSpanContaining(s, d)),
     "search_span_within" -> ((s, d) => DocSearchOps.searchSpanWithin(s, d)),
+    "search_span_posrange" -> ((s, d) => DocSearchOps.searchSpanPosRange(s, d)),
     "interval_ordered" -> ((s, d) => DocSearchOps.intervalOrdered(s, d)),
     "interval_unordered" -> ((s, d) => DocSearchOps.intervalUnordered(s, d)),
     "interval_containing" -> ((s, d) => DocSearchOps.intervalContaining(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
     "search_lm_dirichlet" -> (DocSearchOps.searchLmDirichlet(_, _)),
     "search_dfr_inb2" -> (DocSearchOps.searchDfr(_, _)),
+    "search_dfi_chi2" -> (DocSearchOps.searchDfi(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "block_join_child" -> (DocSearchOps.blockJoinChild(_, _)),
     "search_edismax_qf" -> (DocSearchOps.searchEdismaxQf(_, _)),
@@ -124,6 +126,7 @@ object SparkEntry {
     "term_vectors" -> ((s, d) => DocSearchOps.termVectors(s, d)),
     "search_elevate" -> ((s, d) => DocSearchOps.searchElevate(s, d)),
     "suggest_infix" -> ((s, d) => DocSearchOps.suggestInfix(s, d)),
+    "suggest_context" -> ((s, d) => DocSearchOps.suggestContext(s, d)),
     "spell_collate" -> ((s, d) => DocSearchOps.spellCollate(s, d)),
     "search_regex" -> ((s, d) => DocSearchOps.searchRegex(s, d)),
     "search_highlight" -> ((s, d) => DocSearchOps.searchHighlight(s, d)),
@@ -573,6 +576,34 @@ object SparkEntry {
          |  SELECT tf.doc_id,
          |         sum(greatest(0, ln(1 + tf.tf / (2000.0 * (ttfs.ttf + 1.0) / (st.sumttf + 2.0)))
          |             + ln(2000.0 / (qdl.qdl + 2000.0)))) AS score
+         |  FROM tf JOIN ttfs ON tf.term = ttfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // DFI chi-squared: expected = ttf*qdl/sumttf, score = 0 when
+    // tf <= expected else log2((tf-expected)^2/expected + 1)
+    "search_dfi_chi2" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT sum(dl) FROM dl) AS sumttf),
+         |ttfs AS (SELECT term, count(*) AS ttf FROM tok
+         |         WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(CASE WHEN ttfs.ttf * qdl.qdl = 0
+         |                    OR tf.tf <= ttfs.ttf * 1.0 * qdl.qdl / st.sumttf THEN 0
+         |             ELSE ln(pow(tf.tf - ttfs.ttf * 1.0 * qdl.qdl / st.sumttf, 2)
+         |                     / (ttfs.ttf * 1.0 * qdl.qdl / st.sumttf) + 1) / ln(2)
+         |             END) AS score
          |  FROM tf JOIN ttfs ON tf.term = ttfs.term
          |       JOIN qdl ON tf.doc_id = qdl.doc_id
          |       CROSS JOIN st
@@ -1285,6 +1316,16 @@ object SparkEntry {
          |FROM lit JOIN big ON big.doc_id = lit.doc_id
          |WHERE big.s <= lit.pos AND lit.pos + 1 <= big.e AND lit.pos + 1 <= 60
          |ORDER BY doc_id""".stripMargin,
+    // SpanPositionRange over merge..sort near spans: wholly inside [5, 80]
+    "search_span_posrange" ->
+      s"""WITH $PosCtes,
+         |m AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |srt AS (SELECT doc_id, pos FROM pp WHERE term = 'sort'),
+         |sp AS (SELECT m.doc_id, m.pos AS s, srt.pos + 1 AS e
+         |       FROM m JOIN srt ON srt.doc_id = m.doc_id
+         |       WHERE srt.pos >= m.pos + 1 AND (srt.pos + 1 - m.pos) - 2 <= 4)
+         |SELECT DISTINCT doc_id FROM sp
+         |WHERE s >= 5 AND e <= 80 ORDER BY doc_id""".stripMargin,
     // IntervalQuery + saturation: freq = sum 1/(1+gaps) over minimal
     // ordered(key, value) intervals, score = freq/(freq+1)
     "search_interval_scored" ->
@@ -1663,6 +1704,13 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok
          |WHERE contains(term, 'or') GROUP BY term
          |ORDER BY df DESC, term LIMIT 8""".stripMargin,
+    // context-filtered suggestions: prefix 's', df re-counted within lang='de'
+    "suggest_context" ->
+      s"""WITH $TokCte
+         |SELECT t.term, count(DISTINCT t.doc_id) AS df
+         |FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+         |WHERE t.term LIKE 's%' AND d.lang = 'de'
+         |GROUP BY t.term ORDER BY df DESC, t.term LIMIT 8""".stripMargin,
     // DirectSpellChecker + collation: best correction per query term by
     // (edit distance, -df, term); a present term self-matches at dist 0.
     // minPrefix=1 (the DirectSpellChecker default): candidate and query

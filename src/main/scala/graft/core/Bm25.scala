@@ -221,3 +221,46 @@ final case class DfrInB2(c: Double = 1.0) extends Similarity {
     weight * tfn / (tfn + 1.0)
   }
 }
+
+/** DFI chi-squared similarity (Kocabaş & Dinçer 2014, "A nonparametric
+  * term weighting method for information retrieval based on measuring the
+  * divergence from independence";
+  * [B lucene/core/src/java/org/apache/lucene/search/similarities/DFISimilarity.java,
+  * IndependenceChiSquared.java]):
+  *
+  *   expected = ttf * dl / sumTtf     (term mass expected in a dl-token doc
+  *                                     under term/doc independence)
+  *   score    = 0                                        when tf <= expected
+  *            = log2((tf - expected)^2 / expected + 1)   otherwise
+  *
+  * SPI folding: weightFull carries ttf/sumTtf (boost == 1 required, same
+  * contract as LmDirichlet — DFI multiplies the whole term score by boost
+  * and this encoding has no slot for it), normTable carries the DECODED
+  * quantized doc length itself, and scoreFreq computes expected =
+  * weight * norm. Monotone: increasing in tf past the clamp; decreasing in
+  * dl (d(measure)/d(expected) = -(tf-e)(tf+e)/e^2 < 0) — so the
+  * similarity-agnostic (tf, norm) impact skylines stay admissible and the
+  * UNMODIFIED WAND engine runs the model (fifth Similarity impl).
+  */
+final case class DfiChiSquared() extends Similarity {
+  private val Ln2 = math.log(2.0)
+
+  override def weight(df: Long, docCount: Long, boost: Double): Double =
+    throw new UnsupportedOperationException(
+      "DfiChiSquared needs full term stats — engine must call weightFull")
+  override def weightFull(df: Long, ttf: Long, docCount: Long, sumTtf: Long,
+      boost: Double): Double = {
+    require(boost == 1.0,
+      s"DfiChiSquared supports boost == 1 only (got $boost)")
+    if (sumTtf <= 0) 0.0 else ttf.toDouble / sumTtf
+  }
+  override def normTable(avgdl: Double): Array[Double] =
+    Array.tabulate(256)(i => SmallFloatUtil.LengthTable(i).toDouble)
+  override def score(weight: Double, tf: Int, normVal: Double): Double =
+    scoreFreq(weight, tf.toDouble, normVal)
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double = {
+    val e = weight * normVal
+    if (e <= 0.0 || freq <= e) 0.0
+    else math.log((freq - e) * (freq - e) / e + 1.0) / Ln2
+  }
+}

@@ -559,6 +559,27 @@ object DocSearchOps {
       SNear(Seq(term("merge"), term("window")), slop = 8, ordered = true)), end = 60))
   }
 
+  /** SpanPositionRangeQuery
+    * [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanPositionRangeQuery.java]
+    * over a composite subspan: merge..sort near-spans (slop 4, ordered)
+    * lying entirely inside positions [5, 80] — the generalized SpanFirst
+    * (start=0 is exactly SpanFirst).
+    */
+  def searchSpanPosRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.SpanNode._
+    spanTreeDocs(spark, sfDir, SPosRange(
+      SNear(Seq(term("merge"), term("sort")), slop = 4, ordered = true),
+      start = 5, end = 80))
+  }
+
+  /** DFI chi-squared ranking — FIFTH Similarity through the SPI
+    * (divergence-from-independence family), same unmodified WAND engine
+    * and impact skylines.
+    */
+  def searchDfi(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("dfi", should = Seq("merge", "sort")),
+      sim = graft.core.DfiChiSquared())
+
   /** Query-time join with SCORE propagation — JoinUtil ScoreMode.Max
     * [B lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java],
     * Solr's {!join score=max}: the from-query's BM25 hits aggregate to a
@@ -1062,6 +1083,33 @@ object DocSearchOps {
     val r = reader(spark, sfDir)
     r.termDict.where(col("term").startsWith(prefix))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(n)
+  }
+
+  /** Suggest with CONTEXT FILTERING
+    * [B lucene/suggest/src/java/org/apache/lucene/search/suggest/document/ContextSuggestField.java,
+    * ContextQuery.java; Solr suggester contextFilterQuery]: prefix
+    * suggestions weighted by document frequency WITHIN a context (lang =
+    * `ctx`) — "suggest only from German docs". The candidate terms come
+    * off the prefix-pushed postings scan (row-group pruned like any prefix
+    * query); their docs join the context's docMeta slice and re-count df
+    * per context, which is exactly what ContextQuery's per-context weights
+    * store at index time. Cost is bounded by the prefix's postings, never
+    * the corpus.
+    */
+  def suggestContext(spark: SparkSession, sfDir: String, prefix: String = "s",
+      ctx: String = "de", n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val pairs = r.postings.where(col("term").startsWith(prefix))
+      .as[TermPostings]
+      .flatMap(tp => tp.blocks.iterator.flatMap(b =>
+        graft.core.PostingBlocks.decode(b)._1.iterator.map(d => (tp.term, d))))
+      .toDF("term", "docId")
+    pairs
+      .join(r.docMeta.where(col("lang") === ctx).select(col("docId")), "docId")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("term"))
       .limit(n)
   }

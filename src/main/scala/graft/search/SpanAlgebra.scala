@@ -67,6 +67,13 @@ object SpanNode {
     */
   final case class SFirst(child: SpanNode, end: Int) extends SpanNode
 
+  /** SpanPositionRangeQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanPositionRangeQuery.java]:
+    * child spans lying entirely inside the position window
+    * [start, end] — start <= span.start && span.end <= end. SpanFirst is
+    * the start=0 special case.
+    */
+  final case class SPosRange(child: SpanNode, start: Int, end: Int) extends SpanNode
+
   /** SpanContainingQuery [B .../queries/spans/SpanContainingQuery.java]:
     * spans of `big` that contain at least one `little` span
     * (big.start <= little.start && little.end <= big.end). Emits the BIG
@@ -90,6 +97,7 @@ object SpanNode {
     case SNear(cs, _, _) => cs.flatMap(allTerms)
     case SNot(i, e, _) => allTerms(i) ++ allTerms(e)
     case SFirst(c, _) => allTerms(c)
+    case SPosRange(c, _, _) => allTerms(c)
     case SContaining(b, l) => allTerms(b) ++ allTerms(l)
     case SWithin(l, b) => allTerms(l) ++ allTerms(b)
   }
@@ -105,6 +113,7 @@ object SpanNode {
     case SNear(cs, _, _) => cs.flatMap(requiredTerms)
     case SNot(i, _, _) => requiredTerms(i)
     case SFirst(c, _) => requiredTerms(c)
+    case SPosRange(c, _, _) => requiredTerms(c)
     // a containment match needs BOTH sides present in the doc
     case SContaining(b, l) => requiredTerms(b) ++ requiredTerms(l)
     case SWithin(l, b) => requiredTerms(l) ++ requiredTerms(b)
@@ -180,6 +189,11 @@ object SpanAlgebra {
     case SFirst(c, end) =>
       val in = eval(c, pos)
       if (in.isEmpty) Empty else in.filter(endOf(_) <= end)
+
+    case SPosRange(c, lo, hi) =>
+      val in = eval(c, pos)
+      if (in.isEmpty) Empty
+      else in.filter(s => startOf(s) >= lo && endOf(s) <= hi)
 
     case SContaining(big, little) =>
       val b = eval(big, pos)

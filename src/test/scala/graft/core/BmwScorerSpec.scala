@@ -162,12 +162,12 @@ class BmwScorerSpec extends AnyFunSuite {
     }
   }
 
-  test("all four Similarity impls run the WAND engine rank-identical to naive") {
+  test("all five Similarity impls run the WAND engine rank-identical to naive") {
     // LM Dirichlet and DFR consume full (df, ttf, sumTtf) stats via
     // weightFull; their non-linear score shapes must still satisfy the
     // impact-skyline bound contract, which this dueling pass verifies
     val sims: Seq[Similarity] =
-      Seq(Bm25(), ClassicSimilarity(), LmDirichlet(), DfrInB2())
+      Seq(Bm25(), ClassicSimilarity(), LmDirichlet(), DfrInB2(), DfiChiSquared())
     forAll(corpusGen, n = 30) { c =>
       val sumTtf = c.values.map(_.map(_._2.toLong).sum).sum
       val terms = c.keys.toSeq.sorted

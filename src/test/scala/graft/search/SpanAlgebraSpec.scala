@@ -63,6 +63,8 @@ class SpanAlgebraSpec extends AnyFunSuite {
         !ex.exists { case (s2, e2) => s2 < en + d && e2 > s - d }
       }
     case SFirst(c, end) => refSpans(c, tokens).filter(_._2 <= end)
+    case SPosRange(c, lo, hi) =>
+      refSpans(c, tokens).filter { case (st, en) => st >= lo && en <= hi }
     case SContaining(b, l) =>
       val ls = refSpans(l, tokens)
       refSpans(b, tokens).filter { case (s, e) =>
@@ -92,7 +94,7 @@ class SpanAlgebraSpec extends AnyFunSuite {
 
   private def genTree(depth: Int): Gen[SpanNode] =
     if (depth <= 0) genTermLeaf
-    else Gen.chooseNum(0, 6).flatMap {
+    else Gen.chooseNum(0, 7).flatMap {
       case 0 => genTermLeaf
       case 1 => for {
         a <- genTree(depth - 1); b <- genTree(depth - 1)
@@ -113,9 +115,13 @@ class SpanAlgebraSpec extends AnyFunSuite {
       case 5 => for {
         b <- genTree(depth - 1); l <- genTree(depth - 1)
       } yield SContaining(b, l)
-      case _ => for {
+      case 6 => for {
         l <- genTree(depth - 1); b <- genTree(depth - 1)
       } yield SWithin(l, b)
+      case _ => for {
+        c <- genTree(depth - 1)
+        lo <- Gen.chooseNum(0, 6); w <- Gen.chooseNum(1, 12)
+      } yield SPosRange(c, lo, lo + w)
     }
 
   private val genCase: Gen[(SpanNode, Vector[String])] = for {
