@@ -186,6 +186,7 @@ object SparkEntry {
     "decontaminate_fraction" -> ((s, d) => PipelineOps.decontaminateFraction(s, d)),
     "quality_bins" -> ((s, d) => TextOps.qualityBins(s, d)),
     "pack_sequences" -> ((s, d) => PipelineOps.packSequences(s, d)),
+    "dedup_span_coverage" -> ((s, d) => PipelineOps.dedupSpanCoverage(s, d)),
     // production shape: the benchmark is its OWN table argument, so the
     // training corpus is scanned exactly once (bench = %19==3 slice read
     // as a separate frame, standing in for an external eval suite)
@@ -2294,6 +2295,21 @@ object SparkEntry {
          |       round(avg(uniq_ratio), 4) AS avg_uniq,
          |       round(avg(n_tokens), 4) AS avg_tokens
          |FROM n GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+    // duplicate-span coverage: token positions inside any 16-token shingle
+    // shared with another doc; keep_ratio = 1 - covered/len
+    "dedup_span_coverage" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len, i AS off,
+         |       md5(array_to_string(toks[i + 1 : i + 16], ' ')) AS sh
+         |       FROM tk, unnest(range(len(toks) - 15)) AS r(i)
+         |       WHERE len(toks) >= 16),
+         |dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh)
+         |        GROUP BY sh HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT s.doc_id, s.len, s.off + u.j AS pos
+         |        FROM sh s JOIN dup USING (sh), unnest(range(16)) AS u(j))
+         |SELECT doc_id, len, count(*) AS covered,
+         |       round(1.0 - count(*) * 1.0 / len, 4) AS keep_ratio
+         |FROM cov GROUP BY doc_id, len ORDER BY doc_id""".stripMargin,
     // GPT-style sequence packing: cumulative token offsets chunked into
     // 512-token sequences, straddlers flagged
     "pack_sequences" ->

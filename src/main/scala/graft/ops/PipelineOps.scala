@@ -156,6 +156,48 @@ object PipelineOps {
       .orderBy(asc("doc_id"))
   }
 
+  /** Duplicate-span COVERAGE — the quantified form of dedupSpans (the
+    * ExactSubstr measure from "Deduplicating Training Data Makes Language
+    * Models Better": how much of each doc is covered by text that also
+    * occurs elsewhere): per doc, the count of token positions lying inside
+    * at least one `n`-token shingle shared with ANOTHER document, and
+    * keep_ratio = 1 - covered/len — the signal a span-rewrite policy cuts
+    * on. Shape: offset-keyed shingles, sharer counts via a window over the
+    * digest (same single-scan trick as dedupSpans), then coverage as a
+    * bounded ×n positional explode de-duplicated per (doc, pos). Every
+    * shuffle is digest- or doc-keyed; no pair join.
+    */
+  def dedupSpanCoverage(spark: SparkSession, sfDir: String,
+      n: Int = 16): DataFrame = {
+    val shingled = docs(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        explode(expr(
+          s"transform(sequence(0, size(toks) - $n), i -> struct(i AS off, " +
+            s"md5(array_join(slice(toks, i + 1, $n), ' ')) AS sh))"))
+          .as("s"))
+      .select(col("doc_id"), col("len"), col("s.off").as("off"),
+        col("s.sh").as("sh"))
+    // distinct-doc sharers per digest as an AGGREGATE (never a collected
+    // id set: a shingle shared by a million docs costs a count, not a row
+    // of a million ids), then joined back on the digest key
+    val dupDigests = shingled.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("sh"))
+    val covered = shingled.join(dupDigests, "sh")
+      .select(col("doc_id"), col("len"),
+        explode(expr(s"sequence(off, off + ${n - 1})")).as("pos"))
+      .distinct() // overlapping shared shingles cover a position once
+      .groupBy(col("doc_id"), col("len"))
+      .agg(count(lit(1)).as("covered"))
+    covered
+      .select(col("doc_id"), col("len"), col("covered"),
+        round(lit(1.0) - col("covered") / col("len"), 4).as("keep_ratio"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** Contamination FRACTION + drop policy (the thresholded form of
     * decontaminate): per training doc, the share of its distinct `n`-token
     * shingles that also occur in the benchmark set, and the drop verdict

@@ -628,6 +628,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpanCoverage equals a driver-local coverage brute force") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val n = 16
+    def rawToks(t: String): Vector[String] =
+      "[^a-z0-9_]+".r.split(t.toLowerCase).toVector.filter(_.nonEmpty)
+    val shingles = docs.map { case (id, t) =>
+      val toks = rawToks(t)
+      id -> (toks.length, (0 to toks.length - n)
+        .map(i => i -> toks.slice(i, i + n).mkString(" ")).toVector)
+    }.toMap
+    val owners = shingles.toSeq
+      .flatMap { case (id, (_, shs)) => shs.map { case (_, s) => (s, id) } }
+      .distinct.groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val want = shingles.toSeq.flatMap { case (id, (len, shs)) =>
+      val cov = shs.filter { case (_, s) => owners(s) >= 2 }
+        .flatMap { case (i, _) => i until i + n }.toSet.size
+      if (cov > 0) Some((id, len.toLong, cov.toLong)) else None
+    }.sortBy(_._1)
+    val rows = PipelineOps.dedupSpanCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.toSeq == want)
+  }
+
   test("functionQueryTfIdf tf equals a local tokenize count") {
     import spark.implicits._
     val texts = spark.read.parquet(s"$sf/documents.parquet")
