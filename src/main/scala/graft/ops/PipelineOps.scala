@@ -145,10 +145,15 @@ object PipelineOps {
     */
   def decontaminateAgainst(train: DataFrame, bench: DataFrame,
       n: Int = 8): DataFrame = {
-    val tr = train.select(col("doc_id"),
-      explode(shingleDigests(TextOps.tokensCol(col("text")), n)).as("sh"))
+    // materialize the token array in its own projection BEFORE the shingle
+    // transform: an inlined tokensCol would re-evaluate the whole
+    // split/filter chain for EVERY lambda element (measured 10x at sf0.1)
+    val tr = train
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingleDigests(col("toks"), n)).as("sh"))
     val be = bench
-      .select(explode(shingleDigests(TextOps.tokensCol(col("text")), n)).as("sh"))
+      .select(TextOps.tokensCol(col("text")).as("toks"))
+      .select(explode(shingleDigests(col("toks"), n)).as("sh"))
       .distinct()
     tr.join(broadcast(be), "sh")
       .groupBy(col("doc_id"))
@@ -210,14 +215,25 @@ object PipelineOps {
   def decontaminateFraction(spark: SparkSession, sfDir: String, n: Int = 8,
       benchMod: Int = 7, threshold: Double = 0.05): DataFrame = {
     val d = docs(spark, sfDir)
+    // toks materialized in its own projection first — see decontaminateAgainst
+    // the per-doc denominator rides INSIDE the exploded struct: exploding a
+    // bare attribute makes InferFiltersFromGenerate add a pushable
+    // size(shs) > 0 filter whose pushdown re-inlines the whole tokenize +
+    // shingle chain below the alias boundary and re-evaluates it per row
+    // (measured 10x at sf0.1); exploding this transform() expression is
+    // not inferred on, and size(shs) inside the lambda is an O(1) lookup
+    // on the materialized array
     val tr = d.where(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(shingleDigests(TextOps.tokensCol(col("text")), n)).as("shs"))
-      .where(size(col("shs")) > 0)
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
-        explode(col("shs")).as("sh"))
+        array_distinct(shingleDigests(col("toks"), n)).as("shs"))
+      .select(col("doc_id"), explode(transform(col("shs"),
+        x => struct(size(col("shs")).cast("long").as("n_sh"),
+          x.as("sh")))).as("e"))
+      .select(col("doc_id"), col("e.n_sh").as("n_sh"), col("e.sh").as("sh"))
     val be = d.where(col("doc_id") % benchMod === 0)
-      .select(explode(shingleDigests(TextOps.tokensCol(col("text")), n)).as("sh"))
+      .select(TextOps.tokensCol(col("text")).as("toks"))
+      .select(explode(shingleDigests(col("toks"), n)).as("sh"))
       .distinct()
     tr.join(broadcast(be), "sh")
       .groupBy(col("doc_id"), col("n_sh"))
