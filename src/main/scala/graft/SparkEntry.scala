@@ -20,6 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- the search engine itself (SURVEY.md §2.5/§2.6) --
     "search_term_bm25" -> (DocSearchOps.searchTerm(_, _)),
+    "search_explain" -> ((s, d) => DocSearchOps.searchExplain(s, d)),
+    "search_covering" -> ((s, d) => DocSearchOps.searchCovering(s, d)),
+    "search_boolean_sim" -> ((s, d) => DocSearchOps.searchBooleanSim(s, d)),
+    "suggest_fuzzy" -> ((s, d) => DocSearchOps.suggestFuzzy(s, d)),
+    "mlt_interesting_terms" -> ((s, d) =>
+      DocSearchOps.mltInterestingTerms(s, d)),
+    "chunk_documents" -> ((s, d) => PipelineOps.chunkDocuments(s, d)),
+    "cluster_assign" -> ((s, d) => ClassifyOps.clusterAssign(s, d)),
     "search_backup_restore" -> (DocSearchOps.searchRestored(_, _)),
     "search_or_bm25" -> (DocSearchOps.searchOr(_, _)),
     "search_and_bm25" -> (DocSearchOps.searchAnd(_, _)),
@@ -84,6 +92,8 @@ object SparkEntry {
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
     "search_lm_dirichlet" -> (DocSearchOps.searchLmDirichlet(_, _)),
     "search_dfr_inb2" -> (DocSearchOps.searchDfr(_, _)),
+    "search_ib_ll" -> (DocSearchOps.searchIb(_, _)),
+    "search_axiomatic_f2exp" -> (DocSearchOps.searchAxiomatic(_, _)),
     "search_dfi_chi2" -> (DocSearchOps.searchDfi(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "block_join_child" -> (DocSearchOps.blockJoinChild(_, _)),
@@ -519,6 +529,146 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "search_term_bm25" -> bm25Sql(Seq("merge"), Nil),
+    // BooleanSimilarity: score = sum of matched clauses' boosts, nothing else
+    "search_boolean_sim" ->
+      s"""WITH $TokCte,
+         |m AS (SELECT DISTINCT doc_id, term FROM tok
+         |      WHERE term IN ('batch', 'merge', 'window')),
+         |sc AS (SELECT doc_id,
+         |         sum(CASE term WHEN 'merge' THEN 3.0 WHEN 'window' THEN 2.0
+         |             ELSE 1.0 END) AS score
+         |       FROM m GROUP BY doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // IndexSearcher.explain(): per-(doc, term) BM25 factor breakdown for the
+    // top-10 docs of the merge/sort disjunction
+    "search_explain" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |  FROM tf JOIN dfs ON tf.term = dfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |top AS (SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc) WHERE rank <= 10)
+         |SELECT t.rank, t.doc_id, f.term, f.tf AS freq, dfs.df,
+         |       round(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)), 4) AS idf,
+         |       qdl.qdl AS dl,
+         |       round(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * f.tf
+         |             / (f.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)), 4) AS contrib,
+         |       t.score
+         |FROM top t
+         |     JOIN tf f ON f.doc_id = t.doc_id AND f.term IN ('merge', 'sort')
+         |     JOIN dfs ON dfs.term = f.term
+         |     JOIN qdl ON qdl.doc_id = f.doc_id
+         |     CROSS JOIN st
+         |ORDER BY t.rank, f.term""".stripMargin,
+    // CoveringQuery: per-doc minimumNumberShouldMatch = 1 + doc_id % 3
+    "search_covering" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'sort', 'window', 'join') GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score,
+         |         count(DISTINCT tf.term) AS matched
+         |  FROM tf JOIN dfs ON tf.term = dfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |f AS (SELECT doc_id, matched, 1 + doc_id % 3 AS min_match, score
+         |      FROM sc WHERE matched >= 1 + doc_id % 3)
+         |SELECT rank, doc_id, matched, min_match, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, matched, min_match, round(score, 4) AS score
+         |  FROM f)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // FuzzySuggester: prefix-edit-distance <= 1 completions of 'strem'
+    // (nonFuzzyPrefix=1: first char exact), weight = df
+    "suggest_fuzzy" ->
+      s"""WITH $TokCte,
+         |d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+         |SELECT term, df FROM d
+         |WHERE term LIKE 's%' AND length(term) >= 4
+         |  AND least(levenshtein(substr(term, 1, 4), 'strem'),
+         |            levenshtein(substr(term, 1, 5), 'strem'),
+         |            levenshtein(substr(term, 1, 6), 'strem')) <= 1
+         |ORDER BY df DESC, term LIMIT 8""".stripMargin,
+    // MLT interestingTerms=details: seed doc 42's terms ranked by idf
+    "mlt_interesting_terms" ->
+      s"""WITH $TokCte,
+         |seed AS (SELECT DISTINCT term FROM tok WHERE doc_id = 42),
+         |d AS (SELECT t.term, count(DISTINCT t.doc_id) AS df
+         |      FROM tok t JOIN seed s ON t.term = s.term GROUP BY t.term),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT term, df,
+         |       round(ln(1 + (n.n - df + 0.5) / (df + 0.5)), 4) AS idf
+         |FROM d CROSS JOIN n
+         |ORDER BY round(ln(1 + (n.n - df + 0.5) / (df + 0.5)), 9) DESC, term
+         |LIMIT 5""".stripMargin,
+    // Token-window chunking: size 64 stride 48, md5 digest per chunk
+    "chunk_documents" ->
+      s"""WITH tk AS (SELECT doc_id, $QualityTokSql AS toks FROM documents
+         |            WHERE doc_id < 300),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |             list_slice(toks, i * 48 + 1, i * 48 + 64) AS chunk
+         |      FROM tk, unnest(range((len(toks) - 1) // 48 + 1)) AS r(i)
+         |      WHERE len(toks) > 0)
+         |SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Nearest-centroid tf-idf cluster assignment (centroids = docs 0/1/2)
+    "cluster_assign" -> {
+      val vocabIn = graft.ops.ClassifyOps.ClusterVocab
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ($vocabIn) GROUP BY doc_id, term),
+         |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, tf.term,
+         |             tf.tf * ln((n.n + 1.0) / (dfs.df + 1.0)) AS w
+         |      FROM tf JOIN dfs ON tf.term = dfs.term CROSS JOIN n),
+         |cent AS (SELECT doc_id AS cid, term, w AS cw FROM w
+         |         WHERE doc_id IN (0, 1, 2)),
+         |dots AS (SELECT w.doc_id, c.cid, sum(w.w * c.cw) AS dot
+         |         FROM w JOIN cent c ON w.term = c.term GROUP BY 1, 2),
+         |nd AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         |nc AS (SELECT cid, sqrt(sum(cw * cw)) AS nrm FROM cent GROUP BY cid),
+         |cs AS (SELECT d.doc_id, d.cid, d.dot / (nd.nrm * nc.nrm) AS cos
+         |       FROM dots d JOIN nd ON nd.doc_id = d.doc_id
+         |            JOIN nc ON nc.cid = d.cid),
+         |b AS (SELECT doc_id, cid, cos,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY round(cos, 9) DESC, cid) AS rn
+         |      FROM cs)
+         |SELECT doc_id, cid AS cluster, round(cos, 4) AS cos
+         |FROM b WHERE rn = 1 AND doc_id < 500 ORDER BY doc_id""".stripMargin
+    },
     "search_backup_restore" -> bm25Sql(Seq("stream", "window"), Nil),
     "search_sql_expr" -> bm25Sql(Seq("merge"), Nil),
     "search_or_bm25" -> bm25Sql(Seq("merge", "sort", "window"), Nil),

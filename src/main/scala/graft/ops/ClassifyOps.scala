@@ -147,4 +147,71 @@ object ClassifyOps {
       .select(col("doc_id"), col("lang").as("pred_lang"))
       .orderBy(asc("doc_id"))
   }
+
+  /** Document clustering — nearest-centroid assignment over tf-idf vectors
+    * (the Solr clustering component's role
+    * [B solr/contrib/clustering/src/java/org/apache/solr/handler/clustering/ClusteringComponent.java];
+    * Carrot2 itself is out of scope, the CLUSTER-ASSIGNMENT primitive every
+    * such engine runs per document is what's rebuilt here). Vocabulary is a
+    * fixed term list (deterministic, broadcast-size); doc vector component
+    * = tf * idf with idf = ln((N+1)/(df+1)); seed centroids are docs
+    * {0,1,2}'s own vectors (k-means++ seeding and Lloyd iterations just
+    * re-run this assignment against updated centroids — the iteration is
+    * exercised in ClusterSpec, the oracle pins one exact assignment pass).
+    * Scale shape: tf is one hash aggregate over vocab-matched tokens only;
+    * df (16 rows), centroid vectors (<= 48 rows) broadcast; cosine =
+    * one more (doc, centroid) hash aggregate. Nothing corpus x corpus.
+    */
+  def clusterAssign(spark: SparkSession, sfDir: String,
+      maxDoc: Long = 500): DataFrame = {
+    val vocab = ClusterVocab
+    val stop = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        filter(TextOps.tokensCol(col("text")), t => !t.isin(stop: _*)).as("toks"))
+    val nDocs = toks.count()
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfMap = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfWhens = vocab.filter(dfMap.contains).map { t =>
+      when(col("term") === t,
+        lit(math.log((nDocs + 1.0) / (dfMap(t) + 1.0))))
+    }
+    val idfExpr =
+      if (idfWhens.isEmpty) lit(0.0) else coalesce(idfWhens :+ lit(0.0): _*)
+    val w = tf.withColumn("w", idfExpr * col("tf"))
+      .select(col("doc_id"), col("term"), col("w"))
+    val centRows = w.where(col("doc_id").isin(0L, 1L, 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val centNorm = centRows.groupBy(_._1)
+      .map { case (c, rs) => c -> math.sqrt(rs.map(r => r._3 * r._3).sum) }
+    val cent = spark.createDataFrame(centRows.toSeq)
+      .toDF("cid", "term", "cw")
+    val dots = w.join(broadcast(cent), "term")
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(sum(col("w") * col("cw")).as("dot"))
+    val nd = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val ncExpr = coalesce(centNorm.toSeq.sortBy(_._1).map { case (c, nrm) =>
+      when(col("cid") === c, lit(nrm))
+    }: _*)
+    val cos = dots.join(nd, "doc_id")
+      .withColumn("cos", col("dot") / (col("nrm") * ncExpr))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("cos"), 9).desc, asc("cid"))
+    cos.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1 && col("doc_id") < maxDoc)
+      .select(col("doc_id"), col("cid").as("cluster"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** Fixed clustering vocabulary (common code-corpus terms; deterministic). */
+  val ClusterVocab: Seq[String] = Seq(
+    "merge", "sort", "window", "join", "stream", "batch", "table", "scan",
+    "error", "query", "index", "filter", "group", "select", "update",
+    "insert")
 }

@@ -853,6 +853,23 @@ object DocSearchOps {
     searchDf(spark, sfDir, QuerySpec("dfr", should = Seq("merge", "sort")),
       sim = graft.core.DfrInB2())
 
+  /** IB LL-DF-H2 ranking — the information-based family (Clinchant &
+    * Gaussier 2010) through the same unmodified WAND engine, seventh
+    * Similarity impl via the SPI.
+    */
+  def searchIb(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("ib", should = Seq("merge", "sort")),
+      sim = graft.core.IbLlDfH2())
+
+  /** Axiomatic F2EXP ranking — the axiomatic family (Fang & Zhai 2005),
+    * eighth Similarity impl; factors exactly like BM25 on the SPI
+    * (weight x tf / (tf + normVal)) so it exercises the same hot path with
+    * a different idf shape and a linear-in-dl norm table.
+    */
+  def searchAxiomatic(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("axf2", should = Seq("merge", "sort")),
+      sim = graft.core.AxiomaticF2Exp())
+
   /** Block join, parent side (ToParentBlockJoinQuery with ScoreMode.Max
     * [B lucene/join/src/java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java;
     * solr BlockJoinParentQParser]): children = documents, parents = their
@@ -1793,11 +1810,13 @@ object DocSearchOps {
     // merged-field df per term: tiny aggregate (one row per query term)
     val dfMap = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idfExpr = terms.filter(dfMap.contains).map { t =>
+    val idfWhens = terms.filter(dfMap.contains).map { t =>
       val df = dfMap(t)
       when(col("term") === t,
         lit(math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))))
-    }.reduceOption(_.otherwise(_)).getOrElse(lit(0.0))
+    }
+    val idfExpr =
+      if (idfWhens.isEmpty) lit(0.0) else coalesce(idfWhens :+ lit(0.0): _*)
     val scored = tfq
       .withColumn("ts", idfExpr * col("freq") /
         (col("freq") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
@@ -1905,5 +1924,191 @@ object DocSearchOps {
         round(col("tf") * lit(idf), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** Per-(term, doc) BM25 components off the REAL postings read path:
+    * term-`isin` row-group pushdown, block decode, then one (docId, term)
+    * aggregate so salt slices / snapshots of the same term merge exactly
+    * like the scorer's stats do. Shared by explain + covering below.
+    */
+  private def termDocComponents(r: Index.Reader,
+      terms: Seq[String]): DataFrame = {
+    val spark = r.spark
+    import spark.implicits._
+    r.postings.where(col("term").isin(terms: _*)).as[TermPostings]
+      .flatMap { tp =>
+        tp.blocks.iterator.flatMap { b =>
+          val (docs, tfs, norms) = graft.core.PostingBlocks.decode(b)
+          docs.indices.iterator.map { i =>
+            (tp.term, docs(i), tfs(i),
+              graft.core.SmallFloatUtil.byte4ToInt(norms(i)))
+          }
+        }
+      }
+      .toDF("term", "docId", "freq", "dl")
+      .groupBy(col("term"), col("docId"))
+      .agg(sum(col("freq")).as("freq"), max(col("dl")).as("dl"))
+  }
+
+  /** IndexSearcher.explain() / Solr debug=true score breakdown
+    * [B lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java#explain,
+    * solr/core/src/java/org/apache/solr/handler/component/DebugComponent.java]:
+    * for the query's top-k docs, one row PER MATCHED TERM with every
+    * factor Lucene's Explanation tree nests — freq, df, idf, the
+    * SmallFloat-quantized doc length, the term's score contribution — plus
+    * the doc's total. The top-k set comes from the real WAND engine; the
+    * breakdown re-derives each factor from the index (postings decode +
+    * termdict stats), never from stored text, so a broken norm or posting
+    * would surface here exactly as it would in Lucene's explain.
+    */
+  def searchExplain(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "sort"), k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val hits = QueryEngine.search(r,
+      Seq(QuerySpec("explain", should = terms, k = k))).collect() // <= k rows
+    val docIds = hits.map(_.docId).toSet
+    val docIdsB = spark.sparkContext.broadcast(docIds)
+    val stats = r.stats
+    val ts = r.termStatsMap(terms)
+    val bm = graft.core.Bm25()
+    val avgdl = stats.avgdl
+    val det = termDocComponents(r, terms)
+      .where(col("docId").isInCollection(docIds)) // bounded: k docs
+      .collect() // <= k * |terms| rows by construction
+    val scoreByDoc = hits.map(h => h.docId -> h.score).toMap
+    // rank identical to rankDf: quantized score desc, external doc_id asc
+    val pathOf = r.docMeta.where(col("docId").isInCollection(docIds))
+      .select(col("docId"), col("path").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val ranked = hits.sortBy(h =>
+      (-BigDecimal(h.score).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+        pathOf(h.docId))).zipWithIndex
+      .map { case (h, i) => h.docId -> (i + 1) }.toMap
+    val rows = det.map { row =>
+      val term = row.getString(0); val docId = row.getLong(1)
+      val freq = row.getLong(2); val dl = row.getInt(3)
+      val (df, _) = ts(term)
+      val idf = bm.idf(df, stats.docCount)
+      val contrib = idf * freq / (freq + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      (ranked(docId), pathOf(docId), term, freq, df,
+        math.rint(idf * 1e4) / 1e4, dl.toLong,
+        math.rint(contrib * 1e4) / 1e4,
+        math.rint(scoreByDoc(docId) * 1e4) / 1e4)
+    }.sortBy(t => (t._1, t._3))
+    spark.createDataFrame(rows.toSeq)
+      .toDF("rank", "doc_id", "term", "freq", "df", "idf", "dl", "contrib",
+        "score")
+  }
+
+  /** CoveringQuery [B lucene/sandbox/src/java/org/apache/lucene/sandbox/search/CoveringQuery.java]:
+    * a disjunction whose minimumNumberShouldMatch is a PER-DOCUMENT value
+    * from a LongValuesSource (here 1 + doc_id % 3, the deterministic
+    * stand-in for a stored numeric field); a doc qualifies when it matches
+    * at least that many clauses and scores as the sum of its matched
+    * clauses, exactly Lucene's CoveringScorer. The engine lacks a per-doc
+    * msm channel, so this composes from the same pushed-down postings
+    * decode the scorers read: per-(term,doc) contributions, one docId hash
+    * aggregate (sum + matched-clause count), the msm filter AFTER the
+    * docMeta join supplies the external id, TakeOrdered top-k. Shuffles
+    * only the matched postings — never the corpus.
+    */
+  def searchCovering(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "sort", "window", "join"),
+      k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    val stats = r.stats
+    val ts = r.termStatsMap(terms)
+    val bm = graft.core.Bm25()
+    val avgdl = stats.avgdl
+    val idfExpr = coalesce(terms.map { t =>
+      when(col("term") === t, lit(bm.idf(ts(t)._1, stats.docCount)))
+    }: _*)
+    val perDoc = termDocComponents(r, terms)
+      .withColumn("contrib", idfExpr * col("freq") /
+        (col("freq") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .groupBy(col("docId"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("matched"))
+    val top = perDoc
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("min_match", lit(1) + pmod(col("doc_id"), lit(3)))
+      .where(col("matched") >= col("min_match"))
+      .orderBy(round(col("score"), 9).desc, asc("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(round(col("score"), 9).desc, asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("matched"), col("min_match"),
+        round(col("score"), 4).as("score"))
+      .orderBy(asc("rank"))
+  }
+
+  /** BooleanSimilarity search
+    * [B lucene/core/src/java/org/apache/lucene/search/similarities/BooleanSimilarity.java]:
+    * the sixth similarity on the UNCHANGED WAND engine — each matched
+    * clause contributes exactly its boost, so ranking is by which clause
+    * subsets a doc covers (score ties broken by doc id, Lucene's order).
+    */
+  def searchBooleanSim(spark: SparkSession, sfDir: String,
+      boosts: Map[String, Double] =
+        Map("merge" -> 3.0, "window" -> 2.0, "batch" -> 1.0),
+      k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    rankDf(r, QueryEngine.search(r,
+      Seq(QuerySpec("boolsim", should = boosts.keys.toSeq.sorted,
+        boosts = boosts, k = k)),
+      sim = graft.core.BooleanSimilarity()))
+  }
+
+  /** FuzzySuggester [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FuzzySuggester.java]:
+    * completion suggestions whose indexed PREFIX may differ from the typed
+    * input by <= maxEdits Levenshtein edits (Lucene intersects the
+    * suggest FST with a Levenshtein automaton over the input; defaults
+    * kept: maxEdits=1, nonFuzzyPrefix=1 — the first char must match
+    * exactly). Spark-native: the first-char StringStartsWith gate pushes
+    * to the slim termdict's row-group stats, the prefix edit distance is
+    * min over the 3 candidate prefix lengths {L-1, L, L+1} (complete for
+    * maxEdits=1), weight = df like the other suggesters. Plain
+    * Levenshtein, not Lucene's default Damerau (transpositions=true) —
+    * documented deviation, matching Spark/DuckDB's shared builtin.
+    */
+  def suggestFuzzy(spark: SparkSession, sfDir: String,
+      input: String = "strem", maxEdits: Int = 1, n: Int = 8): DataFrame = {
+    val r = reader(spark, sfDir)
+    val L = input.length
+    val prefEd = Seq(L - maxEdits, L, L + maxEdits).filter(_ > 0).distinct
+      .map(len => levenshtein(substring(col("term"), 1, len), lit(input)))
+      .reduce(least(_, _))
+    r.termDict
+      .where(col("term").startsWith(input.take(1)) &&
+        length(col("term")) >= L - maxEdits)
+      .where(prefEd <= maxEdits)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(n)
+  }
+
+  /** MoreLikeThis interestingTerms=details
+    * [B lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java#retrieveInterestingTerms,
+    * solr MoreLikeThisHandler mlt.interestingTerms=details]: the ranked
+    * term list MLT builds its query from, with each term's df and idf —
+    * same stats path (slim termdict, isin pushdown) and same idf the
+    * sibling moreLikeThis entry feeds into QuerySpec.
+    */
+  def mltInterestingTerms(spark: SparkSession, sfDir: String,
+      seedDocId: Long = 42L, n: Int = 5): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === seedDocId).select(col("text")).as[String].head()
+    val seedTerms = graft.core.Analyzer.analyze(text).distinct
+    val nDocs = r.stats.docCount
+    r.termDict.where(col("term").isin(seedTerms.toSeq: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("idf_full",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .orderBy(round(col("idf_full"), 9).desc, asc("term"))
+      .limit(n)
+      .select(col("term"), col("df"), round(col("idf_full"), 4).as("idf"))
   }
 }

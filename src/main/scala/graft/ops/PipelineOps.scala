@@ -304,4 +304,34 @@ object PipelineOps {
       .agg(count(lit(1)).as("dup_spans"))
       .orderBy(asc("doc_id"))
   }
+
+  /** Fixed-size token-window chunking with overlap — the RAG / pretraining
+    * document splitter (context-window packing's sibling: pack_sequences
+    * concatenates short docs, this SPLITS long ones). Chunk i covers
+    * tokens [i*stride, i*stride + chunkSize); every token lands in a
+    * chunk, consecutive chunks overlap by chunkSize - stride tokens, the
+    * tail chunk may be short. Emits a content digest per chunk rather
+    * than the token payload. Pure map-side higher-order array functions
+    * (sequence/transform/slice) inside WholeStageCodegen — zero shuffles
+    * at ANY corpus size; the per-task row-group bound caps memory.
+    */
+  def chunkDocuments(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 64, stride: Int = 48, maxDoc: Long = 300): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize (got stride=$stride size=$chunkSize)")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < maxDoc)
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+      .orderBy(asc("doc_id"), asc("chunk_idx"))
+  }
 }

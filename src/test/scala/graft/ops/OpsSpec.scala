@@ -664,4 +664,110 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(1) == tfLocal, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("searchBooleanSim scores are boost-subset sums, nonincreasing") {
+    val rows = DocSearchOps.searchBooleanSim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val valid = Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0) // subset sums of {3,2,1}
+    val scores = rows.map(_.getDouble(2))
+    scores.foreach(s => assert(valid.contains(s), s"score $s"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    // with k=10 and any all-three-matching doc present, the top score is 6
+    assert(scores.head == 6.0)
+  }
+
+  test("searchCovering: every hit matches its per-doc min_match") {
+    val rows = DocSearchOps.searchCovering(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qterms = Set("merge", "sort", "window", "join")
+    rows.foreach { r =>
+      val docId = r.getLong(1); val matched = r.getLong(2)
+      val msm = r.getLong(3)
+      assert(msm == 1 + docId % 3)
+      assert(matched >= msm, s"doc $docId matched=$matched msm=$msm")
+      val local = localToks(texts(docId)).toSet.intersect(qterms).size
+      assert(matched == local, s"doc $docId matched=$matched local=$local")
+    }
+  }
+
+  test("searchExplain: contribs sum to the doc score; ranks match searchTerm path") {
+    val rows = DocSearchOps.searchExplain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getInt(0), r.getLong(1))).foreach {
+      case ((_, docId), perDoc) =>
+        val total = perDoc.head.getDouble(8)
+        val sum = perDoc.map(_.getDouble(7)).sum
+        assert(math.abs(sum - total) < 2e-4, s"doc $docId sum=$sum total=$total")
+    }
+    // the explain top-10 doc set == the plain engine top-10 on the same query
+    val viaEngine = DocSearchOps.searchDf(spark, sf,
+      graft.QuerySpec("x", should = Seq("merge", "sort")))
+      .collect().map(_.getLong(1)).toSet
+    assert(rows.map(_.getLong(1)).toSet == viaEngine)
+  }
+
+  test("suggestFuzzy: results complete 'strem' within prefix edit 1") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val terms = DocSearchOps.suggestFuzzy(spark, sf).collect()
+      .map(_.getString(0))
+    assert(terms.nonEmpty)
+    assert(terms.contains("stream"), terms.mkString(","))
+    terms.foreach { t =>
+      val best = (1 to t.length).map(l => lev(t.take(l), "strem")).min
+      assert(best <= 1, s"term $t prefix edit distance $best")
+    }
+  }
+
+  test("chunkDocuments: full coverage, stride/size geometry, digest integrity") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 300).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def rawToks(text: String): Seq[String] =
+      "[^a-z0-9_]+".r.split(text.toLowerCase).toSeq.filter(_.nonEmpty)
+    val rows = PipelineOps.chunkDocuments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (docId, chunks) =>
+      val n = rawToks(texts(docId)).length
+      val expected = (n - 1) / 48 + 1
+      assert(chunks.length == expected, s"doc $docId chunks")
+      val sorted = chunks.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i)
+        val want = math.min(64, n - i * 48)
+        assert(c.getLong(2) == want, s"doc $docId chunk $i n_tokens")
+      }
+      // md5 of the reconstructed chunk text matches the emitted digest
+      val toks = rawToks(texts(docId))
+      sorted.foreach { c =>
+        val i = c.getLong(1).toInt
+        val payload = toks.slice(i * 48, i * 48 + 64).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(c.getString(3) == md, s"doc $docId chunk $i digest")
+      }
+    }
+  }
+
+  test("clusterAssign: centroid docs assign to themselves at cos 1") {
+    val rows = ClassifyOps.clusterAssign(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (c <- 0L to 2L if byDoc.contains(c)) {
+      val (cluster, cos) = byDoc(c)
+      assert(cluster == c, s"centroid $c assigned to $cluster")
+      assert(math.abs(cos - 1.0) < 1e-3, s"centroid $c self-cos $cos")
+    }
+    rows.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 2L))
+  }
 }
