@@ -264,3 +264,100 @@ final case class DfiChiSquared() extends Similarity {
     else math.log((freq - e) * (freq - e) / e + 1.0) / Ln2
   }
 }
+
+/** IB LL-DF-H2 similarity (Clinchant & Gaussier 2010, "Information-based
+  * models for ad hoc information retrieval";
+  * [B lucene/core/src/java/org/apache/lucene/search/similarities/IBSimilarity.java,
+  * DistributionLL.java, LambdaDF.java, NormalizationH2.java]):
+  *
+  *   lambda = (df + 1) / (N + 1)                    (lambda-DF)
+  *   tfn    = tf * log2(1 + c * avgdl / dl)         (normalization H2, c=1)
+  *   score  = ln(1 + tfn / lambda)                  (log-logistic
+  *            distribution: -ln(lambda / (tfn + lambda)), natural log as in
+  *            the reference's DistributionLL)
+  *
+  * SPI folding: weightFull carries lambda (boost == 1 required — IB
+  * multiplies the whole term score by boost and this encoding has no slot
+  * for it, same contract as LmDirichlet), normTable carries the per-dl H2
+  * factor log2(1 + c*avgdl/dl), and scoreFreq combines them. Monotone:
+  * increasing in tf, decreasing in dl (the H2 factor shrinks as dl grows) —
+  * the (tf, norm) impact skylines stay admissible and the UNMODIFIED
+  * block-max WAND engine runs the model (seventh Similarity impl, the
+  * information-based family).
+  */
+final case class IbLlDfH2(c: Double = 1.0) extends Similarity {
+  require(c > 0, s"invalid IB H2 c=$c")
+  private val Ln2 = math.log(2.0)
+
+  override def weight(df: Long, docCount: Long, boost: Double): Double =
+    throw new UnsupportedOperationException(
+      "IbLlDfH2 needs full term stats — engine must call weightFull")
+  override def weightFull(df: Long, ttf: Long, docCount: Long, sumTtf: Long,
+      boost: Double): Double = {
+    require(boost == 1.0, s"IbLlDfH2 supports boost == 1 only (got $boost)")
+    (df + 1.0) / (docCount + 1.0)
+  }
+  override def normTable(avgdl: Double): Array[Double] =
+    Array.tabulate(256) { i =>
+      val dl = SmallFloatUtil.LengthTable(i).toDouble
+      if (dl <= 0) 0.0 else math.log(1.0 + c * avgdl / dl) / Ln2
+    }
+  override def score(weight: Double, tf: Int, normVal: Double): Double =
+    scoreFreq(weight, tf.toDouble, normVal)
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double =
+    math.log(1.0 + freq * normVal / weight)
+}
+
+/** Axiomatic F2EXP similarity (Fang & Zhai 2005, "An exploration of
+  * axiomatic approaches to information retrieval";
+  * [B lucene/core/src/java/org/apache/lucene/search/similarities/AxiomaticF2EXP.java,
+  * Axiomatic.java]):
+  *
+  *   idf   = ((N + 1) / df)^k                 (k = 0.35)
+  *   score = boost * idf * tf / (tf + s + s * dl / avgdl)   (s = 0.5)
+  *
+  * The F2 variants fold tf entirely into the length-normalized fraction,
+  * so the model factors EXACTLY like BM25 on this SPI: weight carries
+  * boost * idf (df-only — no weightFull needed, boosts compose), normTable
+  * carries s + s*dl/avgdl, and score is weight * tf / (tf + normVal).
+  * Increasing in tf, decreasing in dl — skylines admissible, unmodified
+  * WAND engine (eighth Similarity impl, the axiomatic family).
+  */
+final case class AxiomaticF2Exp(s: Double = 0.5, k: Double = 0.35)
+    extends Similarity {
+  require(s >= 0 && k > 0 && k <= 1, s"invalid F2EXP params s=$s k=$k")
+
+  override def weight(df: Long, docCount: Long, boost: Double): Double =
+    if (df <= 0) 0.0 else boost * math.pow((docCount + 1.0) / df, k)
+  override def normTable(avgdl: Double): Array[Double] =
+    Array.tabulate(256) { i =>
+      val dl = SmallFloatUtil.LengthTable(i).toDouble
+      s + s * dl / avgdl
+    }
+  override def score(weight: Double, tf: Int, normVal: Double): Double =
+    scoreFreq(weight, tf.toDouble, normVal)
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double =
+    weight * freq / (freq + normVal)
+}
+
+/** BooleanSimilarity
+  * [B lucene/core/src/java/org/apache/lucene/search/similarities/BooleanSimilarity.java]:
+  * every matching term contributes exactly its query boost — tf, doc
+  * length, and collection stats are all ignored, so a disjunction scores
+  * each doc by the SUM of matched clauses' boosts (Lucene composes the
+  * per-clause constant scores through the normal BooleanQuery sum). The
+  * constant per-term score is trivially non-decreasing in tf and
+  * non-increasing in doc length, so the (tf, norm) impact skylines stay
+  * admissible and the unmodified WAND engine runs it (sixth Similarity
+  * impl); WAND's block bound for a term is just its boost, which makes
+  * theta-pruning exact once the heap fills with k docs matching the
+  * heaviest clause sets.
+  */
+final case class BooleanSimilarity() extends Similarity {
+  override def weight(df: Long, docCount: Long, boost: Double): Double = boost
+  override def normTable(avgdl: Double): Array[Double] =
+    Array.fill(256)(1.0)
+  override def score(weight: Double, tf: Int, normVal: Double): Double = weight
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double =
+    weight
+}

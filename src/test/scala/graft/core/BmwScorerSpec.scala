@@ -162,12 +162,13 @@ class BmwScorerSpec extends AnyFunSuite {
     }
   }
 
-  test("all five Similarity impls run the WAND engine rank-identical to naive") {
-    // LM Dirichlet and DFR consume full (df, ttf, sumTtf) stats via
+  test("all Similarity impls run the WAND engine rank-identical to naive") {
+    // LM Dirichlet / DFR / IB consume full (df, ttf, sumTtf) stats via
     // weightFull; their non-linear score shapes must still satisfy the
     // impact-skyline bound contract, which this dueling pass verifies
     val sims: Seq[Similarity] =
-      Seq(Bm25(), ClassicSimilarity(), LmDirichlet(), DfrInB2(), DfiChiSquared())
+      Seq(Bm25(), ClassicSimilarity(), LmDirichlet(), DfrInB2(),
+        DfiChiSquared(), IbLlDfH2(), AxiomaticF2Exp())
     forAll(corpusGen, n = 30) { c =>
       val sumTtf = c.values.map(_.map(_._2.toLong).sum).sum
       val terms = c.keys.toSeq.sorted

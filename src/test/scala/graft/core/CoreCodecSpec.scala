@@ -481,7 +481,7 @@ class CoreCodecSpec extends AnyFunSuite {
 
   test("Similarity.scoreFreq agrees with score at integer freq and stays monotone") {
     for (sim <- Seq[Similarity](Bm25(), ClassicSimilarity(),
-        LmDirichlet(), DfrInB2())) {
+        LmDirichlet(), DfrInB2(), IbLlDfH2(), AxiomaticF2Exp())) {
       val table = sim.normTable(47.5)
       for (tf <- Seq(1, 2, 5, 17); nb <- Seq(0, 63, 127, 255)) {
         val w = sim.weightFull(13L, 40L, 1000L, 50000L, 1.0)
