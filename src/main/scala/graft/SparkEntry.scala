@@ -94,6 +94,8 @@ object SparkEntry {
     "search_dfr_inb2" -> (DocSearchOps.searchDfr(_, _)),
     "search_ib_ll" -> (DocSearchOps.searchIb(_, _)),
     "search_axiomatic_f2exp" -> (DocSearchOps.searchAxiomatic(_, _)),
+    "search_term_in_set" -> (DocSearchOps.searchTermInSet(_, _)),
+    "realtime_get" -> (DocSearchOps.realtimeGet(_, _)),
     "search_dfi_chi2" -> (DocSearchOps.searchDfi(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "block_join_child" -> (DocSearchOps.blockJoinChild(_, _)),
@@ -789,6 +791,25 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // TermInSetQuery: constant-score terms filter — any doc containing any
+    // of the set's terms, first 100 by doc id
+    "search_term_in_set" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, 1.0 AS score FROM (
+         |  SELECT DISTINCT doc_id FROM tok
+         |  WHERE term IN ('dup', 'vector', 'line'))
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+    // realtime get: stored fields for an explicit id list; token_count is
+    // the post-stop analyzed token count and sha256 the ingest digest —
+    // both recomputed from the raw corpus here
+    "realtime_get" ->
+      s"""WITH $TokCte,
+         |tc AS (SELECT doc_id, count(*) AS token_count FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, coalesce(tc.token_count, 0) AS token_count,
+         |       sha256(d.text) AS sha256
+         |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
+         |WHERE d.doc_id IN (3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377)
+         |ORDER BY d.doc_id""".stripMargin,
     // IB LL-DF-H2: lambda = (df+1)/(N+1), tfn = tf * log2(1 + avgdl/qdl),
     // per-term score = ln(1 + tfn/lambda), summed over matched query terms
     "search_ib_ll" ->

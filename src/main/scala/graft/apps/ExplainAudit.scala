@@ -208,7 +208,18 @@ object ExplainAudit {
         "Expect: the matched-parent DISTINCT is aggregate-sized (|sources|) " +
           "and returns via BroadcastHashJoin; the child side is one scan " +
           "into the lang aggregate.",
-        fmt(RelationalOps.facetBlockDomain(spark, sfDir))))
+        fmt(RelationalOps.facetBlockDomain(spark, sfDir))),
+      ("TermInSetQuery (terms filter, constant score)",
+        "Expect: postings scan with In(term, [...]) in PushedFilters (the " +
+          "set rides the dictionary's row-group stats), broadcast of the " +
+          "matched dictionary rows, distinct docIds — no per-term scoring, " +
+          "no driver collect.",
+        fmt(DocSearchOps.searchTermInSet(spark, sfDir))),
+      ("Realtime get (stored-fields point lookup)",
+        "Expect: ONE docMeta parquet scan with In(path, [...]) in " +
+          "PushedFilters — row-group stats prune to the files holding the " +
+          "requested ids; postings never touched.",
+        fmt(DocSearchOps.realtimeGet(spark, sfDir))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.apps.ExplainAudit)\n\n")

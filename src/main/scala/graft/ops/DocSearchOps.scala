@@ -1475,6 +1475,51 @@ object DocSearchOps {
       .limit(100)
   }
 
+  /** TermInSetQuery [B lucene/core/src/java/org/apache/lucene/search/TermInSetQuery.java]:
+    * the "terms filter" — a doc matches when it contains ANY of the set's
+    * terms, at CONSTANT score (Lucene rewrites to a bit-set filter rather
+    * than a scoring disjunction precisely because id-list filters carry
+    * 10^3..10^6 terms and must not pay per-term scoring; Solr exposes it
+    * as {!terms f=...}). Engine shape: the set is an exact `isin` against
+    * the slim termdict (parquet In pushdown), matched postings union to
+    * distinct docIds, tombstones filtered — the same budgeted semi-join
+    * rewrite as range/prefix expansion, never a driver collect.
+    */
+  def searchTermInSet(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("dup", "vector", "line"),
+      k: Int = 100): DataFrame = {
+    val r = reader(spark, sfDir)
+    expandedDocIds(r, col("term").isin(terms: _*))
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"), lit(1.0).as("score"))
+      .orderBy(asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Solr realtime get [B solr/core/src/java/org/apache/solr/handler/component/RealTimeGetComponent.java]:
+    * fetch stored fields for an explicit id list straight from the index —
+    * the point-lookup path, not a search. Engine shape: an `In` predicate
+    * on the docMeta parquet (row-group stats prune to the files holding
+    * those ids), tombstones honored (deleted docs are NOT returned, RTG
+    * contract), zero postings touched. Returns the stored lang, the
+    * indexed (post-stop) token count, and the ingest sha256 — the oracle
+    * recomputes all three from the raw corpus, so the entry pins the
+    * whole stored-field channel end-to-end.
+    */
+  def realtimeGet(spark: SparkSession, sfDir: String,
+      ids: Seq[Long] = Seq(3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L, 144L, 233L,
+        377L)): DataFrame = {
+    val r = reader(spark, sfDir)
+    val live =
+      if (!r.hasTombstones) r.docMeta.toDF()
+      else r.docMeta.toDF()
+        .join(r.tombstones.toDF("docId"), Seq("docId"), "left_anti")
+    live.where(col("path").isin(ids.map(_.toString): _*))
+      .select(col("path").cast("long").as("doc_id"), col("lang"),
+        col("tokenCount").cast("long").as("token_count"), col("sha256"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** SynonymQuery [B lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java]:
     * the member terms score as ONE pseudo-term — per-doc freq is the SUM
     * of member freqs, document frequency the MAX of member dfs (the

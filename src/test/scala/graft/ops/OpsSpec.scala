@@ -759,6 +759,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("searchTermInSet: constant score, sorted ids, true contains-any set") {
+    val rows = DocSearchOps.searchTermInSet(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) == 1.0))
+    val got = rows.map(_.getLong(0)).toSeq
+    assert(got == got.sorted)
+    val terms = Set("dup", "vector", "line")
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(r => "[^a-z0-9_]+".r.split(r.getString(1).toLowerCase)
+        .exists(terms.contains))
+      .map(_.getLong(0)).sorted.take(100).toSeq
+    assert(got == want)
+  }
+
+  test("realtimeGet: exact requested ids, stored sha256 matches raw text") {
+    val ids = Seq(3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L, 144L, 233L, 377L)
+    val rows = DocSearchOps.realtimeGet(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == ids)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id").isin(ids: _*)).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(texts(r.getLong(0)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(3) == md, s"doc ${r.getLong(0)} sha256")
+    }
+  }
+
   test("clusterAssign: centroid docs assign to themselves at cos 1") {
     val rows = ClassifyOps.clusterAssign(spark, sf).collect()
     assert(rows.nonEmpty)
