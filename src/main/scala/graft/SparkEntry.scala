@@ -96,6 +96,7 @@ object SparkEntry {
     "search_axiomatic_f2exp" -> (DocSearchOps.searchAxiomatic(_, _)),
     "search_term_in_set" -> (DocSearchOps.searchTermInSet(_, _)),
     "realtime_get" -> (DocSearchOps.realtimeGet(_, _)),
+    "function_expression" -> (DocSearchOps.functionExpression(_, _)),
     "search_dfi_chi2" -> (DocSearchOps.searchDfi(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "block_join_child" -> (DocSearchOps.blockJoinChild(_, _)),
@@ -810,6 +811,34 @@ object SparkEntry {
          |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
          |WHERE d.doc_id IN (3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377)
          |ORDER BY d.doc_id""".stripMargin,
+    // expressions module: _score + 0.2*ln(1+token_count) + (token_count >
+    // 120 ? 0.5 : 0) over the merge/sort BM25 disjunction, re-ranked
+    "function_expression" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id),
+         |fin AS (SELECT sc.doc_id, sc.score,
+         |        sc.score + 0.2 * ln(1 + dl.dl)
+         |          + CASE WHEN dl.dl > 120 THEN 0.5 ELSE 0 END AS final_score
+         |        FROM sc JOIN dl ON dl.doc_id = sc.doc_id)
+         |SELECT rank, doc_id, score, final_score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(final_score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score,
+         |         round(final_score, 4) AS final_score FROM fin)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // IB LL-DF-H2: lambda = (df+1)/(N+1), tfn = tf * log2(1 + avgdl/qdl),
     // per-term score = ln(1 + tfn/lambda), summed over matched query terms
     "search_ib_ll" ->

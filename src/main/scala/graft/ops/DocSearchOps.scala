@@ -1475,6 +1475,43 @@ object DocSearchOps {
       .limit(100)
   }
 
+  /** Lucene expressions module
+    * [B lucene/expressions/src/java/org/apache/lucene/expressions/js/JavascriptCompiler.java,
+    * ExpressionRescorer.java]: a JS-like expression string over `_score`
+    * and numeric doc-value bindings re-ranks the hits — Lucene compiles
+    * the string to bytecode over DoubleValuesSource bindings; here
+    * `ExprLang.compile` lowers the same grammar to a Catalyst Column and
+    * Tungsten does the bytecode. The default expression exercises
+    * arithmetic, a function call, and the reference's double-typed
+    * ternary/comparison semantics. Re-ranking needs the expression over
+    * ALL matched docs (the added term varies per doc), so the engine runs
+    * at corpus-covering k through the distributed merge, the binding join
+    * is docMeta-sized, and the final top-k is one TakeOrdered.
+    */
+  def functionExpression(spark: SparkSession, sfDir: String,
+      exprSrc: String =
+        "_score + 0.2 * ln(1 + token_count) + (token_count > 120 ? 0.5 : 0)",
+      terms: Seq[String] = Seq("merge", "sort"), k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    val kAll = math.max(r.stats.docCount + 1,
+      QueryEngine.MergeCollectMax + 1).toInt
+    val hits = QueryEngine.search(r,
+      Seq(QuerySpec("expr", should = terms, k = kAll)))
+    val bound = hits
+      .join(r.docMeta.select(col("docId"), col("path"), col("tokenCount")),
+        "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("final_score", graft.functions.ExprLang.compile(exprSrc,
+        Map("_score" -> col("score"), "token_count" -> col("tokenCount"))))
+    val top = bound
+      .orderBy(round(col("final_score"), 9).desc, asc("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(round(col("final_score"), 9).desc, asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score"),
+        round(col("final_score"), 4).as("final_score"))
+      .orderBy(asc("rank"))
+  }
+
   /** TermInSetQuery [B lucene/core/src/java/org/apache/lucene/search/TermInSetQuery.java]:
     * the "terms filter" — a doc matches when it contains ANY of the set's
     * terms, at CONSTANT score (Lucene rewrites to a bit-set filter rather

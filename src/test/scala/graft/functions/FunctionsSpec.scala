@@ -105,4 +105,59 @@ class FunctionsSpec extends AnyFunSuite {
         boosts = Map("sort" -> 2.5), k = 10)).collect().map(_.getLong(1)).toSeq
     assert(boosted.sorted == boostedExpected.sorted)
   }
+
+  test("ExprLang: arithmetic, precedence, ternary, functions vs scala math") {
+    import spark.implicits._
+    val df = Seq((2.0, 5.0), (3.5, 0.0), (-1.0, 120.0)).toDF("x", "y")
+    def eval(src: String): Seq[Double] =
+      df.select(ExprLang.compile(src,
+        Map("x" -> col("x"), "y" -> col("y"))).as("v"))
+        .collect().map(_.getDouble(0)).toSeq
+    val rows = Seq((2.0, 5.0), (3.5, 0.0), (-1.0, 120.0))
+    // precedence: * binds over +, unary minus, parens
+    assert(eval("x + 2 * y - 1") == rows.map { case (x, y) => x + 2 * y - 1 })
+    assert(eval("-x * (y + 1)") == rows.map { case (x, y) => -x * (y + 1) })
+    assert(eval("10 % 3 + x") == rows.map { case (x, _) => 10 % 3 + x })
+    // functions (1- and 2-arg)
+    assert(eval("sqrt(abs(x)) + max(x, y)") == rows.map { case (x, y) =>
+      math.sqrt(math.abs(x)) + math.max(x, y) })
+    assert(eval("pow(2, 3) + ln(1 + abs(y))") == rows.map { case (_, y) =>
+      8.0 + math.log(1 + math.abs(y)) })
+    // comparisons are 1.0/0.0 doubles; ternary takes nonzero as true —
+    // the reference's all-doubles semantics
+    assert(eval("x > 0") == rows.map { case (x, _) => if (x > 0) 1.0 else 0.0 })
+    assert(eval("x > 0 ? y : -y") ==
+      rows.map { case (x, y) => if (x > 0) y else -y })
+    assert(eval("(x >= 2) + (y == 0)") == rows.map { case (x, y) =>
+      (if (x >= 2) 1.0 else 0.0) + (if (y == 0) 1.0 else 0.0) })
+    // scientific literals
+    assert(eval("1e2 + x") == rows.map { case (x, _) => 100.0 + x })
+    // parse errors: unbound variable, unknown function, trailing input
+    intercept[ExprLang.ParseError](ExprLang.compile("z + 1", Map.empty))
+    intercept[ExprLang.ParseError](
+      ExprLang.compile("frob(1)", Map.empty))
+    intercept[ExprLang.ParseError](
+      ExprLang.compile("1 + 2 )", Map.empty))
+  }
+
+  test("functionExpression: expression re-rank equals hand-computed order") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = DocSearchOps.functionExpression(spark, sf).collect()
+    assert(rows.length == 10)
+    // final_score must equal _score + 0.2*ln(1+tc) + (tc>120 ? 0.5 : 0)
+    // recomputed from the engine's own pieces
+    val meta = DocSearchOps.reader(spark, sf).docMeta
+      .select(col("path").cast("long").as("doc_id"), col("tokenCount"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val tc = meta(r.getLong(1)).toDouble
+      val want = r.getDouble(2) + 0.2 * math.log(1 + tc) +
+        (if (tc > 120) 0.5 else 0.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-3,
+        s"doc ${r.getLong(1)}: ${r.getDouble(3)} vs $want")
+    }
+    // ranks strictly ordered by final_score desc
+    val fins = rows.sortBy(_.getInt(0)).map(_.getDouble(3)).toSeq
+    assert(fins == fins.sorted.reverse)
+  }
 }
