@@ -97,6 +97,7 @@ object SparkEntry {
     "search_term_in_set" -> (DocSearchOps.searchTermInSet(_, _)),
     "realtime_get" -> (DocSearchOps.realtimeGet(_, _)),
     "function_expression" -> (DocSearchOps.functionExpression(_, _)),
+    "highlight_passages" -> (DocSearchOps.highlightPassages(_, _)),
     "search_dfi_chi2" -> (DocSearchOps.searchDfi(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "block_join_child" -> (DocSearchOps.blockJoinChild(_, _)),
@@ -811,6 +812,54 @@ object SparkEntry {
          |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
          |WHERE d.doc_id IN (3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377)
          |ORDER BY d.doc_id""".stripMargin,
+    // UnifiedHighlighter maxPassages=2: top-5 BM25 docs -> 16-token
+    // windows over RAW (pre-stop) tokens of the stored text, passage
+    // score = sum idf(t)*tf_t(window), top-2 passages per doc
+    "highlight_passages" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id),
+         |hits AS (SELECT doc_id, round(score, 4) AS score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, score FROM sc) WHERE rank <= 5),
+         |rawt AS (SELECT d.doc_id,
+         |        list_filter(string_split_regex(lower(d.text), '[^a-z0-9_]+'),
+         |                    x -> x <> '') AS rtoks
+         |        FROM documents d JOIN hits ON hits.doc_id = d.doc_id),
+         |wins AS (SELECT r.doc_id, w.win,
+         |        list_slice(r.rtoks, w.win * 16 + 1, w.win * 16 + 16) AS ptoks
+         |        FROM rawt r,
+         |             unnest(range(0, cast(floor((len(r.rtoks) - 1) / 16) AS int) + 1)) AS w(win)),
+         |idfs AS (SELECT term, ln(1 + (st.n - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dfs CROSS JOIN st),
+         |scored AS (SELECT w.doc_id, w.win, w.ptoks,
+         |        (SELECT coalesce(sum(i.idf * len(list_filter(w.ptoks, x -> x = i.term))), 0)
+         |         FROM idfs i) AS pscore
+         |        FROM wins w),
+         |ranked AS (SELECT doc_id, win, ptoks, pscore,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY round(pscore, 9) DESC, win) AS passage_rank
+         |        FROM scored WHERE pscore > 0)
+         |SELECT h.doc_id, h.score, r.passage_rank,
+         |       r.win * 16 AS start_token,
+         |       round(r.pscore, 4) AS passage_score,
+         |       md5(array_to_string(r.ptoks, ' ')) AS passage_md5
+         |FROM ranked r JOIN hits h ON h.doc_id = r.doc_id
+         |WHERE r.passage_rank <= 2
+         |ORDER BY h.doc_id, r.passage_rank""".stripMargin,
     // expressions module: _score + 0.2*ln(1+token_count) + (token_count >
     // 120 ? 0.5 : 0) over the merge/sort BM25 disjunction, re-ranked
     "function_expression" ->

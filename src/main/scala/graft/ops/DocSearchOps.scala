@@ -1349,6 +1349,60 @@ object DocSearchOps {
       .orderBy(desc("score"), asc("doc_id"))
   }
 
+  /** Ranked multi-passage highlighting — UnifiedHighlighter with
+    * maxPassages > 1 [B lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/UnifiedHighlighter.java,
+    * PassageScorer.java]: score over the INDEX first, then re-analyze only
+    * the k winners' stored text (exactly the reference's stored-text
+    * re-analysis), break it into fixed token windows (the corpus has no
+    * sentence punctuation, so a fixed window stands in for the
+    * BreakIterator), score each passage Σ_t idf(t)·tf_t(passage) — the
+    * PassageScorer shape with its default tf·weight accumulation — and
+    * keep the top `maxPassages` per doc. Everything after the index
+    * search is codegen'd array expressions over the k stored texts (one
+    * tiny join, no corpus scan), and the oracle reproduces window
+    * geometry, scores, and passage digests exactly.
+    */
+  def highlightPassages(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("merge", "sort"), k: Int = 5,
+      window: Int = 16, maxPassages: Int = 2): DataFrame = {
+    val r = reader(spark, sfDir)
+    val bm = graft.core.Bm25()
+    val ts = r.termStatsMap(terms)
+    val idfs = terms.map(t =>
+      t -> ts.get(t).map(s => bm.idf(s._1, r.stats.docCount)).getOrElse(0.0))
+    val hits = QueryEngine.search(r, Seq(QuerySpec("hp", should = terms, k = k)))
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        split(lower(col("text")), "[^a-z0-9_]+").as("rtoks"))
+      .select(col("doc_id"),
+        filter(col("rtoks"), t => t =!= "").as("rtoks"))
+    val withWin = hits
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .join(raw, "doc_id")
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("rtoks"),
+        explode(sequence(lit(0),
+          floor((size(col("rtoks")) - 1) / window).cast("int"))).as("win"))
+      .withColumn("ptoks",
+        slice(col("rtoks"), col("win") * window + 1, lit(window)))
+    val pscore = idfs.map { case (t, w) =>
+      size(filter(col("ptoks"), x => x === t)).cast("double") * lit(w)
+    }.reduce(_ + _)
+    val perDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("pscore"), 9).desc, asc("win"))
+    withWin
+      .withColumn("pscore", pscore)
+      .where(col("pscore") > 0)
+      .withColumn("passage_rank", row_number().over(perDoc))
+      .where(col("passage_rank") <= maxPassages)
+      .select(col("doc_id"), col("score"),
+        col("passage_rank").cast("long").as("passage_rank"),
+        (col("win") * window).cast("long").as("start_token"),
+        round(col("pscore"), 4).as("passage_score"),
+        md5(concat_ws(" ", col("ptoks"))).as("passage_md5"))
+      .orderBy(asc("doc_id"), asc("passage_rank"))
+  }
+
   /** Compositional parsed query through the clause-TREE executor
     * (QueryLowering + QueryEngine.searchTree, VERDICT r2 next-1): nested
     * boolean group as a required clause, a scored phrase and a wildcard

@@ -789,6 +789,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("highlightPassages: window geometry, digests, per-doc rank order") {
+    val rows = DocSearchOps.highlightPassages(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = "[^a-z0-9_]+".r.split(texts(r.getLong(0)).toLowerCase)
+        .toSeq.filter(_.nonEmpty)
+      val start = r.getLong(3).toInt
+      val ptoks = toks.slice(start, start + 16)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ptoks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(5) == md, s"doc ${r.getLong(0)} win $start digest")
+      // every kept passage really contains a query term
+      assert(ptoks.exists(Set("merge", "sort").contains))
+    }
+    // passage ranks within a doc ordered by score desc
+    rows.groupBy(_.getLong(0)).foreach { case (_, ps) =>
+      val byRank = ps.sortBy(_.getLong(2)).map(_.getDouble(4)).toSeq
+      assert(byRank == byRank.sorted.reverse)
+      assert(ps.map(_.getLong(2)).toSet.subsetOf(Set(1L, 2L)))
+    }
+  }
+
   test("clusterAssign: centroid docs assign to themselves at cos 1") {
     val rows = ClassifyOps.clusterAssign(spark, sf).collect()
     assert(rows.nonEmpty)
