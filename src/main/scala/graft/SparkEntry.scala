@@ -98,6 +98,8 @@ object SparkEntry {
     "realtime_get" -> (DocSearchOps.realtimeGet(_, _)),
     "function_expression" -> (DocSearchOps.functionExpression(_, _)),
     "highlight_passages" -> (DocSearchOps.highlightPassages(_, _)),
+    "spell_collate_query" -> (DocSearchOps.spellCollateQuery(_, _)),
+    "group_query" -> (DocSearchOps.groupQuery(_, _)),
     "search_dfi_chi2" -> (DocSearchOps.searchDfi(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "block_join_child" -> (DocSearchOps.blockJoinChild(_, _)),
@@ -812,6 +814,65 @@ object SparkEntry {
          |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
          |WHERE d.doc_id IN (3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377)
          |ORDER BY d.doc_id""".stripMargin,
+    // spellcheck.collate with hit verification: per-term best correction
+    // (dist, df desc, term), reassembled in query order, hits = docs
+    // matching ALL corrected terms
+    "spell_collate_query" ->
+      s"""WITH $TokCte,
+         |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         |q(pos, qterm) AS (VALUES (1, 'mrge'), (2, 'sorrt'), (3, 'wnidow')),
+         |cand AS (SELECT q.pos, q.qterm, d.term,
+         |         levenshtein(q.qterm, d.term) AS dist, d.df
+         |         FROM q JOIN dict d
+         |           ON substring(d.term, 1, 1) = substring(q.qterm, 1, 1)
+         |          AND abs(length(d.term) - length(q.qterm)) <= 2
+         |          AND levenshtein(q.qterm, d.term) <= 2),
+         |best AS (SELECT pos, qterm, term FROM (
+         |   SELECT pos, qterm, term,
+         |          row_number() OVER (PARTITION BY qterm
+         |            ORDER BY dist, df DESC, term) AS rk
+         |   FROM cand) WHERE rk = 1),
+         |coll AS (SELECT string_agg(coalesce(b.term, q.qterm), ' ' ORDER BY q.pos) AS collation
+         |         FROM q LEFT JOIN best b ON b.pos = q.pos),
+         |corrset AS (SELECT DISTINCT coalesce(b.term, q.qterm) AS term
+         |            FROM q LEFT JOIN best b ON b.pos = q.pos),
+         |h AS (SELECT count(*) AS hits FROM (
+         |  SELECT t.doc_id FROM tok t JOIN corrset c ON t.term = c.term
+         |  GROUP BY t.doc_id
+         |  HAVING count(DISTINCT t.term) = (SELECT count(*) FROM corrset)))
+         |SELECT coll.collation, h.hits FROM coll CROSS JOIN h""".stripMargin,
+    // group.query: two query-defined groups — g1 must(merge, window),
+    // g2 should(batch, stream) — each with exact matches + top-2 docs
+    "group_query" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'window', 'batch', 'stream') GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |        ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |          / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS ts
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st),
+         |g1 AS (SELECT doc_id, sum(ts) AS score FROM sc
+         |       WHERE term IN ('merge', 'window') GROUP BY doc_id
+         |       HAVING count(DISTINCT term) = 2),
+         |g2 AS (SELECT doc_id, sum(ts) AS score FROM sc
+         |       WHERE term IN ('batch', 'stream') GROUP BY doc_id),
+         |u AS (SELECT 'g1' AS group_query, doc_id, score FROM g1
+         |      UNION ALL SELECT 'g2', doc_id, score FROM g2),
+         |r AS (SELECT group_query,
+         |        count(*) OVER (PARTITION BY group_query) AS matches,
+         |        row_number() OVER (PARTITION BY group_query
+         |          ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |        doc_id, round(score, 4) AS score FROM u)
+         |SELECT group_query, matches, rank, doc_id, score FROM r
+         |WHERE rank <= 2 ORDER BY group_query, rank""".stripMargin,
     // UnifiedHighlighter maxPassages=2: top-5 BM25 docs -> 16-token
     // windows over RAW (pre-stop) tokens of the stored text, passage
     // score = sum idf(t)*tf_t(window), top-2 passages per doc

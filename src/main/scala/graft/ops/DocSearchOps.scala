@@ -1235,6 +1235,74 @@ object DocSearchOps {
       .orderBy(asc("qterm"))
   }
 
+  /** Full-query spell collation with hit verification — Solr's
+    * spellcheck.collate + maxCollationTries
+    * [B solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java]:
+    * each query term is corrected through the DirectSpellChecker-style
+    * per-term ranking (edit distance, then df, then term; present terms
+    * self-correct at distance 0), the corrected terms are reassembled in
+    * the original query order, and the collation is VERIFIED by counting
+    * the docs that match ALL corrected terms — exactly the reference's
+    * "collations with hits" contract. The per-term correction join is the
+    * oracled spellCollate machinery; the collation string assembles on
+    * the coordinator (bounded by query length, where Solr builds it too);
+    * the hit count is ONE postings scan with the corrected set pushed as
+    * an In filter, decoded and conjunction-counted — never a corpus scan.
+    */
+  def spellCollateQuery(spark: SparkSession, sfDir: String,
+      qterms: Seq[String] = Seq("mrge", "sorrt", "wnidow"),
+      maxEdits: Int = 2): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val corr = spellCollate(spark, sfDir, qterms, maxEdits)
+      .select(col("qterm"), col("suggestion")).collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    val corrected = qterms.map(t => corr.getOrElse(t, t))
+    val collation = corrected.mkString(" ")
+    val need = corrected.distinct.size
+    val hits = r.postings
+      .where(col("term").isin(corrected.distinct: _*))
+      .as[TermPostings]
+      .flatMap(tp => tp.blocks.flatMap(b =>
+        graft.core.PostingBlocks.decode(b)._1.map(d => (tp.term, d))))
+      .toDF("term", "docId").distinct()
+      .groupBy(col("docId")).agg(countDistinct(col("term")).as("nt"))
+      .where(col("nt") === need)
+      .count()
+    Seq((collation, hits)).toDF("collation", "hits")
+  }
+
+  /** Solr group.query — grouping by arbitrary QUERIES instead of a field
+    * [B solr/core/src/java/org/apache/solr/search/Grouping.java#CommandQuery]:
+    * each group is defined by its own query; the response carries the
+    * group's total matches and its top documents. Both groups run through
+    * ONE batched QueryEngine.search call (one shared postings scan + one
+    * cogroup — the same plan as the 20-query bench batch), at
+    * corpus-covering k so `matches` is exact; the per-group top-2 is a
+    * windowed head over the already-scored hits.
+    */
+  def groupQuery(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    val r = reader(spark, sfDir)
+    val kAll = math.max(r.stats.docCount + 1,
+      QueryEngine.MergeCollectMax + 1).toInt
+    val hits = QueryEngine.search(r, Seq(
+      QuerySpec("g1", must = Seq("merge", "window"), k = kAll),
+      QuerySpec("g2", should = Seq("batch", "stream"), k = kAll)))
+    val perGroup = Window.partitionBy(col("qid"))
+      .orderBy(round(col("score"), 9).desc, asc("doc_id"))
+    val matches = Window.partitionBy(col("qid"))
+    hits
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("matches", count(lit(1)).over(matches))
+      .withColumn("rank", row_number().over(perGroup))
+      .where(col("rank") <= k)
+      .select(col("qid").as("group_query"), col("matches"),
+        col("rank").cast("long").as("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(asc("group_query"), asc("rank"))
+  }
+
   /** FreeTextSuggester [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FreeTextSuggester.java]:
     * "what word comes next" completion from an n-gram LM over the corpus
     * itself, with Jelinek-Mercer-style backoff to the unigram model (Lucene

@@ -815,6 +815,41 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("spellCollateQuery: collation corrected, hits equal raw recount") {
+    val row = DocSearchOps.spellCollateQuery(spark, sf).head()
+    val corrected = row.getString(0).split(" ").toSeq
+    assert(corrected.length == 3)
+    assert(corrected.contains("merge"), row.getString(0)) // mrge -> merge
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val want = texts.count { t =>
+      val toks = "[^a-z0-9_]+".r.split(t.toLowerCase).toSet
+      corrected.forall(toks.contains)
+    }
+    assert(row.getLong(1) == want.toLong,
+      s"hits ${row.getLong(1)} vs raw recount $want")
+  }
+
+  test("groupQuery: per-group matches + ordering against raw recount") {
+    val rows = DocSearchOps.groupQuery(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("g1", "g2"))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "[^a-z0-9_]+".r.split(r.getString(1).toLowerCase).toSet)
+    val g1want = texts.count { case (_, t) => t("merge") && t("window") }
+    val g2want = texts.count { case (_, t) => t("batch") || t("stream") }
+    rows.filter(_.getString(0) == "g1")
+      .foreach(r => assert(r.getLong(1) == g1want.toLong))
+    rows.filter(_.getString(0) == "g2")
+      .foreach(r => assert(r.getLong(1) == g2want.toLong))
+    // in-group ranks ordered by score desc
+    Seq("g1", "g2").foreach { g =>
+      val s = rows.filter(_.getString(0) == g).sortBy(_.getLong(2))
+        .map(_.getDouble(4)).toSeq
+      assert(s == s.sorted.reverse)
+    }
+  }
+
   test("clusterAssign: centroid docs assign to themselves at cos 1") {
     val rows = ClassifyOps.clusterAssign(spark, sf).collect()
     assert(rows.nonEmpty)
