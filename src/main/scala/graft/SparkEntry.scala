@@ -100,6 +100,7 @@ object SparkEntry {
     "highlight_passages" -> (DocSearchOps.highlightPassages(_, _)),
     "spell_collate_query" -> (DocSearchOps.spellCollateQuery(_, _)),
     "group_query" -> (DocSearchOps.groupQuery(_, _)),
+    "term_vector_positions" -> (DocSearchOps.termVectorPositions(_, _)),
     "search_dfi_chi2" -> (DocSearchOps.searchDfi(_, _)),
     "block_join_parent" -> (DocSearchOps.blockJoinParent(_, _)),
     "block_join_child" -> (DocSearchOps.blockJoinChild(_, _)),
@@ -814,6 +815,15 @@ object SparkEntry {
          |FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
          |WHERE d.doc_id IN (3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377)
          |ORDER BY d.doc_id""".stripMargin,
+    // term vector with positions for doc 7: freq + md5 of the ascending
+    // raw-token position list (stop slots counted), per query term
+    "term_vector_positions" ->
+      s"""WITH $PosCtes
+         |SELECT term, count(*) AS freq,
+         |       md5(string_agg(CAST(pos AS VARCHAR), ' ' ORDER BY pos)) AS positions_md5
+         |FROM pp
+         |WHERE doc_id = 7 AND term IN ('merge', 'sort', 'window')
+         |GROUP BY term ORDER BY term""".stripMargin,
     // spellcheck.collate with hit verification: per-term best correction
     // (dist, df desc, term), reassembled in query order, hits = docs
     // matching ALL corrected terms

@@ -1235,6 +1235,46 @@ object DocSearchOps {
       .orderBy(asc("qterm"))
   }
 
+  /** Term vector WITH POSITIONS, read from the positional index
+    * [B lucene/core/src/java/org/apache/lucene/index/TermVectorsReader.java;
+    * Fields.terms(field) with positions]: per-term frequency and the full
+    * ascending position list for one document, decoded from the SAME
+    * posBytes channel the phrase/span matchers read — so the entry pins
+    * the positional encode→decode round-trip directly (the oracle
+    * recomputes positions from raw text), not just behaviorally through
+    * phrase hits. Shape: one In-pushed postings scan for the requested
+    * terms; the doc's block is found by firstDocId/lastDocId range (the
+    * salted slices hold disjoint docId ranges, so exactly one slice
+    * carries the doc); the id resolution is a 1-row docMeta point lookup.
+    * Lucene stores term vectors doc-major to avoid exactly this
+    * inverted-index walk for ALL terms of a doc — for a bounded requested
+    * term set the pushed scan reads only those terms' blocks, which is
+    * the Spark-first trade documented at `term_vectors`.
+    */
+  def termVectorPositions(spark: SparkSession, sfDir: String,
+      extId: Long = 7L,
+      terms: Seq[String] = Seq("merge", "sort", "window")): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val internal = r.docMeta.where(col("path") === extId.toString)
+      .select(col("docId")).head().getLong(0)
+    r.postings.where(col("term").isin(terms: _*)).as[TermPostings]
+      .flatMap { tp =>
+        tp.blocks.iterator
+          .filter(b => b.firstDocId <= internal && internal <= b.lastDocId)
+          .flatMap { b =>
+            val (ids, tfs, _) = graft.core.PostingBlocks.decode(b)
+            val pos = graft.core.PostingBlocks.decodePositions(b, tfs)
+            val i = ids.indexWhere(_ == internal)
+            if (i < 0 || pos == null) Iterator.empty
+            else Iterator.single((tp.term, tfs(i).toLong, pos(i).mkString(" ")))
+          }
+      }
+      .toDF("term", "freq", "positions")
+      .select(col("term"), col("freq"), md5(col("positions")).as("positions_md5"))
+      .orderBy(asc("term"))
+  }
+
   /** Full-query spell collation with hit verification — Solr's
     * spellcheck.collate + maxCollationTries
     * [B solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java]:

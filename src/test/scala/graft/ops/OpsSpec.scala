@@ -850,6 +850,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("termVectorPositions: index positions equal raw-text positions") {
+    val rows = DocSearchOps.termVectorPositions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") === 7L).select("text").head().getString(0)
+    val raw = "[^a-z0-9_]+".r.split(text.toLowerCase).toSeq.filter(_.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val want = raw.zipWithIndex.collect { case (`t`, i) => i }
+      assert(r.getLong(1) == want.length.toLong, s"$t freq")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(want.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(2) == md, s"$t positions")
+    }
+  }
+
   test("clusterAssign: centroid docs assign to themselves at cos 1") {
     val rows = ClassifyOps.clusterAssign(spark, sf).collect()
     assert(rows.nonEmpty)
