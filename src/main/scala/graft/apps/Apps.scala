@@ -60,20 +60,45 @@ object BuildIndexApp {
     val indexDir = args(1)
     val numDocs = if (args.length > 2) args(2).toLong else 5000L
     val increments = if (args.length > 3) args(3).toInt else 1
-    // optional 5th arg "positions": index positional postings too
-    val positions = args.length > 4 && args(4) == "positions"
+    // optional flag args (any order after increments):
+    //   "positions" — index positional postings too
+    //   "warm"      — run a small untimed build first so the timed build
+    //                 doesn't pay one-time JIT/codegen a long-lived cluster
+    //                 never sees (the Bench ladder's warm-up, for
+    //                 spark-submit scaling runs where every invocation is
+    //                 a fresh JVM)
+    val flags = args.drop(4).toSet
+    val positions = flags("positions")
     val spark = SparkEnv.session("graft-build")
     import spark.implicits._
     CorpusGen.ensure(spark, corpusDir, numDocs,
       numPartitions = sys.env.getOrElse("SPARK_GRAFT_CORPUS_PARTS", "32").toInt)
     val corpus = spark.read.parquet(s"$corpusDir/corpus.parquet").as[SourceDoc]
+    if (flags("warm")) {
+      val wdir = s"$indexDir.warmup"
+      CorpusGen.ensure(spark, s"$wdir.corpus", 500, numPartitions = 4)
+      Index.build(spark.read.parquet(s"$wdir.corpus/corpus.parquet")
+        .as[SourceDoc], wdir, IndexConfig(indexPositions = positions))
+    }
+    // steal share measured DURING the build (same approximation as
+    // graft.Bench: stolen jiffies over machine-wide non-idle jiffies) so a
+    // spark-submit scaling ladder can gate samples on hypervisor noise
+    def cpuSnap(): (Long, Long, Long) = {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      (f.take(8).sum, f(3) + f(4), if (f.length > 7) f(7) else 0L)
+    }
+    val (tot0, idle0, st0) = cpuSnap()
     val t0 = System.nanoTime()
     val snaps = Index.build(corpus, indexDir,
       IndexConfig(indexPositions = positions), increments)
     val secs = (System.nanoTime() - t0) / 1e9
+    val (tot1, idle1, st1) = cpuSnap()
+    val runnable = math.max(1L, (tot1 - tot0) - (idle1 - idle0))
+    val steal = (st1 - st0).toDouble / runnable
     val docs = snaps.map(_.docCount).sum
     println(f"[graft] built ${snaps.size} snapshot(s), $docs docs in $secs%.2f s " +
-      f"(${docs / secs}%.0f files/sec) -> $indexDir")
+      f"(${docs / secs}%.0f files/sec, steal share $steal%.4f) -> $indexDir")
     spark.stop()
   }
 }
