@@ -191,6 +191,7 @@ object SparkEntry {
     // -- analyzer-chain filters (Lucene analysis-common breadth) --
     "analysis_word_delimiter" -> (AnalysisOps.wordDelimiter(_, _)),
     "analysis_ascii_folding" -> (AnalysisOps.asciiFolding(_, _)),
+    "analysis_debug" -> (AnalysisOps.analysisDebug(_, _)),
     "analysis_shingle" -> (AnalysisOps.shingle(_, _)),
     "analysis_edge_ngram" -> (AnalysisOps.edgeNgram(_, _)),
     "analysis_pattern_replace" -> (AnalysisOps.patternReplace(_, _)),
@@ -2586,6 +2587,28 @@ object SparkEntry {
     // pins every produced token)
     "analysis_word_delimiter" -> AnalysisOps.wordDelimiterOracleSql,
     "analysis_ascii_folding" -> AnalysisOps.asciiFoldingOracleSql,
+    // /analysis/field debug: per-stage token streams (tokenize+lower,
+    // stop, Porter) digested per doc; the stem CASE inlines the corpus
+    // vocabulary's Porter map (6 of 31 tokens change)
+    "analysis_debug" ->
+      s"""WITH rawt AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+         |              x -> x <> '') AS raw
+         |  FROM documents WHERE doc_id < 50),
+         |st AS (SELECT doc_id, raw,
+         |  list_filter(raw, x -> x NOT IN ($StopSql)) AS stopped FROM rawt),
+         |sm AS (SELECT doc_id, raw, stopped,
+         |  list_transform(stopped, x -> CASE x
+         |    WHEN 'customer' THEN 'custom' WHEN 'merge' THEN 'merg'
+         |    WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl'
+         |    WHEN 'value' THEN 'valu' WHEN 'key' THEN 'kei'
+         |    ELSE x END) AS stemmed FROM st)
+         |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
+         |  CAST(len(stopped) AS BIGINT) AS n_stopped,
+         |  md5(array_to_string(raw, ' ')) AS raw_md5,
+         |  md5(array_to_string(stopped, ' ')) AS stopped_md5,
+         |  md5(array_to_string(stemmed, ' ')) AS stemmed_md5
+         |FROM sm ORDER BY doc_id""".stripMargin,
     "analysis_shingle" -> AnalysisOps.shingleOracleSql,
     "analysis_edge_ngram" -> AnalysisOps.edgeNgramOracleSql,
     "analysis_pattern_replace" -> AnalysisOps.patternReplaceOracleSql,

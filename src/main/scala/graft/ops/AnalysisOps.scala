@@ -106,6 +106,38 @@ object AnalysisOps {
       s"replace($acc, '$from', '$to')"
     }
 
+  /** Solr /analysis/field debug handler
+    * [B solr/core/src/java/org/apache/solr/handler/FieldAnalysisRequestHandler.java]:
+    * the token stream AT EVERY STAGE of the analyzer chain (tokenizer +
+    * lowercase → StopFilter → PorterStemFilter), per document — the
+    * introspection surface users hit to debug "why didn't this match".
+    * Emits per-stage token counts and an md5 of each stage's
+    * space-joined stream, so the oracle pins every stage exactly (the
+    * stem stage runs the real PorterStemmer; the oracle's inline stem
+    * CASE of the corpus vocabulary must match it token-for-token or the
+    * digest diverges). Map-only over a bounded doc window.
+    */
+  def analysisDebug(spark: SparkSession, sfDir: String,
+      maxDoc: Long = 50): DataFrame = {
+    import spark.implicits._
+    val stop = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+    docs(spark, sfDir).where(col("doc_id") < maxDoc)
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("raw"))
+      .withColumn("stopped", filter(col("raw"), t => !t.isin(stop: _*)))
+      .as[(Long, Seq[String], Seq[String])]
+      .map { case (id, raw, stopped) =>
+        (id, raw.length.toLong, stopped.length.toLong, raw.mkString(" "),
+          stopped.mkString(" "),
+          stopped.map(graft.core.PorterStemmer.stem).mkString(" "))
+      }
+      .toDF("doc_id", "n_raw", "n_stopped", "raw_s", "stopped_s", "stemmed_s")
+      .select(col("doc_id"), col("n_raw"), col("n_stopped"),
+        md5(col("raw_s").cast("binary")).as("raw_md5"),
+        md5(col("stopped_s").cast("binary")).as("stopped_md5"),
+        md5(col("stemmed_s").cast("binary")).as("stemmed_md5"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** ASCIIFolding over augmented text: per-doc count of non-ASCII chars
     * before folding, count after (non-zero only for chars outside the
     * documented fold subset), and the md5 of the folded text.

@@ -867,6 +867,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("analysisDebug: stage digests equal a driver-local chain replay") {
+    val rows = graft.ops.AnalysisOps.analysisDebug(spark, sf).collect()
+    assert(rows.length == 50)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 50).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val raw = "[^a-z0-9_]+".r.split(texts(r.getLong(0)).toLowerCase)
+        .toSeq.filter(_.nonEmpty)
+      val stopped = raw.filterNot(graft.core.Analyzer.EnglishStopWords)
+      val stemmed = stopped.map(graft.core.PorterStemmer.stem)
+      assert(r.getLong(1) == raw.length.toLong)
+      assert(r.getLong(2) == stopped.length.toLong)
+      assert(r.getString(3) == md(raw.mkString(" ")))
+      assert(r.getString(4) == md(stopped.mkString(" ")))
+      assert(r.getString(5) == md(stemmed.mkString(" ")))
+    }
+  }
+
   test("clusterAssign: centroid docs assign to themselves at cos 1") {
     val rows = ClassifyOps.clusterAssign(spark, sf).collect()
     assert(rows.nonEmpty)
