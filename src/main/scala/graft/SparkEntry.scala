@@ -196,6 +196,7 @@ object SparkEntry {
     "analysis_edge_ngram" -> (AnalysisOps.edgeNgram(_, _)),
     "analysis_pattern_replace" -> (AnalysisOps.patternReplace(_, _)),
     "analysis_length_filter" -> ((s, d) => AnalysisOps.lengthFilter(s, d)),
+    "analysis_multilang_stem" -> ((s, d) => AnalysisOps.multilangStem(s, d)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "sample_stratified" -> ((s, d) => PipelineOps.sampleStratified(s, d)),
     "host_cap" -> ((s, d) => PipelineOps.hostCap(s, d)),
@@ -2610,6 +2611,7 @@ object SparkEntry {
          |  md5(array_to_string(stemmed, ' ')) AS stemmed_md5
          |FROM sm ORDER BY doc_id""".stripMargin,
     "analysis_shingle" -> AnalysisOps.shingleOracleSql,
+    "analysis_multilang_stem" -> AnalysisOps.multilangStemOracleSql,
     "analysis_edge_ngram" -> AnalysisOps.edgeNgramOracleSql,
     "analysis_pattern_replace" -> AnalysisOps.patternReplaceOracleSql,
     "analysis_length_filter" -> AnalysisOps.lengthFilterOracleSql,

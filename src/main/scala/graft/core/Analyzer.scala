@@ -91,6 +91,92 @@ object Analyzer {
       stopWords: Set[String] = EnglishStopWords): Array[String] =
     analyze(text, stopWords).map(PorterStemmer.stem)
 
+  /** French minimal stemmer (plural/gender stripping)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/fr/FrenchMinimalStemFilter.java],
+    * reimplemented from the published rule family (Savoy, "Light Stemming
+    * Approaches for the French, Portuguese, German and Hungarian
+    * Languages", SAC 2006). Words shorter than 6 pass through; a final
+    * 'x' is handled first ('-aux' becomes '-al' unless preceded by 'e',
+    * otherwise the 'x' drops) and ends the chain; otherwise final 's',
+    * then 'r', then 'e', then 'é' strip in sequence, and a resulting
+    * doubled final letter collapses. Pure suffix logic — exactly
+    * reproducible in the DuckDB oracle SQL (like [[minimalStem]]).
+    */
+  def frenchMinimalStem(t: String): String = {
+    if (t.length < 6) return t
+    var len = t.length
+    if (t.charAt(len - 1) == 'x') {
+      if (t.charAt(len - 3) == 'a' && t.charAt(len - 2) == 'u' &&
+        t.charAt(len - 4) != 'e')
+        return t.substring(0, len - 2) + "l" // chevaux -> cheval
+      return t.substring(0, len - 1) // châteaux -> château
+    }
+    if (t.charAt(len - 1) == 's') len -= 1
+    if (t.charAt(len - 1) == 'r') len -= 1
+    if (t.charAt(len - 1) == 'e') len -= 1
+    if (t.charAt(len - 1) == 'é') len -= 1
+    if (len > 1 && t.charAt(len - 1) == t.charAt(len - 2)) len -= 1
+    t.substring(0, len)
+  }
+
+  /** German minimal stemmer (plural endings, umlaut fold)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/de/GermanMinimalStemFilter.java],
+    * same Savoy minimal-stemmer family: words shorter than 5 pass
+    * through; ä/ö/ü fold to a/o/u; then the longest matching plural
+    * ending strips — '-nen' (length > 6), '-en' (length > 5), or a final
+    * 'e'/'s'/'n'. Suffix-only, oracle-reproducible.
+    */
+  def germanMinimalStem(t0: String): String = {
+    if (t0.length < 5) return t0
+    val t = t0.map {
+      case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'; case c => c
+    }
+    val len = t.length
+    if (len > 6 && t.endsWith("nen")) t.substring(0, len - 3) // Läuferinnen-style
+    else if (len > 5 && t.endsWith("en")) t.substring(0, len - 2) // häusen/tagen
+    else t.charAt(len - 1) match {
+      case 'e' | 's' | 'n' => t.substring(0, len - 1)
+      case _ => t
+    }
+  }
+
+  /** Spanish plural stemmer (plural -> singular only)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/es/SpanishPluralStemFilter.java]
+    * semantics: words shorter than 4 pass through; '-ces' becomes '-z'
+    * (luces -> luz); '-es' after one of r/l/n/d/j/s/x strips (colores ->
+    * color); a final 's' after a vowel strips (casas -> casa). Gender and
+    * derivational suffixes are intentionally untouched (the plural-only
+    * contract of the published filter). Suffix-only, oracle-reproducible.
+    */
+  def spanishPluralStem(t: String): String = {
+    val len = t.length
+    if (len < 4 || t.charAt(len - 1) != 's') return t
+    if (len >= 5 && t.endsWith("ces")) return t.substring(0, len - 3) + "z"
+    if (t.charAt(len - 2) == 'e') {
+      val p = t.charAt(len - 3)
+      if (p == 'r' || p == 'l' || p == 'n' || p == 'd' || p == 'j' ||
+        p == 's' || p == 'x') return t.substring(0, len - 2)
+      return t // vowel+es and consonants outside the set: keep unchanged
+    }
+    val v = t.charAt(len - 2)
+    if (v == 'a' || v == 'e' || v == 'i' || v == 'o' || v == 'u')
+      t.substring(0, len - 1)
+    else t
+  }
+
+  /** Per-language minimal stemmer dispatch — the Solr language-specific
+    * field-type composition (one analyzer chain per `lang` value): en uses
+    * the S-stemmer, fr/de/es their minimal stemmers above, anything else
+    * (zh here — no CJK segmentation claimed) passes through unstemmed.
+    */
+  def stemForLang(lang: String, t: String): String = lang match {
+    case "en" => minimalStem(t)
+    case "fr" => frenchMinimalStem(t)
+    case "de" => germanMinimalStem(t)
+    case "es" => spanishPluralStem(t)
+    case _ => t
+  }
+
   /** WordDelimiterGraphFilter-style subword split of one token
     * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/WordDelimiterGraphFilter.java]:
     * parts break at delimiters (_ -), lower->upper case transitions,

@@ -323,4 +323,64 @@ object AnalysisOps {
        |           WHERE regexp_matches(t.term, '^[a-z]+$$'))
        |SELECT term, ${soundexSql("term")} AS code FROM v ORDER BY term""".stripMargin
   }
+
+  // ---- Per-language minimal stemmers (Solr language field types) ----------
+
+  /** Language-aware analyzer dispatch — the Solr per-language field-type
+    * composition (schema field types text_en/text_fr/text_de/text_es each
+    * bind their own stem filter; here the `lang` column selects the chain
+    * per document, [B lucene/analysis/common/src/java/org/apache/lucene/analysis/fr/FrenchMinimalStemFilter.java,
+    * …/de/GermanMinimalStemFilter.java, …/es/SpanishPluralStemFilter.java]).
+    * Every doc is tokenized once and stemmed by Analyzer.stemForLang (en
+    * S-stemmer, fr/de/es minimal stemmers, zh pass-through — no CJK
+    * segmentation claimed). Output pins the full stemmed stream per doc
+    * (md5) plus how many tokens the stemmer changed; the oracle reproduces
+    * each stemmer as a per-language CASE over the corpus vocabulary (the
+    * Porter-entry pattern), so a rule drift in any stemmer flips hashes.
+    * Pure map stage — no shuffle but the presentation sort.
+    */
+  def multilangStem(spark: SparkSession, sfDir: String,
+      maxDoc: Long = 200): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir).where(col("doc_id") < maxDoc)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokensCol(col("text")).as("toks"))
+      .as[(Long, String, Seq[String])]
+      .map { case (id, lang, toks) =>
+        val stemmed = toks.map(t => Analyzer.stemForLang(lang, t))
+        val changed =
+          toks.iterator.zip(stemmed.iterator).count { case (a, b) => a != b }
+        (id, lang, toks.length.toLong, changed.toLong, stemmed.mkString(" "))
+      }
+      .toDF("doc_id", "lang", "n_tokens", "n_changed", "s")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_changed"),
+        md5(col("s").cast("binary")).as("stemmed_md5"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** Oracle for [[multilangStem]]: the fr/de stem maps of the 31-token
+    * corpus vocabulary inlined as CASEs (en S-stemmer and es plural
+    * stemmer are identities on this vocabulary — nothing ends in 's';
+    * CoreCodecSpec pins all four stemmers on real-language examples, and
+    * drifts there must move these CASEs in lockstep).
+    */
+  def multilangStemOracleSql: String =
+    s"""WITH rawt AS (SELECT doc_id, lang,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+       |              x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id < 200),
+       |sm AS (SELECT doc_id, lang, toks,
+       |  CASE WHEN lang = 'fr' THEN list_transform(toks, x -> CASE x
+       |         WHEN 'customer' THEN 'custom' WHEN 'filter' THEN 'filt'
+       |         WHEN 'vector' THEN 'vecto' ELSE x END)
+       |       WHEN lang = 'de' THEN list_transform(toks, x -> CASE x
+       |         WHEN 'merge' THEN 'merg' WHEN 'table' THEN 'tabl'
+       |         WHEN 'value' THEN 'valu' WHEN 'column' THEN 'colum'
+       |         ELSE x END)
+       |       ELSE toks END AS stemmed FROM rawt)
+       |SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(range(len(toks)),
+       |       i -> toks[i + 1] <> stemmed[i + 1])) AS BIGINT) AS n_changed,
+       |  md5(array_to_string(stemmed, ' ')) AS stemmed_md5
+       |FROM sm ORDER BY doc_id""".stripMargin
 }

@@ -245,6 +245,39 @@ class CoreCodecSpec extends AnyFunSuite {
     assert(Analyzer.asciiFold("ōtou") == "ōtou")
   }
 
+  test("language minimal stemmers: fr/de/es rules on real-language examples") {
+    import Analyzer._
+    assert(frenchMinimalStem("chevaux") == "cheval") // -aux -> -al
+    assert(frenchMinimalStem("châteaux") == "château") // -eaux keeps e, drops x
+    assert(frenchMinimalStem("personnes") == "person") // s, e, double-n
+    assert(frenchMinimalStem("tables") == "tabl") // s then e
+    assert(frenchMinimalStem("merge") == "merge") // < 6 passes through
+    assert(germanMinimalStem("frauen") == "frau") // -en plural
+    assert(germanMinimalStem("jahre") == "jahr") // final e
+    assert(germanMinimalStem("autos") == "auto") // final s
+    assert(germanMinimalStem("läuferinnen") == "lauferin") // umlaut fold + -nen
+    assert(germanMinimalStem("haus") == "haus") // < 5 passes through
+    assert(spanishPluralStem("luces") == "luz") // -ces -> -z
+    assert(spanishPluralStem("colores") == "color") // consonant + -es
+    assert(spanishPluralStem("casas") == "casa") // vowel + -s
+    assert(spanishPluralStem("mes") == "mes") // < 4 passes through
+    // the corpus-vocabulary stem maps the multilang oracle CASEs inline
+    // (AnalysisOps.multilangStemOracleSql) — a rule drift must move both
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
+      "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+      "merge", "order", "part", "query", "row", "scan", "slow", "small",
+      "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+    assert(vocab.filter(t => frenchMinimalStem(t) != t)
+      .map(t => t -> frenchMinimalStem(t)).toMap ==
+      Map("customer" -> "custom", "filter" -> "filt", "vector" -> "vecto"))
+    assert(vocab.filter(t => germanMinimalStem(t) != t)
+      .map(t => t -> germanMinimalStem(t)).toMap ==
+      Map("merge" -> "merg", "table" -> "tabl", "value" -> "valu",
+        "column" -> "colum"))
+    assert(vocab.forall(t => minimalStem(t) == t)) // en identity on vocab
+    assert(vocab.forall(t => spanishPluralStem(t) == t)) // es identity too
+  }
+
   // ---- TermsHash -----------------------------------------------------------
 
   test("TermsHash postings equal Analyzer.termFreqs for random docs") {
