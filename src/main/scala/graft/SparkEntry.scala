@@ -134,6 +134,8 @@ object SparkEntry {
     "search_synonym" -> ((s, d) => DocSearchOps.searchSynonym(s, d)),
     "search_synonym_config" -> ((s, d) =>
       DocSearchOps.searchSynonymConfig(s, d)),
+    "search_synonym_index" -> ((s, d) =>
+      DocSearchOps.searchSynonymIndex(s, d)),
     "search_rerank" -> ((s, d) => DocSearchOps.searchRerank(s, d)),
     "search_ltr_linear" -> ((s, d) => DocSearchOps.searchLtr(s, d)),
     "search_rrf_hybrid" -> ((s, d) => DocSearchOps.searchRrf(s, d)),
@@ -1417,6 +1419,34 @@ object SparkEntry {
          |SELECT rank, doc_id, score FROM (
          |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM allsc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // index-time synonym canonicalization: order -> sort applied in the
+    // index analyzer, so the group's postings and df are TRULY merged
+    // (contrast search_synonym_config's query-time max-df blend above);
+    // query "sort merge" over the canonicalized token stream
+    "search_synonym_index" ->
+      s"""WITH $TokCte,
+         |stok AS (SELECT doc_id,
+         |         CASE term WHEN 'order' THEN 'sort' ELSE term END AS term
+         |         FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM stok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM stok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('sort', 'merge') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // Solr rerank: top-30 window of (merge OR sort), rescored as
     // firstPass + 2.0 * bm25(window); misses keep their first-pass score

@@ -153,6 +153,64 @@ object DocSearchOps {
   def searchTerm(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("term", should = Seq("merge")))
 
+  /** Index-time synonym dictionary (canonical-member form): every member
+    * maps onto its group's canonical term in the ANALYZER at index time.
+    */
+  private val IndexSynonyms = Map("order" -> "sort")
+
+  /** Index-time synonym canonicalization
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/synonym/SynonymGraphFilter.java
+    * index-time role]: the complementary deployment to
+    * search_synonym_config's query-time SynNode blending — Solr ships
+    * both. Applying the dictionary in the index analyzer merges the
+    * group's postings (df, per-doc tf, impacts) in the index itself, so
+    * query-time needs no expansion and the statistics are TRULY merged
+    * (query-time SynonymQuery only blends df, summing freqs per doc at
+    * score time). Single-token canonicalization keeps positions intact
+    * (doc length and every other token's position are unchanged), at the
+    * cost of a reindex when the dictionary changes. Same pre-analyzed
+    * variant-index composition as the stemmer chains, cached separately.
+    */
+  def synonymIndexReader(spark: SparkSession, sfDir: String): Index.Reader =
+    synIdxCache.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_synindex_${Version}_$safe"
+      if (index.SnapshotStore.read(dir).isEmpty) {
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(
+            col("source").as("repo"),
+            col("doc_id").cast("string").as("path"),
+            lit("").as("commit"),
+            col("lang"),
+            col("text").as("content"))
+          .as[SourceDoc]
+          .map(d => d.copy(content = graft.core.Analyzer.analyze(d.content)
+            .map(t => IndexSynonyms.getOrElse(t, t)).mkString(" ")))
+        Index.build(corpus, dir,
+          IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000,
+            stopWords = Set.empty))
+      }
+      Index.reader(spark, dir)
+    })
+
+  private val synIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
+
+  /** BM25 over the index-time-synonym index: the query analyzer applies
+    * the same dictionary, so "order merge" and "sort merge" are the same
+    * query, and a doc containing only "order" scores on the merged
+    * sort-group postings with the merged df.
+    */
+  def searchSynonymIndex(spark: SparkSession, sfDir: String,
+      rawQuery: String = "sort merge"): DataFrame = {
+    val r = synonymIndexReader(spark, sfDir)
+    val terms = graft.core.Analyzer.analyze(rawQuery)
+      .map(t => IndexSynonyms.getOrElse(t, t)).toSeq.distinct
+    rankDf(r, QueryEngine.search(r,
+      Seq(QuerySpec("synidx", should = terms)), stopWords = Set.empty))
+  }
+
   /** Backup/restore round-trip (§2.1 replication, Solr ReplicationHandler
     * backup semantics): back up the shared doc index's commit point,
     * restore it into a fresh dir, and serve a BM25 query from the RESTORED
