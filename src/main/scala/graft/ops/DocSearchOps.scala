@@ -1401,38 +1401,64 @@ object DocSearchOps {
       .orderBy(asc("group_query"), asc("rank"))
   }
 
+  /** FreeText LM table, built ONCE per sfDir exactly like
+    * FreeTextSuggester.build() trains its n-gram FST offline: bigram
+    * counts keyed by (w1, w2) plus the unigram model as w1 = NULL rows,
+    * range-partitioned and sorted on w1 so every lookup prunes to the
+    * context's row groups instead of re-deriving the model from a full
+    * corpus scan per query (the pre-fix shape paid 4 tokenize passes per
+    * lookup). ctx_count and T need no extra rows: each is the sum of its
+    * model slice's counts.
+    */
+  private val freeTextCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def freeTextTable(spark: SparkSession, sfDir: String): String =
+    freeTextCache.computeIfAbsent(sfDir, _ => {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_freetext_${Version}_$safe"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists) {
+        val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(TextOps.tokensCol(col("text")).as("toks"))
+        val bi = toks.where(size(col("toks")) >= 2).select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+          .as("bg"))
+          .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .agg(count(lit(1)).as("cnt"))
+        val uni = toks.select(explode(col("toks")).as("w2"))
+          .groupBy(col("w2")).agg(count(lit(1)).as("cnt"))
+          .select(lit(null).cast("string").as("w1"), col("w2"), col("cnt"))
+        bi.select(col("w1"), col("w2"), col("cnt")).unionByName(uni)
+          .repartitionByRange(col("w1"))
+          .sortWithinPartitions(col("w1"), col("w2"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      dir
+    })
+
   /** FreeTextSuggester [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FreeTextSuggester.java]:
     * "what word comes next" completion from an n-gram LM over the corpus
     * itself, with Jelinek-Mercer-style backoff to the unigram model (Lucene
     * uses ALPHA = 0.4 stupid backoff; reproduced literally). Given context
     * word + typed prefix: candidates seen as a (context, w) bigram score
     * cb/ctx_count; prefix matches NEVER seen after the context back off to
-    * 0.4 * cu/T. Spark-first: the two model aggregates are one explode
-    * pass each, candidate ranking is a union + top-n; every division is a
-    * single IEEE op so the DuckDB oracle reproduces scores bit-for-bit.
+    * 0.4 * cu/T. Build/lookup split mirrors the reference: the model table
+    * above is trained once, lookups are two pruned scans of it (w1 =
+    * context, w1 IS NULL) + a union top-n; every division is a single IEEE
+    * op so the DuckDB oracle reproduces scores bit-for-bit.
     */
   def suggestFreeText(spark: SparkSession, sfDir: String,
       context: String = "merge", prefix: String = "s", n: Int = 8): DataFrame = {
-    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
-    val bi = toks.where(size(col("toks")) >= 2).select(explode(expr(
-      "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
-      .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val ctxCount = bi.where(col("w1") === context).count()
-    val total = toks.select(sum(size(col("toks")))).head().getLong(0)
-    val bigram = bi
-      .where(col("w1") === context && col("w2").startsWith(prefix))
-      .groupBy(col("w2").as("term"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("term"), lit("bigram").as("src"),
+    val lm = spark.read.parquet(freeTextTable(spark, sfDir))
+    val ctx = lm.where(col("w1") === context)
+    val ctxCount = ctx.agg(sum(col("cnt"))).head().getLong(0)
+    val total = lm.where(col("w1").isNull)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    val bigram = ctx.where(col("w2").startsWith(prefix))
+      .select(col("w2").as("term"), lit("bigram").as("src"),
         round(col("cnt").cast("double") / lit(ctxCount.toDouble), 6).as("score"))
-    val uni = toks.select(explode(col("toks")).as("term"))
-      .where(col("term").startsWith(prefix))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("cnt"))
-      .join(bigram.select(col("term")), Seq("term"), "left_anti")
-      .select(col("term"), lit("backoff").as("src"),
+    val uni = lm.where(col("w1").isNull && col("w2").startsWith(prefix))
+      .join(bigram.select(col("term")), col("w2") === col("term"), "left_anti")
+      .select(col("w2").as("term"), lit("backoff").as("src"),
         round(lit(0.4) * col("cnt").cast("double") / lit(total.toDouble), 6).as("score"))
     bigram.union(uni)
       .orderBy(desc("score"), asc("term"))
