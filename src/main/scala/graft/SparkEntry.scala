@@ -138,6 +138,7 @@ object SparkEntry {
       DocSearchOps.searchSynonymIndex(s, d)),
     "search_rerank" -> ((s, d) => DocSearchOps.searchRerank(s, d)),
     "search_ltr_linear" -> ((s, d) => DocSearchOps.searchLtr(s, d)),
+    "search_ltr_trees" -> ((s, d) => DocSearchOps.searchLtrTrees(s, d)),
     "search_rrf_hybrid" -> ((s, d) => DocSearchOps.searchRrf(s, d)),
     "search_after_score" -> (DocSearchOps.searchAfterScore(_, _)),
     "facet_search_domain" -> (DocSearchOps.facetSearchDomain(_, _)),
@@ -1503,6 +1504,41 @@ object SparkEntry {
          |  SELECT fw.doc_id,
          |         0.6 * fw.score + 0.25 * ln(1.0 + dl.dl)
          |           + 0.15 * (CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END) AS ltr
+         |  FROM fw JOIN dl ON dl.doc_id = fw.doc_id
+         |       JOIN documents d ON d.doc_id = fw.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(ltr, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(ltr, 4) AS score
+         |  FROM lt)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // LTR additive-trees ensemble: the same BM25 window as ltr_linear,
+    // rescored by 3 fixed depth-2 trees (weights 1.0 / 0.5 / 0.25) over
+    // (first-pass score, analyzed doc length, lang) — thresholds on the
+    // score compare at round(.,9) so sub-ulp sum differences can't flip
+    "search_ltr_trees" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |df1 AS (SELECT term, count(*) AS df FROM tf WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc1 AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + (st.n - df1.df + 0.5) / (df1.df + 0.5)) * tf.tf
+         |             / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |  FROM tf JOIN df1 ON tf.term = df1.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |fw AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
+         |  FROM sc1) WHERE rn <= 30),
+         |lt AS (
+         |  SELECT fw.doc_id,
+         |         (CASE WHEN round(fw.score, 9) <= 2.0
+         |               THEN CASE WHEN dl.dl <= 300 THEN 0.1 ELSE 0.3 END
+         |               ELSE CASE WHEN round(fw.score, 9) <= 4.0 THEN 0.8 ELSE 1.2 END END)
+         |         + 0.5 * (CASE WHEN d.lang <> 'en' THEN 0.05
+         |                  ELSE CASE WHEN dl.dl <= 500 THEN 0.4 ELSE 0.6 END END)
+         |         + 0.25 * (CASE WHEN dl.dl <= 100 THEN -0.2
+         |                   ELSE CASE WHEN round(fw.score, 9) <= 3.0 THEN 0.2 ELSE 0.5 END END) AS ltr
          |  FROM fw JOIN dl ON dl.doc_id = fw.doc_id
          |       JOIN documents d ON d.doc_id = fw.doc_id)
          |SELECT rank, doc_id, score FROM (

@@ -1880,6 +1880,47 @@ object DocSearchOps {
       .orderBy(asc("rank"))
   }
 
+  /** LTR with a gradient-boosted additive-trees model — Solr's
+    * MultipleAdditiveTreesModel
+    * [B solr/contrib/ltr/src/java/org/apache/solr/ltr/model/MultipleAdditiveTreesModel.java]:
+    * same two-pass shape as the linear model above (BM25 candidate
+    * window, broadcast to the docmeta probe), but the model is an
+    * ensemble of weighted decision trees over the feature vector, each a
+    * nested `feature <= threshold` walk to a leaf value. The fixed
+    * 3-tree ensemble here stands in for a trained model (Solr uploads
+    * tree JSON; training is offline — evaluation is the part the engine
+    * owns), and it lowers to nested when/otherwise columns, fully
+    * codegen'd — no per-row interpreter. Branch thresholds on the
+    * first-pass score compare on round(score, 9), so an engine/oracle
+    * sub-ulp difference in the BM25 sum cannot flip a branch.
+    */
+  def searchLtrTrees(spark: SparkSession, sfDir: String,
+      mainTerms: Seq[String] = Seq("merge", "sort"),
+      window: Int = 30, k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    val first = QueryEngine.search(r,
+      Seq(QuerySpec("ltrt", should = mainTerms, k = window)))
+    val fo = round(col("orig"), 9)
+    val tree1 = when(fo <= 2.0,
+      when(col("tokenCount") <= 300, 0.1).otherwise(0.3))
+      .otherwise(when(fo <= 4.0, 0.8).otherwise(1.2))
+    val tree2 = when(col("lang") =!= "en", 0.05)
+      .otherwise(when(col("tokenCount") <= 500, 0.4).otherwise(0.6))
+    val tree3 = when(col("tokenCount") <= 100, -0.2)
+      .otherwise(when(fo <= 3.0, 0.2).otherwise(0.5))
+    val ranked = r.docMeta
+      .select(col("docId"), col("path"), col("lang"), col("tokenCount"))
+      .join(broadcast(first.select(col("docId"), col("score").as("orig"))), "docId")
+      .withColumn("ltr", tree1 + lit(0.5) * tree2 + lit(0.25) * tree3)
+    val w = Window.orderBy(round(col("ltr"), 9).desc, asc("doc_id"))
+    ranked
+      .withColumn("doc_id", col("path").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), round(col("ltr"), 4).as("score"))
+      .orderBy(asc("rank"))
+  }
+
   def searchRerank(spark: SparkSession, sfDir: String,
       mainTerms: Seq[String] = Seq("merge", "sort"),
       rerankTerms: Seq[String] = Seq("window"),
