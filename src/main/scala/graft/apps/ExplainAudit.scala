@@ -219,7 +219,25 @@ object ExplainAudit {
         "Expect: ONE docMeta parquet scan with In(path, [...]) in " +
           "PushedFilters — row-group stats prune to the files holding the " +
           "requested ids; postings never touched.",
-        fmt(DocSearchOps.realtimeGet(spark, sfDir))))
+        fmt(DocSearchOps.realtimeGet(spark, sfDir))),
+      ("FreeText suggester lookup (trained LM table, pruned scans)",
+        "Expect: scans of the pre-trained model parquet with " +
+          "EqualTo(w1, context) / IsNull(w1) + StringStartsWith(w2) in " +
+          "PushedFilters — the corpus is NOT in the plan at all (the model " +
+          "trains once per sfDir, like FreeTextSuggester.build()).",
+        fmt(DocSearchOps.suggestFreeText(spark, sfDir))),
+      ("Per-language minimal stemmers (map-only analyzer dispatch)",
+        "Expect: one documents scan, the tokenize + per-lang stem map in a " +
+          "single SerializeFromObject/MapElements chain, a Project with the " +
+          "md5, and only the presentation sort's exchange — no joins, no " +
+          "aggregates.",
+        fmt(AnalysisOps.multilangStem(spark, sfDir))),
+      ("LTR additive trees (broadcast window, codegen'd ensemble)",
+        "Expect: the BM25 candidate window returns via BroadcastHashJoin " +
+          "against the docMeta scan, and the whole 3-tree ensemble is one " +
+          "codegen'd Project of nested CASE WHEN columns — no per-row UDF, " +
+          "no second postings pass.",
+        fmt(DocSearchOps.searchLtrTrees(spark, sfDir))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.apps.ExplainAudit)\n\n")
