@@ -200,6 +200,8 @@ object SparkEntry {
     "analysis_pattern_replace" -> (AnalysisOps.patternReplace(_, _)),
     "analysis_length_filter" -> ((s, d) => AnalysisOps.lengthFilter(s, d)),
     "analysis_multilang_stem" -> ((s, d) => AnalysisOps.multilangStem(s, d)),
+    "analysis_html_strip" -> ((s, d) => AnalysisOps.htmlStrip(s, d)),
+    "analysis_cjk_bigram" -> ((s, d) => AnalysisOps.cjkBigram(s, d)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "sample_stratified" -> ((s, d) => PipelineOps.sampleStratified(s, d)),
     "host_cap" -> ((s, d) => PipelineOps.hostCap(s, d)),
@@ -2678,6 +2680,8 @@ object SparkEntry {
          |FROM sm ORDER BY doc_id""".stripMargin,
     "analysis_shingle" -> AnalysisOps.shingleOracleSql,
     "analysis_multilang_stem" -> AnalysisOps.multilangStemOracleSql,
+    "analysis_html_strip" -> AnalysisOps.htmlStripOracleSql,
+    "analysis_cjk_bigram" -> AnalysisOps.cjkBigramOracleSql,
     "analysis_edge_ngram" -> AnalysisOps.edgeNgramOracleSql,
     "analysis_pattern_replace" -> AnalysisOps.patternReplaceOracleSql,
     "analysis_length_filter" -> AnalysisOps.lengthFilterOracleSql,

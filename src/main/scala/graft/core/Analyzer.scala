@@ -164,6 +164,53 @@ object Analyzer {
     else t
   }
 
+  /** HTMLStripCharFilter (documented subset)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/charfilter/HTMLStripCharFilter.java]:
+    * the char-filter stage that runs BEFORE tokenization. Strips, in
+    * order: comments, bare script/style elements WITH their content,
+    * every remaining tag, then decodes the common entity set (lt gt quot
+    * nbsp, amp last so double-encoded text decodes one level) — so
+    * entity-encoded angle brackets survive as literal text, exactly the
+    * reason the ordering is part of the contract. The oracle reproduces
+    * the same chain with RE2 regexp_replace calls in the same order; the
+    * digest equality in analysis_html_strip pins the two byte-for-byte.
+    */
+  def htmlStrip(s: String): String =
+    s.replaceAll("(?s)<!--.*?-->", "")
+      .replaceAll("(?s)<script>.*?</script>", "")
+      .replaceAll("(?s)<style>.*?</style>", "")
+      .replaceAll("<[^>]*>", "")
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&nbsp;", " ").replace("&amp;", "&")
+
+  /** CJKBigramFilter (han script, default flags)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/cjk/CJKBigramFilter.java]:
+    * consecutive CJK ideographs (U+4E00–U+9FFF here) emit overlapping
+    * bigrams; an ISOLATED ideograph emits itself as a unigram (the
+    * filter's outputUnigrams=false default still emits singles where no
+    * bigram exists); non-CJK text passes to the standard chain and is
+    * not this function's concern.
+    */
+  def cjkBigrams(text: String): Array[String] = {
+    @inline def isHan(c: Char) = c >= 0x4E00 && c <= 0x9FFF
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (isHan(text.charAt(i))) {
+        var j = i + 1
+        while (j < n && isHan(text.charAt(j))) j += 1
+        if (j - i == 1) out += text.substring(i, i + 1)
+        else {
+          var k = i
+          while (k + 1 < j) { out += text.substring(k, k + 2); k += 1 }
+        }
+        i = j
+      } else i += 1
+    }
+    out.toArray
+  }
+
   /** Per-language minimal stemmer dispatch — the Solr language-specific
     * field-type composition (one analyzer chain per `lang` value): en uses
     * the S-stemmer, fr/de/es their minimal stemmers above, anything else

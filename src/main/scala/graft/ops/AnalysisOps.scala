@@ -324,6 +324,130 @@ object AnalysisOps {
        |SELECT term, ${soundexSql("term")} AS code FROM v ORDER BY term""".stripMargin
   }
 
+  // ---- HTMLStripCharFilter -------------------------------------------------
+
+  /** Deterministic HTML wrapping for every doc_id % 3 == 2 doc: a comment,
+    * attributes, entity-encoded text, and bare script/style elements —
+    * each construct the documented strip subset handles. (% 3 == 1 is the
+    * accent augmentation's slice; the two never overlap.)
+    */
+  private def htmlAugSpark: String =
+    "concat('<html><!-- meta ', cast(doc_id as string), ' --><body " +
+      "class=\"d\"><p id=\"x\">', text, ' &amp;amp; tail &lt;kept&gt;" +
+      "<script>var x = 1;</script><style>p { color: red }</style> end" +
+      "</p></body></html>')"
+  private def htmlAugDuck: String =
+    "'<html><!-- meta ' || CAST(doc_id AS VARCHAR) || ' --><body " +
+      "class=\"d\"><p id=\"x\">' || t.text || ' &amp;amp; tail &lt;kept&gt;" +
+      "<script>var x = 1;</script><style>p { color: red }</style> end" +
+      "</p></body></html>'"
+
+  /** The oracle's strip chain: same stages, same order as
+    * Analyzer.htmlStrip (comments -> script/style with content ->
+    * remaining tags -> entity decode with amp last), RE2 flavor.
+    */
+  private def htmlStripChainDuck(in: String): String = {
+    val c1 = s"regexp_replace($in, '<!--.*?-->', '', 'gs')"
+    val c2 = s"regexp_replace($c1, '<script>.*?</script>', '', 'gs')"
+    val c3 = s"regexp_replace($c2, '<style>.*?</style>', '', 'gs')"
+    val c4 = s"regexp_replace($c3, '<[^>]*>', '', 'g')"
+    "replace(replace(replace(replace(replace(" + c4 +
+      ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&nbsp;', ' '), " +
+      "'&amp;', '&')"
+  }
+
+  /** HTMLStripCharFilter entry: the engine runs the JVM strip
+    * (Analyzer.htmlStrip) over the deterministically HTML-wrapped slice;
+    * the oracle reproduces wrap and strip in SQL. Emits chars removed +
+    * the md5 of the stripped text — double-encoded '&amp;amp;' must decode
+    * exactly one level ('&amp;') and '&lt;kept&gt;' must survive as
+    * literal '<kept>' text, which only the documented stage order
+    * produces. Map-only.
+    */
+  def htmlStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 2, expr(htmlAugSpark))
+          .otherwise(col("text")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val stripped = Analyzer.htmlStrip(t)
+        (id, (t.length - stripped.length).toLong, stripped)
+      }
+      .toDF("doc_id", "n_removed", "stripped")
+      .select(col("doc_id"), col("n_removed"),
+        md5(col("stripped").cast("binary")).as("stripped_md5"))
+      .orderBy(asc("doc_id"))
+  }
+
+  def htmlStripOracleSql: String =
+    s"""WITH aug AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 2 THEN $htmlAugDuck
+       |  ELSE t.text END AS t
+       |  FROM documents t),
+       |st AS (SELECT doc_id, t, ${htmlStripChainDuck("t")} AS stripped FROM aug)
+       |SELECT doc_id, CAST(length(t) - length(stripped) AS BIGINT) AS n_removed,
+       |  md5(stripped) AS stripped_md5
+       |FROM st ORDER BY doc_id""".stripMargin
+
+  // ---- CJKBigramFilter -----------------------------------------------------
+
+  /** Han alphabet for the deterministic CJK augmentation (U+4E00 block). */
+  private val CjkChars =
+    Seq("一", "二", "三", "四", "五", "六",
+      "七", "八")
+  private def cjkArr(quote: String => String): String =
+    CjkChars.map(quote).mkString(", ")
+
+  /** 12-ideograph run appended to zh docs: char i = alphabet[(doc_id + i)
+    * % 8] — a pure function of doc_id, regenerated verbatim in the oracle.
+    */
+  private def cjkAugSpark: String =
+    s"concat_ws('', transform(sequence(0, 11), i -> " +
+      s"element_at(array(${cjkArr(c => s"'$c'")}), " +
+      "cast((doc_id + i) % 8 as int) + 1)))"
+  private def cjkAugDuck: String =
+    s"list_aggregate(list_transform(range(12), i -> " +
+      s"([${cjkArr(c => s"'$c'")}])[CAST((doc_id + i) % 8 AS INT) + 1]), " +
+      "'string_agg', '')"
+
+  /** CJKBigramFilter entry: zh-lane docs get the deterministic han run
+    * appended (the synthetic corpus is ASCII; the augmentation is what a
+    * real zh doc supplies), and the engine emits the run's overlapping
+    * bigrams via the real run-scanner (Analyzer.cjkBigrams over the FULL
+    * augmented text — proving the CJK-run extraction against the ASCII
+    * body, not just the run in isolation). The oracle regenerates the run
+    * and its 11 bigrams positionally in SQL. Map-only over the zh slice.
+    */
+  def cjkBigram(spark: SparkSession, sfDir: String,
+      maxDoc: Long = 2000): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .where(col("lang") === "zh" && col("doc_id") < maxDoc)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), expr(cjkAugSpark)).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val grams = Analyzer.cjkBigrams(t)
+        (id, grams.length.toLong, grams.mkString(" "))
+      }
+      .toDF("doc_id", "n_bigrams", "s")
+      .select(col("doc_id"), col("n_bigrams"),
+        md5(col("s").cast("binary")).as("bigrams_md5"))
+      .orderBy(asc("doc_id"))
+  }
+
+  def cjkBigramOracleSql: String =
+    s"""WITH zh AS (SELECT doc_id, $cjkAugDuck AS run
+       |  FROM documents WHERE lang = 'zh' AND doc_id < 2000),
+       |bg AS (SELECT doc_id,
+       |  list_transform(range(11), i -> substr(run, CAST(i + 1 AS INT), 2)) AS grams
+       |  FROM zh)
+       |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams,
+       |  md5(array_to_string(grams, ' ')) AS bigrams_md5
+       |FROM bg ORDER BY doc_id""".stripMargin
+
   // ---- Per-language minimal stemmers (Solr language field types) ----------
 
   /** Language-aware analyzer dispatch — the Solr per-language field-type

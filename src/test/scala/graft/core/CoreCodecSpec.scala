@@ -278,6 +278,29 @@ class CoreCodecSpec extends AnyFunSuite {
     assert(vocab.forall(t => spanishPluralStem(t) == t)) // es identity too
   }
 
+  test("HTMLStripCharFilter subset: stage order and entity decode") {
+    import Analyzer.htmlStrip
+    assert(htmlStrip("<p id=\"x\">hi</p>") == "hi")
+    assert(htmlStrip("a<!-- <b>never</b> -->z") == "az") // comment content gone
+    assert(htmlStrip("a<script>var x = '<y>';</script>z") == "az")
+    assert(htmlStrip("a<style>p { color: red }</style>z") == "az")
+    // entity-encoded brackets survive as literal text (tags strip FIRST)
+    assert(htmlStrip("&lt;kept&gt;") == "<kept>")
+    // double-encoded amp decodes exactly one level (amp decodes LAST)
+    assert(htmlStrip("&amp;amp;") == "&amp;")
+    assert(htmlStrip("x&nbsp;y &quot;q&quot;") == "x y \"q\"")
+    assert(htmlStrip("no markup at all") == "no markup at all")
+  }
+
+  test("CJKBigramFilter: runs emit bigrams, isolated ideographs unigrams") {
+    import Analyzer.cjkBigrams
+    assert(cjkBigrams("一二三").toSeq == Seq("一二", "二三"))
+    assert(cjkBigrams("ascii only").toSeq == Seq())
+    assert(cjkBigrams("x一y").toSeq == Seq("一")) // isolated -> unigram
+    assert(cjkBigrams("ab一二cd三四五").toSeq == Seq("一二", "三四", "四五"))
+    assert(cjkBigrams("").toSeq == Seq())
+  }
+
   // ---- TermsHash -----------------------------------------------------------
 
   test("TermsHash postings equal Analyzer.termFreqs for random docs") {
