@@ -136,6 +136,7 @@ object SparkEntry {
       DocSearchOps.searchSynonymConfig(s, d)),
     "search_synonym_index" -> ((s, d) =>
       DocSearchOps.searchSynonymIndex(s, d)),
+    "search_lang_routed" -> ((s, d) => DocSearchOps.searchLangRouted(s, d)),
     "search_rerank" -> ((s, d) => DocSearchOps.searchRerank(s, d)),
     "search_ltr_linear" -> ((s, d) => DocSearchOps.searchLtr(s, d)),
     "search_ltr_trees" -> ((s, d) => DocSearchOps.searchLtrTrees(s, d)),
@@ -1446,6 +1447,46 @@ object SparkEntry {
          |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
          |        FROM tf JOIN dfs ON tf.term = dfs.term
          |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |        GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // language-routed search: every doc analyzed by its lang's stemmer in
+    // ONE index (no stop filtering on either side), query "customers
+    // filter" stemmed under fr rules -> (custom, filt), scored docs
+    // filtered to lang='fr' (unscored FILTER channel; stats collection-wide)
+    "search_lang_routed" ->
+      s"""WITH rawt AS (SELECT doc_id, lang,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+         |              x -> x <> '') AS toks0
+         |  FROM documents),
+         |sm AS (SELECT doc_id, lang,
+         |  CASE WHEN lang = 'fr' THEN list_transform(toks0, x -> CASE x
+         |         WHEN 'customer' THEN 'custom' WHEN 'filter' THEN 'filt'
+         |         WHEN 'vector' THEN 'vecto' ELSE x END)
+         |       WHEN lang = 'de' THEN list_transform(toks0, x -> CASE x
+         |         WHEN 'merge' THEN 'merg' WHEN 'table' THEN 'tabl'
+         |         WHEN 'value' THEN 'valu' WHEN 'column' THEN 'colum'
+         |         ELSE x END)
+         |       ELSE toks0 END AS toks FROM rawt),
+         |tok AS (SELECT doc_id, t.term FROM sm, unnest(toks) AS t(term)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('custom', 'filt') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |        sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |            / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |             JOIN documents d ON d.doc_id = tf.doc_id
+         |        WHERE d.lang = 'fr'
          |        GROUP BY tf.doc_id)
          |SELECT rank, doc_id, score FROM (
          |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,

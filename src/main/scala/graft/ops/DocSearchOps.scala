@@ -153,6 +153,61 @@ object DocSearchOps {
   def searchTerm(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("term", should = Seq("merge")))
 
+  /** Language-routed index: EVERY doc analyzed by the chain its `lang`
+    * column selects (Analyzer.stemForLang — en S-stemmer, fr/de/es
+    * minimal stemmers, zh pass-through), one physical index. This is the
+    * Solr multi-language deployment pattern (language-specific field
+    * types / language-routed collections): the analyzer is a per-document
+    * dispatch, and queries declare a language, stem with that language's
+    * rules, and filter to that language's docs — so query and scored docs
+    * always went through the SAME analyzer. No stop filtering on either
+    * side (a single English stop list would be wrong for 4 of the 5
+    * lanes).
+    */
+  def langIndexReader(spark: SparkSession, sfDir: String): Index.Reader =
+    langIdxCache.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_langindex_${Version}_$safe"
+      if (index.SnapshotStore.read(dir).isEmpty) {
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(
+            col("source").as("repo"),
+            col("doc_id").cast("string").as("path"),
+            lit("").as("commit"),
+            col("lang"),
+            col("text").as("content"))
+          .as[SourceDoc]
+          .map(d => d.copy(content = graft.core.Analyzer.tokenize(d.content)
+            .map(t => graft.core.Analyzer.stemForLang(d.lang, t))
+            .mkString(" ")))
+        Index.build(corpus, dir,
+          IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000,
+            stopWords = Set.empty))
+      }
+      Index.reader(spark, dir)
+    })
+
+  private val langIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
+
+  /** Language-routed BM25: the query stems with the TARGET language's
+    * rules and filters (unscored FILTER channel) to that language's docs.
+    * "customers filter" under fr rules becomes (custom, filt) — forms only
+    * the fr analyzer produces, so df is naturally the French df; the lang
+    * filter guarantees every scored doc was analyzed by the same rules
+    * the query used.
+    */
+  def searchLangRouted(spark: SparkSession, sfDir: String,
+      lang: String = "fr", rawQuery: String = "customers filter"): DataFrame = {
+    val r = langIndexReader(spark, sfDir)
+    val terms = graft.core.Analyzer.tokenize(rawQuery)
+      .map(t => graft.core.Analyzer.stemForLang(lang, t)).toSeq.distinct
+    rankDf(r, QueryEngine.search(r,
+      Seq(QuerySpec("langq", should = terms, langFilter = Some(lang))),
+      stopWords = Set.empty))
+  }
+
   /** Index-time synonym dictionary (canonical-member form): every member
     * maps onto its group's canonical term in the ANALYZER at index time.
     */
