@@ -109,6 +109,8 @@ object SparkEntry {
     "search_stemmed_bm25" -> ((s, d) => DocSearchOps.searchStemmed(s, d)),
     "search_porter_bm25" -> ((s, d) => DocSearchOps.searchPorter(s, d)),
     "search_fuzzy" -> ((s, d) => DocSearchOps.searchFuzzy(s, d)),
+    "search_fuzzy_transpose" -> ((s, d) =>
+      DocSearchOps.searchFuzzyTranspose(s, d)),
     "sort_searchafter" -> (DocSearchOps.sortSearchAfter(_, _)),
     "function_query" -> (DocSearchOps.functionQuery(_, _)),
     "facet_sampled" -> ((s, d) => RelationalOps.facetSampled(s, d)),
@@ -134,6 +136,8 @@ object SparkEntry {
     "search_synonym" -> ((s, d) => DocSearchOps.searchSynonym(s, d)),
     "search_synonym_config" -> ((s, d) =>
       DocSearchOps.searchSynonymConfig(s, d)),
+    "search_synonym_graph" -> ((s, d) =>
+      DocSearchOps.searchSynonymGraph(s, d)),
     "search_synonym_index" -> ((s, d) =>
       DocSearchOps.searchSynonymIndex(s, d)),
     "search_lang_routed" -> ((s, d) => DocSearchOps.searchLangRouted(s, d)),
@@ -160,16 +164,19 @@ object SparkEntry {
     "facet_query" -> (RelationalOps.facetQuery(_, _)),
     "facet_heatmap" -> (RelationalOps.facetHeatmap(_, _)),
     "geo_distance" -> ((s, d) => RelationalOps.geoDistance(s, d)),
+    "geo_bbox" -> ((s, d) => RelationalOps.geoBbox(s, d)),
     "facet_taxonomy" -> ((s, d) => RelationalOps.facetTaxonomy(s, d)),
     "facet_json_api" -> (RelationalOps.jsonFacet(_, _)),
     "facet_nested" -> (RelationalOps.facetNested(_, _)),
     "facet_stats" -> (RelationalOps.facetStats(_, _)),
     "facet_unique" -> (RelationalOps.facetUnique(_, _)),
     "facet_percentile" -> (RelationalOps.facetPercentile(_, _)),
+    "facet_stats_full" -> (RelationalOps.facetStatsFull(_, _)),
     // -- Solr streaming expressions (SURVEY.md §2.8) --
     "stream_innerjoin" -> (RelationalOps.streamInnerJoin(_, _)),
     "graph_shortest_path" -> ((s, d) => RelationalOps.shortestPath(s, d)),
     "graph_gather_nodes" -> (RelationalOps.gatherNodes(_, _)),
+    "graph_score_nodes" -> (RelationalOps.scoreNodes(_, _)),
     "export_sorted" -> ((s, d) => DocSearchOps.exportSorted(s, d)),
     "stream_hashjoin" -> (RelationalOps.streamHashJoin(_, _)),
     "stream_intersect" -> (RelationalOps.streamIntersect(_, _)),
@@ -180,6 +187,7 @@ object SparkEntry {
     "stream_select_having" -> (RelationalOps.streamSelectHaving(_, _)),
     "collapse_top1" -> (RelationalOps.collapseTop1(_, _)),
     "collapse_topk" -> ((s, d) => RelationalOps.collapseTopK(s, d)),
+    "collapse_func" -> ((s, d) => RelationalOps.collapseFunc(s, d)),
     "expand_groups" -> ((s, d) => RelationalOps.expandGroups(s, d)),
     "solr_join" -> (RelationalOps.solrJoin(_, _)),
     "timeseries_daily" -> (RelationalOps.timeseriesDaily(_, _)),
@@ -235,6 +243,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
     // -- similarity search --
     "ann_brute_force" -> (AnnOps.annBruteForce(_, _)),
+    "ann_filtered" -> ((s, d) => AnnOps.annFiltered(s, d)),
     "ann_ivf_exact" -> (AnnOps.annIvf(_, _)),
     "ann_lsh" -> (AnnOps.annLsh(_, _)),
     "dedup_embedding" -> ((s, d) => AnnOps.dedupEmbedding(s, d)),
@@ -1424,6 +1433,40 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
          |         doc_id, round(score, 4) AS score FROM allsc)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // multi-word (graph) synonym: TermQuery(sort) OR PhraseQuery("merge
+    // order") — the boolean QueryBuilder.analyzeGraphBoolean emits for a
+    // one-to-many-token rule; phrase side scored with weight = sum of
+    // member idfs over exact-adjacency freq
+    "search_synonym_graph" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |$PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'order'),
+         |pf AS (SELECT a.doc_id, count(*) * 1.0 AS pf
+         |       FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |       GROUP BY a.doc_id),
+         |pdfs AS (SELECT term, count(*) AS df FROM tf
+         |         WHERE term IN ('merge', 'order') GROUP BY term),
+         |pw AS (SELECT sum(ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))) AS w FROM pdfs),
+         |psc AS (SELECT pf.doc_id,
+         |        pw.w * pf.pf / (pf.pf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |        FROM pf CROSS JOIN pw CROSS JOIN st
+         |             JOIN qdl ON qdl.doc_id = pf.doc_id),
+         |tdf AS (SELECT count(*) AS df FROM tf WHERE term = 'sort'),
+         |tsc AS (SELECT tf.doc_id,
+         |        ln(1 + (st.n - tdf.df + 0.5) / (tdf.df + 0.5)) * tf.tf
+         |          / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS score
+         |        FROM tf CROSS JOIN tdf CROSS JOIN st
+         |             JOIN qdl ON qdl.doc_id = tf.doc_id
+         |        WHERE tf.term = 'sort'),
+         |sc AS (SELECT coalesce(t.doc_id, p.doc_id) AS doc_id,
+         |       coalesce(t.score, 0) + coalesce(p.score, 0) AS score
+         |       FROM tsc t FULL OUTER JOIN psc p ON p.doc_id = t.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // index-time synonym canonicalization: order -> sort applied in the
     // index analyzer, so the group's postings and df are TRULY merged
     // (contrast search_synonym_config's query-time max-df blend above);
@@ -2212,6 +2255,13 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS df FROM tok
          |WHERE substr(term, 1, 1) = 'm'
          |GROUP BY term HAVING levenshtein(term, 'merge') <= 1 ORDER BY term""".stripMargin,
+    // transpositions=true: DuckDB's damerau_levenshtein is the same
+    // unrestricted Damerau-Levenshtein as QueryLowering.damerauLevenshtein
+    "search_fuzzy_transpose" ->
+      s"""WITH $TokCte
+         |SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |WHERE substr(term, 1, 1) = 'm'
+         |GROUP BY term HAVING damerau_levenshtein(term, 'mereg') <= 1 ORDER BY term""".stripMargin,
     "sort_searchafter" ->
       s"""WITH tc AS (SELECT doc_id,
          |  len(list_filter($QualityTokSql, x -> x NOT IN ($StopSql))) AS token_count
@@ -2492,6 +2542,17 @@ object SparkEntry {
         |SELECT event_id, round(dist, 4) AS dist_km FROM d
         |WHERE dist <= 2500.0
         |ORDER BY round(dist, 4), event_id LIMIT 20""".stripMargin,
+    // dateline-crossing box: lon predicate is the split OR-range
+    "geo_bbox" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         -90.0 + 180.0 * ((event_id * 48271) % 100003) / 100003.0 AS lat,
+        |         -180.0 + 360.0 * ((event_id * 16807) % 100019) / 100019.0 AS lon
+        |  FROM events)
+        |SELECT event_id, round(lat, 4) AS lat, round(lon, 4) AS lon
+        |FROM pts
+        |WHERE lat >= -25.0 AND lat <= 25.0 AND (lon >= 150.0 OR lon <= -150.0)
+        |ORDER BY event_id LIMIT 100""".stripMargin,
     "facet_taxonomy" ->
       """WITH r AS (
         |  SELECT lang, source, count(*) AS cnt FROM documents
@@ -2526,6 +2587,21 @@ object SparkEntry {
       """SELECT l_linestatus, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         |round(quantile_cont(l_quantity, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // full StatsComponent tuple; stddev from the same sum/sumsq
+    // composition as StatsValuesFactory (and the engine)
+    "facet_stats_full" ->
+      """WITH v AS (SELECT l_returnflag, nullif(l_discount, 0.0) AS v FROM lineitem),
+        |a AS (SELECT l_returnflag, count(v) AS cnt,
+        |      count(*) - count(v) AS missing,
+        |      min(v) AS min_raw, max(v) AS max_raw,
+        |      sum(v) AS sum_raw, sum(v * v) AS sumsq_raw
+        |      FROM v GROUP BY l_returnflag)
+        |SELECT l_returnflag, cnt, missing,
+        |       round(min_raw, 4) AS min_v, round(max_raw, 4) AS max_v,
+        |       round(sum_raw, 4) AS sum_v, round(sumsq_raw, 4) AS sumsq,
+        |       round(sum_raw / cnt, 6) AS mean,
+        |       round(sqrt((sumsq_raw - sum_raw * sum_raw / cnt) / (cnt - 1)), 6) AS stddev
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     // gatherNodes: 1-hop expansion from the bounded root set
     "graph_gather_nodes" ->
@@ -2535,6 +2611,21 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 50
         |GROUP BY 1 ORDER BY node""".stripMargin,
+    // scoreNodes: gathered nodes rescored by count * log((N+1)/(df+1))
+    "graph_score_nodes" ->
+      """WITH pairs AS (SELECT l_suppkey, o_custkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT l_suppkey AS node, count(*) AS n_edges FROM pairs
+        |      WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |            WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 50)
+        |      GROUP BY 1),
+        |d AS (SELECT l_suppkey AS node, count(DISTINCT o_custkey) AS doc_freq
+        |      FROM pairs GROUP BY 1),
+        |n AS (SELECT count(*) AS num FROM customer)
+        |SELECT g.node, g.n_edges, d.doc_freq,
+        |       round(g.n_edges * ln((n.num + 1.0) / (d.doc_freq + 1.0)), 4) AS score
+        |FROM g JOIN d ON d.node = g.node CROSS JOIN n
+        |ORDER BY score DESC, g.node LIMIT 20""".stripMargin,
     // /export: full sorted stream of the matching docset, no truncation;
     // token_count == the analyzer token count (the dl CTE)
     "export_sorted" ->
@@ -2603,6 +2694,15 @@ object SparkEntry {
         |  SELECT event_type, event_id, value,
         |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
         |  FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    // group.func: the group key is a computed value source, not a field
+    "collapse_func" ->
+      """SELECT band, o_orderkey, price AS o_totalprice FROM (
+        |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
+        |         o_orderkey, round(o_totalprice, 2) AS price,
+        |         row_number() OVER (PARTITION BY floor(o_totalprice / 50000)
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY band""".stripMargin,
     "expand_groups" ->
       """SELECT event_type, winner_event_id, CAST(rn AS INT) AS rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,
@@ -2947,6 +3047,17 @@ object SparkEntry {
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     "ann_brute_force" -> AnnSql,
+    // pre-filtered KNN: the acceptance predicate restricts the candidate
+    // set BEFORE the k selection (KnnFloatVectorQuery filter semantics)
+    "ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT q.query_id, e.vec_id, $CosSql AS cos
+         |      FROM embeddings e, q WHERE e.vec_id <> q.query_id AND e.label = 1)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, round(cos, 4) AS cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM s)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_exact" -> AnnSql, // nprobe == nlist -> exact, same oracle
     "ann_lsh" -> LshAnnSql,
     // embedding-cosine near-dup: exhaustive pair scan over the corpus plus

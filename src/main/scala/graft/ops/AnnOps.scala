@@ -47,6 +47,37 @@ object AnnOps {
       .orderBy(asc("query_id"), asc("rank"))
   }
 
+  /** Pre-filtered vector search
+    * [B lucene/core/src/java/org/apache/lucene/search/KnnFloatVectorQuery.java
+    * `filter` ctor arg]: top-k cosine neighbors among ONLY the vectors
+    * whose metadata passes an acceptance filter — Lucene applies the
+    * filter to build the accepted-docs bitset BEFORE the k selection
+    * (pre-filtering), so the result always holds k accepted docs rather
+    * than post-filtering a generic top-k down to fewer. Spark-first the
+    * filter is a plain pushed-down predicate on the corpus scan (here
+    * `label = 1`, standing in for any metadata fq); the query side stays a
+    * broadcast and the corpus streams once — the same no-all-pairs shape
+    * as annBruteForce. On the IVF layout the identical predicate rides the
+    * cell-partitioned scan unchanged (partition pruning composes with it).
+    */
+  def annFiltered(spark: SparkSession, sfDir: String, k: Int = 10,
+      acceptLabel: Int = 1): DataFrame = {
+    val e = emb(spark, sfDir)
+    val queries = e.where(col("vec_id").isin(QueryVecIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    e.where(col("label") === acceptLabel)
+      .crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineExpr("embedding", "qvec"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(asc("query_id"), asc("rank"))
+  }
+
   /** Deterministic random-hyperplane matrix for the cosine LSH sketch
     * (Charikar 2002, "Similarity estimation techniques from rounding
     * algorithms"): component (i, j) = ((LCG(i*dim+j) mod 2001) - 1000)

@@ -901,6 +901,29 @@ object DocSearchOps {
       .orderBy(asc("term"))
   }
 
+  /** FuzzyQuery with transpositions=true — Lucene's DEFAULT fuzzy mode
+    * [B lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java
+    * `defaultTranspositions = true`]: adjacent-swap typos ("mereg" for
+    * "merge") cost ONE edit under unrestricted Damerau-Levenshtein, two
+    * under classic Levenshtein — so maxEdits=1 finds the swap the classic
+    * path misses. Same scan shape as searchFuzzy: the prefix + length
+    * window gate prunes the sorted termdict at row-group stats (both
+    * remain necessary conditions under DL), and the distance function runs
+    * only on the pruned remainder — as a Scala UDF rather than a codegen
+    * expression, acceptable off the hot path because the gate has already
+    * cut the input to a handful of dictionary rows.
+    */
+  def searchFuzzyTranspose(spark: SparkSession, sfDir: String,
+      q: String = "mereg", maxEdits: Int = 1): DataFrame = {
+    val r = reader(spark, sfDir)
+    val dl = udf((t: String) => QueryLowering.damerauLevenshtein(t, q))
+    r.termDict
+      .where(QueryLowering.fuzzyGate(q, maxEdits))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .where(dl(col("term")) <= maxEdits)
+      .orderBy(asc("term"))
+  }
+
   /** minimumNumberShouldMatch (edismax mm=2): pure-SHOULD query where only
     * docs matching >= 2 of the 3 clauses survive
     * [B lucene/core/src/java/org/apache/lucene/search/BooleanQuery.java].
@@ -1886,6 +1909,27 @@ object DocSearchOps {
     val r = reader(spark, sfDir)
     val tree = QueryLowering.parseAndLower(r, query, synonyms = synonyms)
     rankDf(r, QueryEngine.searchTree(r, "synq", tree))
+  }
+
+  /** Multi-word (graph) synonym query
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/synonym/SynonymGraphFilter.java;
+    * lucene/core/src/java/org/apache/lucene/util/QueryBuilder.java
+    * analyzeGraphBoolean]: a rule mapping a token to a MULTI-WORD
+    * alternative ("sort" => "merge order") cannot blend statistics the way
+    * single-token SynNode does — the token graph has a side path of length
+    * 2, and QueryBuilder enumerates graph paths into a boolean OR of the
+    * alternatives: TermQuery(sort) OR PhraseQuery("merge order"). The
+    * phrase side scores as a phrase (tf = exact adjacency freq, weight =
+    * sum of member idfs); a doc matches if either side does, scores sum.
+    * Runs as one clause tree over the shared pushed-down postings scan.
+    */
+  def searchSynonymGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    import graft.search.ClauseNode._
+    val tree = BoolNode(should = Seq(
+      TermNode("sort"),
+      PhraseNode(Seq("merge", "order"), Seq(0, 1))))
+    rankDf(r, QueryEngine.searchTree(r, "syngraph", tree))
   }
 
   /** Solr ReRankQParserPlugin [B solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java]:

@@ -256,6 +256,33 @@ object RelationalOps {
       .limit(k)
   }
 
+  /** LatLonPoint box query with dateline crossing
+    * [B lucene/core/src/java/org/apache/lucene/document/LatLonPoint.java
+    * newBoxQuery: "If minLongitude > maxLongitude, the box crosses the
+    * dateline and is split into two ranges"]: lat is a plain closed range;
+    * the lon predicate becomes (lon >= minLon OR lon <= maxLon) when the
+    * box wraps. Points derive from event_id by the same integer-hash
+    * formula as geoDistance; both range predicates are scan-level filters
+    * (pushable on a real lat/lon-columned table), map-only — no shuffle.
+    */
+  def geoBbox(spark: SparkSession, sfDir: String,
+      minLat: Double = -25.0, maxLat: Double = 25.0,
+      minLon: Double = 150.0, maxLon: Double = -150.0, k: Int = 100): DataFrame = {
+    val pts = t(spark, sfDir, "events").select(
+      col("event_id"),
+      (lit(-90.0) + lit(180.0) * ((col("event_id") * lit(48271L)) % lit(100003L)) / lit(100003.0)).as("lat"),
+      (lit(-180.0) + lit(360.0) * ((col("event_id") * lit(16807L)) % lit(100019L)) / lit(100019.0)).as("lon"))
+    val lonPred =
+      if (minLon > maxLon) col("lon") >= minLon || col("lon") <= maxLon
+      else col("lon") >= minLon && col("lon") <= maxLon
+    pts
+      .where(col("lat") >= minLat && col("lat") <= maxLat && lonPred)
+      .select(col("event_id"), round(col("lat"), 4).as("lat"),
+        round(col("lon"), 4).as("lon"))
+      .orderBy(asc("event_id"))
+      .limit(k)
+  }
+
   /** Hierarchical (taxonomy) facet counts
     * [B lucene/facet/src/java/org/apache/lucene/facet/taxonomy/TaxonomyFacetCounts.java]:
     * a doc under path lang/source counts at EVERY ancestor, the way the
@@ -351,6 +378,37 @@ object RelationalOps {
         round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
       .orderBy(asc("l_linestatus"))
 
+  /** Solr StatsComponent — the full per-field stats tuple
+    * [B solr/core/src/java/org/apache/solr/handler/component/StatsComponent.java;
+    * solr/core/src/java/org/apache/solr/handler/component/StatsValuesFactory.java]:
+    * count, missing, min, max, sum, sumOfSquares, mean, stddev per facet
+    * bucket. The stats field is nullif(l_discount, 0) so `missing` is a
+    * real count (docs without the field — StatsValues.missing), not a
+    * constant zero. stddev uses StatsValuesFactory's sample formula
+    * sqrt((sumsq - sum*sum/count) / (count - 1)), computed from the SAME
+    * unrounded aggregates in engine and oracle; one shuffle on the bucket
+    * key, all partial-aggregable.
+    */
+  def facetStatsFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = nullif(col("l_discount"), lit(0.0))
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(v).as("cnt"),
+        sum(when(v.isNull, 1).otherwise(0)).as("missing"),
+        min(v).as("min_v"), max(v).as("max_v"),
+        sum(v).as("sum_raw"),
+        sum(v * v).as("sumsq_raw"))
+      .select(col("l_returnflag"), col("cnt"), col("missing"),
+        round(col("min_v"), 4).as("min_v"), round(col("max_v"), 4).as("max_v"),
+        round(col("sum_raw"), 4).as("sum_v"),
+        round(col("sumsq_raw"), 4).as("sumsq"),
+        round(col("sum_raw") / col("cnt"), 6).as("mean"),
+        round(sqrt((col("sumsq_raw") - col("sum_raw") * col("sum_raw") / col("cnt"))
+          / (col("cnt") - 1)), 6).as("stddev"))
+      .orderBy(asc("l_returnflag"))
+  }
+
   // ---- Solr streaming-expression operators (SURVEY.md §2.8) ----
 
   /** shortestPath graph traversal
@@ -414,6 +472,41 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_edges"),
         countDistinct(col("o_custkey")).as("n_roots"))
       .orderBy(asc("node"))
+  }
+
+  /** scoreNodes graph expression
+    * [B solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/ (used
+    * via) solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/ScoreNodesStream.java]:
+    * tf-idf relevance for gathered nodes — Solr rescores gatherNodes
+    * output by count(*) * log((numDocs + 1) / (docFreq + 1)), fetching
+    * each node's docFreq from the collection, so globally-popular nodes
+    * stop dominating. Here the "collection" is the edge relation itself:
+    * numDocs = distinct customers, docFreq(supplier) = distinct customers
+    * connected to that supplier anywhere in the graph. The root-gather
+    * side reuses gatherNodes' broadcast shape; the docFreq side is one
+    * additional aggregate on the same pair frame, joined on the node key.
+    */
+  def scoreNodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val roots = t(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 50)
+      .select(col("c_custkey"))
+    val li = t(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey"))
+    val gathered = pairs
+      .join(broadcast(roots), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_suppkey").as("node"))
+      .agg(count(lit(1)).as("n_edges"))
+    val df = pairs.groupBy(col("l_suppkey").as("node"))
+      .agg(countDistinct(col("o_custkey")).as("doc_freq"))
+    val numDocs = t(spark, sfDir, "customer").count()
+    gathered.join(df, "node")
+      .withColumn("score", round(col("n_edges") *
+        log((lit(numDocs) + 1.0) / (col("doc_freq") + 1.0)), 4))
+      .select(col("node"), col("n_edges"), col("doc_freq"), col("score"))
+      .orderBy(desc("score"), asc("node"))
+      .limit(20)
   }
 
   /** innerJoin(search(...), search(...)) -> sort-merge/broadcast equi-join. */
@@ -577,6 +670,28 @@ object RelationalOps {
       .where(col("rn") <= k)
       .select(col("event_type"), col("rn"), col("event_id"), col("value"))
       .orderBy(asc("event_type"), asc("rn"))
+  }
+
+  /** Grouping by FUNCTION QUERY (Solr group.func / collapse {!collapse
+    * field=...} over a computed value)
+    * [B solr/core/src/java/org/apache/solr/search/Grouping.java
+    * `Command.Func`]: the group key is an arbitrary value source evaluated
+    * per doc — here the price band floor(o_totalprice / 50000) — not a
+    * stored field. Spark-first the value source is just a codegen'd column
+    * expression feeding the same window top-1 as field collapse; one
+    * shuffle on the computed key.
+    */
+  def collapseFunc(spark: SparkSession, sfDir: String): DataFrame = {
+    val band = floor(col("o_totalprice") / 50000).cast("long")
+    val w = Window.partitionBy(col("band"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .withColumn("band", band)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("band"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(asc("band"))
   }
 
   /** Solr ExpandComponent

@@ -308,7 +308,9 @@ object QueryLowering {
 
   /** The pre-levenshtein dictionary gate: prefix pushdown + length window
     * + content-field scoping. Shared by expandFuzzy and the fuzzy/spell
-    * entries in DocSearchOps.
+    * entries in DocSearchOps. The length window is also a necessary
+    * condition for DAMERAU distance <= maxEdits (DL >= |len a - len b|),
+    * so the same gate serves the transposing variant.
     */
   def fuzzyGate(target: String, maxEdits: Int,
       prefixLength: Int = FuzzyPrefixLength): org.apache.spark.sql.Column = {
@@ -316,5 +318,49 @@ object QueryLowering {
       abs(length(col("term")) - lit(target.length)) <= maxEdits
     if (prefixLength <= 0) base
     else col("term").startsWith(target.take(prefixLength)) && base
+  }
+
+  /** Unrestricted Damerau-Levenshtein distance (Lowrance & Wagner 1975) —
+    * the distance FuzzyQuery(transpositions=true) uses, where an adjacent
+    * transposition costs 1 edit
+    * [B lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java
+    * `transpositions`]. Unrestricted (not the simpler optimal-string-
+    * alignment variant): a transposed pair may be edited again, e.g.
+    * dl("ca", "abc") = 2 — matching DuckDB's damerau_levenshtein so the
+    * oracle reproduces the exact distance. Runs only on the gate-pruned
+    * dictionary remainder, same as the classic path.
+    */
+  def damerauLevenshtein(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    val inf = a.length + b.length
+    val da = new java.util.HashMap[Char, Int]()
+    // d is offset by 1: d(i+1)(j+1) = distance over prefixes a[0,i) b[0,j)
+    val d = Array.ofDim[Int](a.length + 2, b.length + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= a.length) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= b.length) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    i = 1
+    while (i <= a.length) {
+      var db = 0
+      j = 1
+      while (j <= b.length) {
+        val k = da.getOrDefault(b.charAt(j - 1), 0)
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val subst = d(i)(j) + cost
+        val insert = d(i + 1)(j) + 1
+        val delete = d(i)(j + 1) + 1
+        val transp = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) =
+          math.min(math.min(subst, insert), math.min(delete, transp))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(a.length + 1)(b.length + 1)
   }
 }
