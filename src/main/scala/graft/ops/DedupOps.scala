@@ -292,10 +292,15 @@ object DedupOps {
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // persist PRE-PARTITIONED on dst (the per-iteration join key): the
+    // cached relation's outputPartitioning survives into every round's
+    // neighbour-min join, so the edge frame shuffles once here, not once
+    // per iteration — only the (duplicate-set-sized) label frame moves
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

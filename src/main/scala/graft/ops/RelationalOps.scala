@@ -430,8 +430,13 @@ object RelationalOps {
       .select(concat(lit("C"), col("o_custkey")).as("c"),
         concat(lit("S"), col("l_suppkey")).as("s"))
       .distinct()
+    // persist PRE-PARTITIONED on the join key: the cached relation's
+    // outputPartitioning survives into every level's join, so the (big)
+    // edge side shuffles ONCE here instead of once per BFS level — only
+    // the small frontier moves each iteration
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .repartition(col("src"))
       .persist()
     try {
       import spark.implicits._
