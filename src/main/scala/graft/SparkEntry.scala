@@ -91,6 +91,7 @@ object SparkEntry {
     "match_all_docs" -> (DocSearchOps.matchAllDocs(_, _)),
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
     "search_lm_dirichlet" -> (DocSearchOps.searchLmDirichlet(_, _)),
+    "search_lm_jm" -> (DocSearchOps.searchLmJm(_, _)),
     "search_dfr_inb2" -> (DocSearchOps.searchDfr(_, _)),
     "search_ib_ll" -> (DocSearchOps.searchIb(_, _)),
     "search_axiomatic_f2exp" -> (DocSearchOps.searchAxiomatic(_, _)),
@@ -751,6 +752,32 @@ object SparkEntry {
          |  SELECT tf.doc_id,
          |         sum(greatest(0, ln(1 + tf.tf / (2000.0 * (ttfs.ttf + 1.0) / (st.sumttf + 2.0)))
          |             + ln(2000.0 / (qdl.qdl + 2000.0)))) AS score
+         |  FROM tf JOIN ttfs ON tf.term = ttfs.term
+         |       JOIN qdl ON tf.doc_id = qdl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // LM Jelinek-Mercer: p(t|C) = (ttf+1)/(sumttf+2), per-term score =
+    // ln(1 + tf * (1/qdl) / (0.7 * p / 0.3)) — op order mirrors the
+    // engine's scoreFreq(weight, freq, normVal) folding exactly
+    "search_lm_jm" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT (SELECT sum(dl) FROM dl) AS sumttf),
+         |ttfs AS (SELECT term, count(*) AS ttf FROM tok
+         |         WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + tf.tf * (1.0 / qdl.qdl)
+         |             / (0.7 * ((ttfs.ttf + 1.0) / (st.sumttf + 2.0)) / (1.0 - 0.7)))) AS score
          |  FROM tf JOIN ttfs ON tf.term = ttfs.term
          |       JOIN qdl ON tf.doc_id = qdl.doc_id
          |       CROSS JOIN st

@@ -180,6 +180,47 @@ final case class LmDirichlet(mu: Double = 2000.0) extends Similarity {
   }
 }
 
+/** LM Jelinek-Mercer similarity (Zhai & Lafferty 2001, same smoothing
+  * study as Dirichlet; [B lucene/core/src/java/org/apache/lucene/search/similarities/LMJelinekMercerSimilarity.java,
+  * LMSimilarity.java#DefaultCollectionModel]):
+  *
+  *   p(t|C) = (ttf + 1) / (sumTotalTermFreq + 2)    (collection model,
+  *            add-one smoothed — shared with LmDirichlet)
+  *   score  = ln(1 + ((1 - lambda) * tf / dl) / (lambda * p(t|C)))
+  *
+  * dl is the SmallFloat-quantized doc length the index stores; the score
+  * is always > 0 for tf > 0 (no clamp needed, unlike Dirichlet). SPI
+  * folding: weightFull carries lambda * p(t|C) / (1 - lambda) (the
+  * smoothing-mass ratio), normTable carries 1/dl, and scoreFreq is
+  * ln(1 + freq * normVal / weight). Monotone: increasing in tf,
+  * decreasing in dl — the (tf, norm) impact skylines stay admissible and
+  * the UNMODIFIED block-max WAND engine runs the model (the second
+  * language-model family member). Boost is not separable in the additive
+  * log shape — require boost == 1, same contract as LmDirichlet.
+  */
+final case class LmJelinekMercer(lambda: Double = 0.7) extends Similarity {
+  require(lambda > 0 && lambda < 1, s"invalid LM JM lambda=$lambda")
+
+  override def weight(df: Long, docCount: Long, boost: Double): Double =
+    throw new UnsupportedOperationException(
+      "LmJelinekMercer needs full term stats — engine must call weightFull")
+  override def weightFull(df: Long, ttf: Long, docCount: Long, sumTtf: Long,
+      boost: Double): Double = {
+    require(boost == 1.0,
+      s"LmJelinekMercer supports boost == 1 only (got $boost)")
+    lambda * ((ttf + 1.0) / (sumTtf + 2.0)) / (1.0 - lambda)
+  }
+  override def normTable(avgdl: Double): Array[Double] =
+    Array.tabulate(256) { i =>
+      val dl = SmallFloatUtil.LengthTable(i).toDouble
+      if (dl <= 0) 0.0 else 1.0 / dl
+    }
+  override def score(weight: Double, tf: Int, normVal: Double): Double =
+    scoreFreq(weight, tf.toDouble, normVal)
+  override def scoreFreq(weight: Double, freq: Double, normVal: Double): Double =
+    math.log(1.0 + freq * normVal / weight)
+}
+
 /** DFR I(n)B2 similarity (Amati & van Rijsbergen 2002, "Probabilistic
   * models of information retrieval based on measuring the divergence from
   * randomness"; [B lucene/core/src/java/org/apache/lucene/search/similarities/DFRSimilarity.java,

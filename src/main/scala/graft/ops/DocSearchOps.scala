@@ -982,6 +982,14 @@ object DocSearchOps {
     searchDf(spark, sfDir, QuerySpec("lmd", should = Seq("merge", "sort")),
       sim = graft.core.LmDirichlet())
 
+  /** LM Jelinek-Mercer ranking — the second language-model family member
+    * (linear interpolation smoothing instead of Dirichlet priors), same
+    * unmodified WAND engine through the Similarity SPI.
+    */
+  def searchLmJm(spark: SparkSession, sfDir: String): DataFrame =
+    searchDf(spark, sfDir, QuerySpec("lmjm", should = Seq("merge", "sort")),
+      sim = graft.core.LmJelinekMercer())
+
   /** DFR I(n)B2 ranking — fourth Similarity through the SPI (divergence-
     * from-randomness family), same unmodified WAND engine.
     */

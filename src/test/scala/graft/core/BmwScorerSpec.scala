@@ -167,8 +167,8 @@ class BmwScorerSpec extends AnyFunSuite {
     // weightFull; their non-linear score shapes must still satisfy the
     // impact-skyline bound contract, which this dueling pass verifies
     val sims: Seq[Similarity] =
-      Seq(Bm25(), ClassicSimilarity(), LmDirichlet(), DfrInB2(),
-        DfiChiSquared(), IbLlDfH2(), AxiomaticF2Exp())
+      Seq(Bm25(), ClassicSimilarity(), LmDirichlet(), LmJelinekMercer(),
+        DfrInB2(), DfiChiSquared(), IbLlDfH2(), AxiomaticF2Exp())
     forAll(corpusGen, n = 30) { c =>
       val sumTtf = c.values.map(_.map(_._2.toLong).sum).sum
       val terms = c.keys.toSeq.sorted
