@@ -57,6 +57,10 @@ object SparkEntry {
     "interval_not_containing" -> ((s, d) =>
       DocSearchOps.intervalContaining(s, d, negate = true)),
     "interval_before" -> ((s, d) => DocSearchOps.intervalBefore(s, d)),
+    "interval_after" -> ((s, d) => DocSearchOps.intervalAfter(s, d)),
+    "interval_contained_by" -> ((s, d) => DocSearchOps.intervalContainedBy(s, d)),
+    "interval_or" -> ((s, d) => DocSearchOps.intervalOr(s, d)),
+    "interval_overlapping" -> ((s, d) => DocSearchOps.intervalOverlapping(s, d)),
     "classify_knn" -> ((s, d) => ClassifyOps.classifyKnn(s, d)),
     "classify_naive_bayes" -> ((s, d) => ClassifyOps.classifyNaiveBayes(s, d)),
     "percolate_monitor" -> (MonitorOps.percolate(_, _)),
@@ -87,6 +91,8 @@ object SparkEntry {
     "stream_cartesian" -> (RelationalOps.streamCartesianProduct(_, _)),
     "search_phrase_sloppy" -> ((s, d) => DocSearchOps.searchPhraseSloppy(s, d)),
     "search_min_should_match" -> (DocSearchOps.searchMinShouldMatch(_, _)),
+    "search_mm_spec" -> ((s, d) => DocSearchOps.searchMmSpec(s, d)),
+    "search_simple_qp" -> ((s, d) => DocSearchOps.searchSimpleQp(s, d)),
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
     "match_all_docs" -> (DocSearchOps.matchAllDocs(_, _)),
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
@@ -702,6 +708,38 @@ object SparkEntry {
     "search_filtered_bm25" -> bm25Sql(Seq("scan", "table"), Nil, lang = Some("en")),
     "search_min_should_match" -> bm25Sql(Seq("merge", "sort", "window"), Nil,
       minShouldMatch = 2),
+    // mm spec "2<75%" over 4 optionals: 4 > 2, so 75% of 4 = 3 must match
+    "search_mm_spec" -> bm25Sql(Seq("merge", "sort", "window", "table"), Nil,
+      minShouldMatch = 3),
+    // SimpleQueryParser "merge + window | scan -error":
+    // ((merge AND window) OR scan) NOT error; score = the AND pair's sum
+    // when both matched, plus scan's score when it matched
+    "search_simple_qp" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'window', 'scan') GROUP BY term),
+         |per AS (SELECT tf.doc_id, tf.term,
+         |        ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |          / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl)) AS s
+         |        FROM tf JOIN dfs ON tf.term = dfs.term
+         |             JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st),
+         |agg AS (SELECT doc_id,
+         |        max(CASE WHEN term = 'merge' THEN s END) AS sm,
+         |        max(CASE WHEN term = 'window' THEN s END) AS sw,
+         |        max(CASE WHEN term = 'scan' THEN s END) AS ss
+         |        FROM per GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |        CASE WHEN sm IS NOT NULL AND sw IS NOT NULL
+         |             THEN sm + sw ELSE 0 END + coalesce(ss, 0) AS score
+         |       FROM agg
+         |       WHERE ((sm IS NOT NULL AND sw IS NOT NULL) OR ss IS NOT NULL)
+         |         AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok
+         |                            WHERE term = 'error'))
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "search_wildcard" ->
       s"""WITH $TokCte
          |SELECT DISTINCT doc_id FROM tok
@@ -2156,6 +2194,59 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_intervals FROM mini m
          |WHERE EXISTS (SELECT 1 FROM pp w WHERE w.doc_id = m.doc_id
          |              AND w.term = 'window' AND w.pos >= m.e)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Intervals.after(unordered(sort, merge), window) — the before mirror
+    "interval_after" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'sort'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |cand AS (SELECT DISTINCT a.doc_id, least(a.pos, b.pos) AS s,
+         |                greatest(a.pos, b.pos) + 1 AS e
+         |         FROM a JOIN b ON b.doc_id = a.doc_id),
+         |mini AS ($IntervalMiniSql)
+         |SELECT doc_id, count(*) AS n_intervals FROM mini m
+         |WHERE EXISTS (SELECT 1 FROM pp w WHERE w.doc_id = m.doc_id
+         |              AND w.term = 'window' AND w.pos + 1 <= m.s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Intervals.containedBy(or(value, phrase "key order"), unordered(key, table))
+    // — same CTEs as containing, output side flipped to the small intervals
+    "interval_contained_by" ->
+      s"""WITH $IntervalContCtes
+         |SELECT doc_id, count(*) AS n_intervals FROM sm s
+         |WHERE EXISTS (SELECT 1 FROM mini m WHERE m.doc_id = s.doc_id
+         |              AND m.s <= s.s AND m.e >= s.e)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // standalone Intervals.or(phrase("merge sort"), window): union re-minimised
+    "interval_or" ->
+      s"""WITH $PosCtes,
+         |cand AS (SELECT k.doc_id, k.pos AS s, k.pos + 2 AS e
+         |         FROM pp k JOIN pp o ON o.doc_id = k.doc_id AND o.pos = k.pos + 1
+         |         WHERE k.term = 'merge' AND o.term = 'sort'
+         |         UNION ALL
+         |         SELECT doc_id, pos, pos + 1 FROM pp WHERE term = 'window'),
+         |mini AS ($IntervalMiniSql)
+         |SELECT doc_id, count(*) AS n_intervals FROM mini
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Intervals.overlapping(unordered(sort, merge), unordered(key, table))
+    "interval_overlapping" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'sort'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |cand AS (SELECT DISTINCT a.doc_id, least(a.pos, b.pos) AS s,
+         |                greatest(a.pos, b.pos) + 1 AS e
+         |         FROM a JOIN b ON b.doc_id = a.doc_id),
+         |mini AS ($IntervalMiniSql),
+         |ra AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |rb AS (SELECT doc_id, pos FROM pp WHERE term = 'table'),
+         |rcand AS (SELECT DISTINCT ra.doc_id, least(ra.pos, rb.pos) AS s,
+         |                 greatest(ra.pos, rb.pos) + 1 AS e
+         |          FROM ra JOIN rb ON rb.doc_id = ra.doc_id),
+         |rmini AS (SELECT doc_id, s, e FROM rcand i
+         |          WHERE NOT EXISTS (SELECT 1 FROM rcand j WHERE j.doc_id = i.doc_id
+         |                AND j.s >= i.s AND j.e <= i.e AND (j.s > i.s OR j.e < i.e)))
+         |SELECT doc_id, count(*) AS n_intervals FROM mini m
+         |WHERE EXISTS (SELECT 1 FROM rmini r WHERE r.doc_id = m.doc_id
+         |              AND r.s < m.e AND m.s < r.e)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sloppy phrase "key order"~2: raw token positions (stop words count,
     // mirroring StopFilter position-increment holes), window |pb-pa-1|<=2

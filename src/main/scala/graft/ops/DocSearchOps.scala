@@ -828,6 +828,51 @@ object DocSearchOps {
       IUnordered(Seq(ITerm("sort"), ITerm("merge"))), ITerm("window")))
   }
 
+  /** Intervals.after(unordered(sort, merge), window): the mirror of
+    * `before` — minimal sort/merge windows that start at or after the end
+    * of some 'window' occurrence [B .../intervals/Intervals.java#after].
+    */
+  def intervalAfter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.IntervalNode._
+    intervalDocs(spark, sfDir, IAfter(
+      IUnordered(Seq(ITerm("sort"), ITerm("merge"))), ITerm("window")))
+  }
+
+  /** Intervals.containedBy(or(value, phrase("key order")), unordered(key,
+    * table)): the output-side complement of `containing` — the SMALL
+    * intervals that sit inside some minimal key/table window
+    * [B .../intervals/Intervals.java#containedBy].
+    */
+  def intervalContainedBy(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.IntervalNode._
+    intervalDocs(spark, sfDir, IContainedBy(
+      IOr(Seq(ITerm("value"), IPhrase(Seq("key", "order")))),
+      IUnordered(Seq(ITerm("key"), ITerm("table")))))
+  }
+
+  /** Standalone Intervals.or(phrase("merge sort"), window): union of the
+    * children's intervals re-minimised
+    * [B .../intervals/DisjunctionIntervalsSource.java] — exposed on its own
+    * (the nested uses inside containing/containedBy share the evaluator).
+    */
+  def intervalOr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.IntervalNode._
+    intervalDocs(spark, sfDir, IOr(
+      Seq(IPhrase(Seq("merge", "sort")), ITerm("window"))))
+  }
+
+  /** Intervals.overlapping(unordered(sort, merge), unordered(key, table)):
+    * minimal sort/merge windows that share at least one position with some
+    * minimal key/table window
+    * [B .../intervals/OverlappingIntervalsSource.java].
+    */
+  def intervalOverlapping(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.search.IntervalNode._
+    intervalDocs(spark, sfDir, IOverlapping(
+      IUnordered(Seq(ITerm("sort"), ITerm("merge"))),
+      IUnordered(Seq(ITerm("key"), ITerm("table")))))
+  }
+
   /** SCORED interval query: IntervalQuery(ordered(key, value)) under the
     * saturation score function — freq = sum over minimal intervals of
     * 1/(1 + gaps), score = freq/(freq + 1)
@@ -931,6 +976,37 @@ object DocSearchOps {
   def searchMinShouldMatch(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("mm",
       should = Seq("merge", "sort", "window"), minShouldMatch = 2))
+
+  /** The mm SPEC grammar end to end (Solr's dismax/edismax `mm` parameter
+    * [B solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java
+    * #calculateMinShouldMatch]): "2<75%" over 4 optional clauses — above
+    * the 2-clause threshold, so 75% of 4 = 3 must match. The computed
+    * integer feeds the same BooleanQuery minimumNumberShouldMatch path as
+    * search_min_should_match; the spec evaluation itself is pinned by
+    * MinShouldMatchSpec's reference-guide cases.
+    */
+  def searchMmSpec(spark: SparkSession, sfDir: String,
+      spec: String = "2<75%"): DataFrame = {
+    val should = Seq("merge", "sort", "window", "table")
+    val mm = graft.search.MinShouldMatch.calculate(should.size, spec)
+    searchDf(spark, sfDir, QuerySpec("mmspec", should = should,
+      minShouldMatch = mm))
+  }
+
+  /** SimpleQueryParser grammar end to end
+    * [B lucene/queryparser/src/java/org/apache/lucene/queryparser/simple/SimpleQueryParser.java]:
+    * "merge + window | scan -error" folds linearly to
+    * ((merge AND window) OR scan) NOT error, lowers through the same
+    * analyzer + clause-tree path as the classic parser, and ranks BM25
+    * top-10. The grammar's phrase/prefix/fuzzy/degradation cases are
+    * pinned by SimpleQueryParserSpec.
+    */
+  def searchSimpleQp(spark: SparkSession, sfDir: String,
+      query: String = "merge + window | scan -error"): DataFrame = {
+    val r = reader(spark, sfDir)
+    val tree = QueryLowering.lower(r, graft.search.SimpleQueryParser.parse(query))
+    rankDf(r, QueryEngine.searchTree(r, "simpleqp", tree))
+  }
 
   /** WildcardQuery (te?t / te*t): rewrite onto the dictionary regex scan
     * [B lucene/core/src/java/org/apache/lucene/search/WildcardQuery.java] —

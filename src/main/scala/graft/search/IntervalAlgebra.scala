@@ -72,6 +72,12 @@ object IntervalNode {
   final case class IAfter(source: IntervalNode,
       reference: IntervalNode) extends IntervalNode
 
+  /** Intervals.overlapping: source intervals that overlap (share at least
+    * one position with) some reference interval
+    * [B lucene/core/src/java/org/apache/lucene/queries/intervals/OverlappingIntervalsSource.java]. */
+  final case class IOverlapping(source: IntervalNode,
+      reference: IntervalNode) extends IntervalNode
+
   /** Every posting-list term the tree touches (drives the pushed-down scan). */
   def allTerms(n: IntervalNode): Seq[String] = n match {
     case ITerm(t) => Seq(t)
@@ -83,6 +89,7 @@ object IntervalNode {
     case IContainedBy(s, b, _) => allTerms(s) ++ allTerms(b)
     case IBefore(s, r) => allTerms(s) ++ allTerms(r)
     case IAfter(s, r) => allTerms(s) ++ allTerms(r)
+    case IOverlapping(s, r) => allTerms(s) ++ allTerms(r)
   }
 
   /** Terms a matching doc MUST contain — the conjunction driver for the
@@ -102,6 +109,7 @@ object IntervalNode {
       if (neg) requiredTerms(s) else requiredTerms(s) ++ requiredTerms(b)
     case IBefore(s, r) => requiredTerms(s) ++ requiredTerms(r)
     case IAfter(s, r) => requiredTerms(s) ++ requiredTerms(r)
+    case IOverlapping(s, r) => requiredTerms(s) ++ requiredTerms(r)
   }
 }
 
@@ -304,6 +312,17 @@ object IntervalAlgebra {
         else {
           val minRefEnd = endOf(rv(0))
           sv.filter(startOf(_) >= minRefEnd)
+        }
+      }
+
+    case IOverlapping(src, ref) =>
+      val sv = eval(src, pos)
+      if (sv.isEmpty) Empty
+      else {
+        val rv = eval(ref, pos)
+        if (rv.isEmpty) Empty
+        else sv.filter { s =>
+          rv.exists(r => startOf(r) < endOf(s) && startOf(s) < endOf(r))
         }
       }
   }

@@ -88,6 +88,11 @@ class IntervalAlgebraSpec extends AnyFunSuite {
     case IAfter(s, r) =>
       val rs = refIntervals(r, tokens)
       refIntervals(s, tokens).filter { case (s1, _) => rs.exists(_._2 <= s1) }
+    case IOverlapping(s, r) =>
+      val rs = refIntervals(r, tokens)
+      refIntervals(s, tokens).filter { case (s1, e1) =>
+        rs.exists { case (r1, r2) => r1 < e1 && s1 < r2 }
+      }
   }
 
   private def evalSet(n: IntervalNode, tokens: Vector[String]): Set[(Int, Int)] =
@@ -106,7 +111,7 @@ class IntervalAlgebraSpec extends AnyFunSuite {
 
   private def genTree(depth: Int): Gen[IntervalNode] =
     if (depth <= 0) genLeaf
-    else Gen.chooseNum(0, 7).flatMap {
+    else Gen.chooseNum(0, 8).flatMap {
       case 0 => genLeaf
       case 1 => for {
         a <- genTree(depth - 1); b <- genTree(depth - 1)
@@ -137,9 +142,12 @@ class IntervalAlgebraSpec extends AnyFunSuite {
       case 6 => for {
         a <- genTree(depth - 1); b <- genTree(depth - 1)
       } yield IBefore(a, b)
-      case _ => for {
+      case 7 => for {
         a <- genTree(depth - 1); b <- genTree(depth - 1)
       } yield IAfter(a, b)
+      case _ => for {
+        a <- genTree(depth - 1); b <- genTree(depth - 1)
+      } yield IOverlapping(a, b)
     }
 
   private val genDoc: Gen[Vector[String]] = for {
