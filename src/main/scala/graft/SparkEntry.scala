@@ -172,6 +172,10 @@ object SparkEntry {
     "facet_heatmap" -> (RelationalOps.facetHeatmap(_, _)),
     "geo_distance" -> ((s, d) => RelationalOps.geoDistance(s, d)),
     "geo_bbox" -> ((s, d) => RelationalOps.geoBbox(s, d)),
+    "geo_polygon" -> ((s, d) => RelationalOps.geoPolygon(s, d)),
+    "range_field" -> ((s, d) => RelationalOps.rangeField(s, d)),
+    "search_expunge_deletes" -> ((s, d) =>
+      DocSearchOps.searchExpungeDeletes(s, d)),
     "facet_taxonomy" -> ((s, d) => RelationalOps.facetTaxonomy(s, d)),
     "facet_json_api" -> (RelationalOps.jsonFacet(_, _)),
     "facet_nested" -> (RelationalOps.facetNested(_, _)),
@@ -2671,6 +2675,71 @@ object SparkEntry {
         |FROM pts
         |WHERE lat >= -25.0 AND lat <= 25.0 AND (lon >= 150.0 OR lon <= -150.0)
         |ORDER BY event_id LIMIT 100""".stripMargin,
+    // LatLonPoint.newPolygonQuery: PNPOLY even-odd ray casting, identical
+    // double arithmetic ((xj-xi)*(lat-yi)/(yj-yi)+xi) on both sides
+    "geo_polygon" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         -90.0 + 180.0 * ((event_id * 48271) % 100003) / 100003.0 AS lat,
+        |         -180.0 + 360.0 * ((event_id * 16807) % 100019) / 100019.0 AS lon
+        |  FROM events),
+        |hits AS (
+        |  SELECT event_id, lat, lon,
+        |    (CASE WHEN ((10.0 > lat) <> (35.0 > lat)) AND
+        |          (lon < (10.0 - -30.0) * (lat - 10.0) / (35.0 - 10.0) + -30.0)
+        |          THEN 1 ELSE 0 END
+        |   + CASE WHEN ((35.0 > lat) <> (5.0 > lat)) AND
+        |          (lon < (45.0 - 10.0) * (lat - 35.0) / (5.0 - 35.0) + 10.0)
+        |          THEN 1 ELSE 0 END
+        |   + CASE WHEN ((5.0 > lat) <> (-25.0 > lat)) AND
+        |          (lon < (20.0 - 45.0) * (lat - 5.0) / (-25.0 - 5.0) + 45.0)
+        |          THEN 1 ELSE 0 END
+        |   + CASE WHEN ((-25.0 > lat) <> (-15.0 > lat)) AND
+        |          (lon < (-25.0 - 20.0) * (lat - -25.0) / (-15.0 - -25.0) + 20.0)
+        |          THEN 1 ELSE 0 END
+        |   + CASE WHEN ((-15.0 > lat) <> (10.0 > lat)) AND
+        |          (lon < (-30.0 - -25.0) * (lat - -15.0) / (10.0 - -15.0) + -25.0)
+        |          THEN 1 ELSE 0 END) AS crossings
+        |  FROM pts)
+        |SELECT event_id, round(lat, 4) AS lat, round(lon, 4) AS lon
+        |FROM hits WHERE crossings % 2 = 1
+        |ORDER BY event_id LIMIT 200""".stripMargin,
+    // DoubleRange INTERSECTS/WITHIN/CONTAINS vs the query box [40, 60]
+    "range_field" ->
+      """WITH r AS (SELECT value AS lo,
+        |  value + 1.0 + CAST(event_id % 17 AS DOUBLE) * 2.5 AS hi FROM events)
+        |SELECT sum(CASE WHEN lo <= 60.0 AND hi >= 40.0 THEN 1 ELSE 0 END) AS n_intersects,
+        |       sum(CASE WHEN lo >= 40.0 AND hi <= 60.0 THEN 1 ELSE 0 END) AS n_within,
+        |       sum(CASE WHEN lo <= 40.0 AND hi >= 60.0 THEN 1 ELSE 0 END) AS n_contains
+        |FROM r""".stripMargin,
+    // forceMergeDeletes: every 'dup' doc expunged; n / avgdl / df all
+    // recomputed over the SURVIVORS (the post-merge stats contract)
+    "search_expunge_deletes" ->
+      s"""WITH $TokCte,
+         |dead AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+         |tok2 AS (SELECT doc_id, term FROM tok
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM dead)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+         |qdl AS (SELECT doc_id, CASE WHEN dl < 32 THEN dl
+         |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
+         |        END AS qdl FROM dl),
+         |st AS (SELECT
+         |   (SELECT count(*) FROM documents) - (SELECT count(*) FROM dead) AS n,
+         |   (SELECT sum(dl) FROM dl) * 1.0 /
+         |   ((SELECT count(*) FROM documents) - (SELECT count(*) FROM dead)) AS avgdl),
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'window') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |       sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN dfs ON tf.term = dfs.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |       GROUP BY tf.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(score, 4) AS score FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "facet_taxonomy" ->
       """WITH r AS (
         |  SELECT lang, source, count(*) AS cnt FROM documents

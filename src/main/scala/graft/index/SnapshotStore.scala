@@ -533,6 +533,13 @@ object Index {
     val r = reader(spark, indexDir)
     val segDirs = r.snapshots.map(s =>
       s.postingsDir.stripSuffix("/postings") + "/segments")
+    // fail loudly instead of compacting into an empty index when the flush
+    // partials are missing (e.g. a clone taken before clones copied them)
+    segDirs.foreach { d =>
+      require(Files.exists(Paths.get(d, "kind=1")),
+        s"$d has no kind=1 flush partials — this increment cannot be " +
+          "re-merged; re-clone the index with a current backup()")
+    }
     // one read per increment root: the kind partition column is inferred
     // relative to each segments dir (a single multi-root read would see
     // conflicting directory structures)
@@ -744,8 +751,25 @@ object Index {
         copyTree(Paths.get(s.postingsDir), tmp.resolve("postings"))
         val td = Paths.get(s.termDictDir)
         if (Files.exists(td)) copyTree(td, tmp.resolve("termdict"))
+        // the WHOLE segments tree, not just the kind=0 docmeta partition:
+        // kind=1 holds the flush partials compact() re-merges, so a clone
+        // without them would be readable but silently compact to an EMPTY
+        // index (found by the expungeDeletes entry; compact now also
+        // guards). Lucene's backup copies every segment file for the same
+        // reason.
+        val segs = srcInc.resolve("segments")
+        if (Files.exists(segs)) copyTree(segs, tmp.resolve("segments"))
         val dm = Paths.get(s.docMetaDir)
-        copyTree(dm, tmp.resolve(srcInc.relativize(dm).toString))
+        // docMetaDir normally lives under segments/ (covered above); copy
+        // it explicitly in case a snapshot points elsewhere
+        if (!dm.startsWith(segs)) {
+          copyTree(dm, tmp.resolve(srcInc.relativize(dm).toString))
+        }
+        val done = srcInc.resolve("_SEG_DONE")
+        if (Files.exists(done)) {
+          Files.copy(done, tmp.resolve("_SEG_DONE"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
         Files.move(tmp, dstInc, StandardCopyOption.ATOMIC_MOVE)
       }
     }

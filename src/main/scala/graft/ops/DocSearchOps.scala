@@ -381,6 +381,41 @@ object DocSearchOps {
       Seq(QuerySpec("atom", should = Seq("atomicupd")))))
   }
 
+  /** forceMergeDeletes / expungeDeletes
+    * [B lucene/core/src/java/org/apache/lucene/index/IndexWriter.java
+    * #forceMergeDeletes]: fresh clone -> deleteByTerm("error") tombstones
+    * -> compact, which REWRITES postings without the dead docs and
+    * recomputes collection stats (docCount, avgdl, per-term df) from the
+    * survivors — the Lucene semantic that deleted docs stop polluting
+    * scores only after the merge. The oracle recomputes BM25 over the
+    * corpus minus every 'error' doc with the shrunken stats, so a stale
+    * docCount or df would hash-mismatch immediately.
+    */
+  def searchExpungeDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    val live = reader(spark, sfDir)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val bak = s"${sys.props("java.io.tmpdir")}/graft_expungebak_${Version}_$safe"
+    val edir = s"${sys.props("java.io.tmpdir")}/graft_expunge_${Version}_$safe"
+    val cdir = s"${sys.props("java.io.tmpdir")}/graft_expunged_${Version}_$safe"
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    // fresh clone per run, like searchAtomicUpdate: deterministic shape
+    Seq(bak, edir, cdir).foreach(d => rmTree(java.nio.file.Paths.get(d)))
+    Index.backup(live.indexDir, bak)
+    Index.restore(bak, edir)
+    Index.deleteByTerm(spark, edir, "dup")
+    Index.compact(spark, edir, cdir,
+      IndexConfig(hotTermDf = 20000, targetPostingsPerSlice = 20000,
+        indexPositions = true, extraFields = Seq("repo")))
+    val r2 = Index.reader(spark, cdir)
+    rankDf(r2, QueryEngine.search(r2,
+      Seq(QuerySpec("expunge", should = Seq("merge", "window")))))
+  }
+
   /** Disjunctive BM25 top-10 (BooleanQuery SHOULD via block-max WAND). */
   def searchOr(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("or", should = Seq("merge", "sort", "window")))

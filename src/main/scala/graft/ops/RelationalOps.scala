@@ -283,6 +283,58 @@ object RelationalOps {
       .limit(k)
   }
 
+  /** LatLonPoint polygon query
+    * [B lucene/core/src/java/org/apache/lucene/document/LatLonPoint.java
+    * newPolygonQuery, lucene/core/src/java/org/apache/lucene/geo/Polygon2D.java]:
+    * point-in-polygon by even-odd ray casting (the PNPOLY crossing test the
+    * reference's Polygon2D#contains uses per point). The fixed 5-vertex
+    * polygon unrolls to a static codegen'd boolean column — one XOR-chain
+    * of per-edge crossing tests — so the whole query is a map-only scan
+    * filter; the identical double arithmetic runs in the oracle, so even
+    * near-edge points agree bit-for-bit. No horizontal edges (the test's
+    * division guard) by construction.
+    */
+  def geoPolygon(spark: SparkSession, sfDir: String, k: Int = 200): DataFrame = {
+    // (lat, lon) pentagon, counter-clockwise, no two adjacent equal lats
+    val poly = Seq((10.0, -30.0), (35.0, 10.0), (5.0, 45.0),
+      (-25.0, 20.0), (-15.0, -25.0))
+    val pts = t(spark, sfDir, "events").select(
+      col("event_id"),
+      (lit(-90.0) + lit(180.0) * ((col("event_id") * lit(48271L)) % lit(100003L)) / lit(100003.0)).as("lat"),
+      (lit(-180.0) + lit(360.0) * ((col("event_id") * lit(16807L)) % lit(100019L)) / lit(100019.0)).as("lon"))
+    val py = col("lat"); val px = col("lon")
+    val inside = poly.indices.map { i =>
+      val (yi, xi) = poly(i)
+      val (yj, xj) = poly((i + 1) % poly.size)
+      ((lit(yi) > py) =!= (lit(yj) > py)) &&
+        (px < (lit(xj) - lit(xi)) * (py - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi))
+    }.reduce(_ =!= _) // odd number of crossings = inside
+    pts.where(inside)
+      .select(col("event_id"), round(col("lat"), 4).as("lat"),
+        round(col("lon"), 4).as("lon"))
+      .orderBy(asc("event_id"))
+      .limit(k)
+  }
+
+  /** RangeField queries — DoubleRange INTERSECTS / WITHIN / CONTAINS
+    * [B lucene/core/src/java/org/apache/lucene/document/DoubleRange.java
+    * newIntersectsQuery/newWithinQuery/newContainsQuery]: each event
+    * carries a 1-D value range [value, value + span] (span a pure function
+    * of event_id); one map-only scan classifies every range against the
+    * query box [40, 60] and aggregates a count per relation — the three
+    * relations the reference's RangeFieldQuery.QueryType enumerates.
+    */
+  def rangeField(spark: SparkSession, sfDir: String,
+      qLo: Double = 40.0, qHi: Double = 60.0): DataFrame = {
+    val r = t(spark, sfDir, "events").select(
+      col("value").as("lo"),
+      (col("value") + lit(1.0) + (col("event_id") % lit(17L)).cast("double") * lit(2.5)).as("hi"))
+    r.select(
+      sum(when(col("lo") <= qHi && col("hi") >= qLo, 1L).otherwise(0L)).as("n_intersects"),
+      sum(when(col("lo") >= qLo && col("hi") <= qHi, 1L).otherwise(0L)).as("n_within"),
+      sum(when(col("lo") <= qLo && col("hi") >= qHi, 1L).otherwise(0L)).as("n_contains"))
+  }
+
   /** Hierarchical (taxonomy) facet counts
     * [B lucene/facet/src/java/org/apache/lucene/facet/taxonomy/TaxonomyFacetCounts.java]:
     * a doc under path lang/source counts at EVERY ancestor, the way the

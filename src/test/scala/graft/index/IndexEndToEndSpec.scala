@@ -309,6 +309,20 @@ class IndexEndToEndSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Index.restore(bakDir, restDir) }
     // the restored index is live: delete-able like any index
     assert(Index.deleteByTerm(spark, restDir, "ident_0001") >= 0)
+
+    // ...and COMPACTABLE: the clone must carry the kind=1 flush partials,
+    // or compact would silently produce an empty index (regression: clones
+    // used to copy only postings/termdict/docmeta)
+    val restComp = s"$workDir/index_restored3_compacted"
+    Index.compact(spark, rest3, restComp, cfg)
+    val rc = Index.reader(spark, restComp)
+    val compHits = graft.search.QueryEngine.search(rc,
+      Seq(graft.QuerySpec("rc", should = Seq("return"), k = 50))).collect()
+    assert(compHits.nonEmpty,
+      "compacting a restored clone lost the postings")
+    assert(rc.stats.docCount > 0 && rc.stats.docCount ==
+      Index.reader(spark, rest3).stats.docCount -
+        Index.reader(spark, rest3).tombstones.distinct().count())
   }
 
   test("duplicate MUST clauses do not mask a missing required term") {
