@@ -158,6 +158,10 @@ object SparkEntry {
     "term_vectors" -> ((s, d) => DocSearchOps.termVectors(s, d)),
     "search_elevate" -> ((s, d) => DocSearchOps.searchElevate(s, d)),
     "suggest_infix" -> ((s, d) => DocSearchOps.suggestInfix(s, d)),
+    "suggest_blended_infix" -> ((s, d) =>
+      DocSearchOps.suggestBlendedInfix(s, d)),
+    "analysis_common_grams" -> ((s, d) => AnalysisOps.commonGrams(s, d)),
+    "boilerplate_strip" -> ((s, d) => PipelineOps.boilerplateStrip(s, d)),
     "suggest_context" -> ((s, d) => DocSearchOps.suggestContext(s, d)),
     "spell_collate" -> ((s, d) => DocSearchOps.spellCollate(s, d)),
     "search_regex" -> ((s, d) => DocSearchOps.searchRegex(s, d)),
@@ -3007,6 +3011,44 @@ object SparkEntry {
          |  md5(array_to_string(stemmed, ' ')) AS stemmed_md5
          |FROM sm ORDER BY doc_id""".stripMargin,
     "analysis_shingle" -> AnalysisOps.shingleOracleSql,
+    "analysis_common_grams" -> AnalysisOps.commonGramsOracleSql,
+    // BlendedInfixSuggester: 3-gram suggestions, weight/(matchpos+1)
+    "suggest_blended_infix" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |              x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS suggestion
+        |       FROM tk, unnest(range(len(toks) - 2)) AS r(i)
+        |       WHERE len(toks) >= 3),
+        |w AS (SELECT suggestion, count(*) AS weight FROM sh GROUP BY suggestion),
+        |m AS (SELECT suggestion, weight,
+        |        list_position(string_split(suggestion, ' '), 'merge') - 1 AS pos
+        |      FROM w),
+        |s AS (SELECT suggestion, weight,
+        |        round(CAST(weight AS DOUBLE) / (pos + 1.0), 6) AS score
+        |      FROM m WHERE pos >= 0)
+        |SELECT suggestion, weight, score FROM s
+        |ORDER BY score DESC, suggestion LIMIT 10""".stripMargin,
+    // CCNet-style per-source boilerplate strip at threshold 0.9
+    "boilerplate_strip" ->
+      """WITH aug AS (SELECT doc_id, source,
+        |  text || chr(10) || 'subscribe to ' || source || ' updates' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'promo: click here'
+        |       ELSE '' END AS t FROM documents),
+        |ln AS (SELECT doc_id, source, string_split(t, chr(10)) AS lines FROM aug),
+        |docline AS (SELECT DISTINCT doc_id, source, unnest(lines) AS line FROM ln),
+        |freq AS (SELECT source, line, count(*) AS c FROM docline GROUP BY source, line),
+        |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |bp AS (SELECT f.source, f.line FROM freq f JOIN tot t ON f.source = t.source
+        |       WHERE f.c * 1.0 / t.n_docs >= 0.9),
+        |pos AS (SELECT l.doc_id, l.source, lines[i + 1] AS line, i
+        |        FROM ln l, unnest(range(len(lines))) AS r(i)),
+        |kept AS (SELECT p.doc_id, p.line, p.i FROM pos p
+        |         WHERE NOT EXISTS (SELECT 1 FROM bp b
+        |               WHERE b.source = p.source AND b.line = p.line))
+        |SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |       md5(string_agg(line, chr(10) ORDER BY i)) AS kept_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "analysis_multilang_stem" -> AnalysisOps.multilangStemOracleSql,
     "analysis_html_strip" -> AnalysisOps.htmlStripOracleSql,
     "analysis_cjk_bigram" -> AnalysisOps.cjkBigramOracleSql,

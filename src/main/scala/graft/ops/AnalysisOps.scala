@@ -174,6 +174,48 @@ object AnalysisOps {
     * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/shingle/ShingleFilter.java]:
     * word 2-grams over analyzer tokens; md5 pins the full shingle stream.
     */
+  /** CommonGramsFilter [B lucene/analysis/common/src/java/org/apache/lucene/analysis/commongrams/CommonGramsFilter.java]:
+    * alongside every unigram, a bigram "prev_cur" (the reference's '_'
+    * separator, position-increment 0) is emitted whenever EITHER member is
+    * a common word — the indexing trick that makes stopword-containing
+    * phrases ("the quick") cheap without dropping the stopwords. Stream
+    * order matches the reference's test vectors: the gram lands between
+    * its two member unigrams ("the", "the_quick", "quick", ...). Common
+    * set here: the corpus's two English-stopword tokens. Map-only.
+    */
+  def commonGrams(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokensCol(col("text")))
+      .withColumn("stream",
+        when(size(col("toks")) > 0, expr(
+          "flatten(transform(sequence(0, size(toks) - 1), i -> " +
+            "CASE WHEN i = 0 THEN array(element_at(toks, 1)) " +
+            "WHEN element_at(toks, i) IN ('the', 'a') " +
+            "  OR element_at(toks, i + 1) IN ('the', 'a') " +
+            "THEN array(concat(element_at(toks, i), '_', element_at(toks, i + 1)), " +
+            "           element_at(toks, i + 1)) " +
+            "ELSE array(element_at(toks, i + 1)) END))"))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        size(col("stream")).cast("long").as("n_tokens"),
+        md5(array_join(col("stream"), "|").cast("binary")).as("stream_md5"))
+      .orderBy(asc("doc_id"))
+
+  def commonGramsOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+       |              x -> x <> '') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |  flatten(list_transform(range(len(toks)), i ->
+       |    CASE WHEN i = 0 THEN [toks[1]]
+       |         WHEN toks[i] IN ('the', 'a') OR toks[i + 1] IN ('the', 'a')
+       |         THEN [toks[i] || '_' || toks[i + 1], toks[i + 1]]
+       |         ELSE [toks[i + 1]] END)) AS stream
+       |  FROM tk)
+       |SELECT doc_id, len(stream)::BIGINT AS n_tokens,
+       |  md5(array_to_string(stream, '|')) AS stream_md5
+       |FROM g ORDER BY doc_id""".stripMargin
+
   def shingle(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .withColumn("toks", TextOps.tokensCol(col("text")))

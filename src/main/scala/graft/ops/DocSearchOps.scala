@@ -1452,6 +1452,35 @@ object DocSearchOps {
       .limit(n)
   }
 
+  /** BlendedInfixSuggester [B lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/BlendedInfixSuggester.java]:
+    * multi-token suggestions where the weight is BLENDED by the matched
+    * token's position — BlenderType.POSITION_RECIPROCAL's
+    * coefficient = 1/(position + 1), so a suggestion matching the query
+    * token at its head outranks one matching mid-phrase. Suggestions here
+    * are the corpus's token 3-grams weighted by occurrence count (a
+    * DocumentDictionary built from the corpus itself); matching and
+    * blending are one scan + one groupBy — the suggestion table is tiny
+    * next to the corpus and the lookup never touches raw documents.
+    */
+  def suggestBlendedInfix(spark: SparkSession, sfDir: String,
+      q: String = "merge", n: Int = 10): DataFrame = {
+    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("toks", TextOps.tokensCol(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+          "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), " +
+          "' ', element_at(toks, i + 3)))")).as("suggestion"))
+    sh.groupBy(col("suggestion")).agg(count(lit(1)).as("weight"))
+      .withColumn("pos", array_position(split(col("suggestion"), " "), q) - 1)
+      .where(col("pos") >= 0) // array_position: 0 = absent, else 1-based
+      .withColumn("score",
+        round(col("weight").cast("double") / (col("pos") + lit(1.0)), 6))
+      .select(col("suggestion"), col("weight"), col("score"))
+      .orderBy(desc("score"), asc("suggestion"))
+      .limit(n)
+  }
+
   /** Spell-check collation [B lucene/suggest/src/java/org/apache/lucene/search/spell/DirectSpellChecker.java,
     * solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java]:
     * one best correction per query term — minimal edit distance first, then

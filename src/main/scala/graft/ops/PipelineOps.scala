@@ -334,4 +334,50 @@ object PipelineOps {
           .as("chunk_md5"))
       .orderBy(asc("doc_id"), asc("chunk_idx"))
   }
+
+  /** Boilerplate-line removal (the CCNet / C4 per-domain frequent-paragraph
+    * strip): a line occurring in >= `threshold` of its source's documents
+    * is boilerplate (nav bars, footers, subscribe prompts) and is dropped
+    * from every document of that source. Deterministic demo augmentation
+    * (reproduced verbatim in the oracle): every doc gains its source's
+    * footer line (frequency 1.0 -> stripped) and every even doc a promo
+    * line (~0.5 -> kept at threshold 0.9).
+    *
+    * 100-TB shape: line frequencies aggregate on (source, line) — one
+    * shuffle of line TEXT per distinct line, not per occurrence (the agg
+    * is partial-aggregated map-side); the boilerplate SET that survives
+    * the threshold is tiny (per-domain headers/footers) and joins back
+    * BROADCAST, after which the strip is a map-only array filter on each
+    * doc's own lines. The corpus is never shuffled.
+    */
+  def boilerplateStrip(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val aug = docs(spark, sfDir).select(
+      col("doc_id"), col("source"),
+      concat(col("text"), lit("\n"),
+        concat(lit("subscribe to "), col("source"), lit(" updates")),
+        when(col("doc_id") % 2 === 0, lit("\npromo: click here"))
+          .otherwise(lit(""))).as("t"))
+      .withColumn("lines", split(col("t"), "\n"))
+    // array_distinct first (map-only): c counts DOCUMENTS containing the
+    // line, so an in-doc repeat can't inflate a line past the threshold
+    val freq = aug
+      .select(col("source"), explode(array_distinct(col("lines"))).as("line"))
+      .groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("c"))
+    val tot = docs(spark, sfDir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val bp = freq.join(broadcast(tot), "source")
+      .where(col("c") * lit(1.0) / col("n_docs") >= threshold)
+      .groupBy(col("source"))
+      .agg(collect_list(col("line")).as("bp"))
+    aug.join(broadcast(bp), Seq("source"), "left")
+      .withColumn("kept",
+        filter(col("lines"), l => !array_contains(
+          coalesce(col("bp"), array().cast("array<string>")), l)))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), "\n").cast("binary")).as("kept_md5"))
+      .orderBy(asc("doc_id"))
+  }
 }
