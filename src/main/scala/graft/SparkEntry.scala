@@ -66,6 +66,8 @@ object SparkEntry {
     "percolate_monitor" -> (MonitorOps.percolate(_, _)),
     "tag_entities" -> (TextOps.tagEntities(_, _)),
     "facet_pivot" -> (RelationalOps.facetPivot(_, _)),
+    "facet_pivot_stats" -> (RelationalOps.facetPivotStats(_, _)),
+    "stream_topic" -> ((s, d) => RelationalOps.streamTopic(s, d)),
     "facet_intervals" -> (RelationalOps.facetIntervals(_, _)),
     "facet_drill_sideways" -> (RelationalOps.facetDrillSideways(_, _)),
     "facet_range_other" -> ((s, d) => RelationalOps.facetRangeOther(s, d)),
@@ -2757,6 +2759,25 @@ object SparkEntry {
         |  SELECT lv.*, row_number() OVER (PARTITION BY level
         |    ORDER BY cnt DESC, path) AS rk FROM lv)
         |WHERE rk <= 5 ORDER BY level, cnt DESC, path""".stripMargin,
+    // pivot facet with per-bucket stats at BOTH levels from one rollup
+    "facet_pivot_stats" ->
+      """SELECT CASE WHEN source IS NULL THEN 1 ELSE 2 END AS level,
+        |       lang, source, count(*) AS cnt, sum(n_chars) AS sum_chars,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |HAVING lang IS NOT NULL
+        |ORDER BY lang, level, source""".stripMargin,
+    // topic(): two checkpointed pulls partition the matching stream —
+    // pull 2 starts strictly after pull 1's max ts
+    "stream_topic" ->
+      """WITH m AS (SELECT event_id, ts FROM events WHERE event_type = 'signup'),
+        |ck AS (SELECT max(ts) AS c FROM m WHERE ts <= TIMESTAMP '2024-01-16 00:00:00')
+        |SELECT 1 AS pull, event_id FROM m
+        |WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+        |UNION ALL
+        |SELECT 2 AS pull, event_id FROM m, ck WHERE m.ts > ck.c
+        |ORDER BY pull, event_id""".stripMargin,
     "facet_query" ->
       """SELECT o_orderstatus, count(*) AS cnt_all,
         |CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_big,

@@ -1462,24 +1462,52 @@ object DocSearchOps {
     * blending are one scan + one groupBy — the suggestion table is tiny
     * next to the corpus and the lookup never touches raw documents.
     */
+  private val blendedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build/lookup split (the reference builds its suggest index once): the
+    * suggestion table is trained per sfDir into token-keyed parquet rows
+    * (token, pos, suggestion, weight), range-partitioned and sorted by
+    * token — a lookup is ONE pushed-down token equality scan, never a
+    * corpus pass (same fix as suggest_freetext's model table).
+    */
+  private def blendedTable(spark: SparkSession, sfDir: String): String =
+    blendedCache.computeIfAbsent(sfDir, _ => {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_blended_${Version}_$safe"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists) {
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .withColumn("toks", TextOps.tokensCol(col("text")))
+          .where(size(col("toks")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 3), i -> " +
+              "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), " +
+              "' ', element_at(toks, i + 3)))")).as("suggestion"))
+          .groupBy(col("suggestion")).agg(count(lit(1)).as("weight"))
+          // one row per (distinct token, first position) of the suggestion
+          .select(col("suggestion"), col("weight"), explode(expr(
+            "transform(array_distinct(split(suggestion, ' ')), " +
+              "t -> struct(t AS token, " +
+              "CAST(array_position(split(suggestion, ' '), t) - 1 AS INT) AS pos))"))
+            .as("e"))
+          .select(col("e.token").as("token"), col("e.pos").as("pos"),
+            col("suggestion"), col("weight"))
+          .repartitionByRange(col("token"))
+          .sortWithinPartitions(col("token"), col("suggestion"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      dir
+    })
+
   def suggestBlendedInfix(spark: SparkSession, sfDir: String,
-      q: String = "merge", n: Int = 10): DataFrame = {
-    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("toks", TextOps.tokensCol(col("text")))
-      .where(size(col("toks")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> " +
-          "concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), " +
-          "' ', element_at(toks, i + 3)))")).as("suggestion"))
-    sh.groupBy(col("suggestion")).agg(count(lit(1)).as("weight"))
-      .withColumn("pos", array_position(split(col("suggestion"), " "), q) - 1)
-      .where(col("pos") >= 0) // array_position: 0 = absent, else 1-based
+      q: String = "merge", n: Int = 10): DataFrame =
+    spark.read.parquet(blendedTable(spark, sfDir))
+      .where(col("token") === q) // pushed-down equality on the sorted key
       .withColumn("score",
         round(col("weight").cast("double") / (col("pos") + lit(1.0)), 6))
       .select(col("suggestion"), col("weight"), col("score"))
       .orderBy(desc("score"), asc("suggestion"))
       .limit(n)
-  }
 
   /** Spell-check collation [B lucene/suggest/src/java/org/apache/lucene/search/spell/DirectSpellChecker.java,
     * solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java]:

@@ -85,6 +85,29 @@ object RelationalOps {
       .orderBy(desc("lang_cnt"), asc("lang"), desc("src_cnt"), asc("src"))
   }
 
+  /** Pivot facet WITH STATS — Solr's facet.pivot={!stats=s}lang,source
+    * composition [B solr/core/src/java/org/apache/solr/handler/component/FacetComponent.java,
+    * solr/core/src/java/org/apache/solr/handler/component/StatsComponent.java]:
+    * each pivot bucket (both levels) carries a stats tuple over n_chars.
+    * ONE rollup pass computes both levels from a single shuffle (partial
+    * aggregates per level ride the same exchange), exactly like
+    * facetTaxonomy — no per-level re-aggregation.
+    */
+  def facetPivotStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .where(col("lang").isNotNull)
+      .select(
+        when(col("source").isNull, lit(1)).otherwise(lit(2)).as("level"),
+        col("lang"), col("source"), col("cnt"), col("sum_chars"),
+        col("avg_chars"), col("min_chars"), col("max_chars"))
+      .orderBy(asc("lang"), asc("level"), asc("source"))
+
   /** Interval facet [B solr/core/src/java/org/apache/solr/request/IntervalFacets.java]:
     * arbitrary, possibly OVERLAPPING intervals over a numeric field, each
     * counted independently (the semantic difference from range facets,
@@ -606,6 +629,30 @@ object RelationalOps {
       .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
         col("c_mktsegment"))
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+  }
+
+  /** topic() — Solr's checkpointed pub-sub stream
+    * [B solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/TopicStream.java]:
+    * each pull returns only tuples with version/timestamp PAST the stored
+    * checkpoint, then the checkpoint advances to the max seen — so pulls
+    * partition the matching stream with no overlap and no gaps. Two pulls
+    * around a fixed mid-January boundary: pull 1 delivers everything up to
+    * it, its max ts becomes the checkpoint, pull 2 delivers strictly
+    * after. Both are scan-level range predicates (partition-prunable on a
+    * ts-partitioned table); the union's disjointness is the oracle check.
+    */
+  def streamTopic(spark: SparkSession, sfDir: String,
+      boundary: String = "2024-01-16 00:00:00"): DataFrame = {
+    val ev = t(spark, sfDir, "events").where(col("event_type") === "signup")
+    val pull1 = ev.where(col("ts") <= lit(boundary).cast("timestamp"))
+    // the checkpoint a real subscriber would persist: max ts of pull 1
+    // (collected as a string literal — Spark 4 returns java.time values)
+    val ckpt = pull1.agg(date_format(max(col("ts")),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c")).collect()(0).getString(0)
+    val pull2 = ev.where(col("ts") > lit(ckpt).cast("timestamp"))
+    pull1.select(lit(1).as("pull"), col("event_id"))
+      .unionByName(pull2.select(lit(2).as("pull"), col("event_id")))
+      .orderBy(asc("pull"), asc("event_id"))
   }
 
   /** cartesianProduct [B solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/CartesianProductStream.java]:
