@@ -51,6 +51,9 @@ object SparkEntry {
     "search_span_containing" -> ((s, d) => DocSearchOps.searchSpanContaining(s, d)),
     "search_span_within" -> ((s, d) => DocSearchOps.searchSpanWithin(s, d)),
     "search_span_posrange" -> ((s, d) => DocSearchOps.searchSpanPosRange(s, d)),
+    "search_span_multiterm" -> ((s, d) => DocSearchOps.searchSpanMultiTerm(s, d)),
+    "analysis_ngram" -> ((s, d) => AnalysisOps.ngramFilter(s, d)),
+    "search_external_boost" -> ((s, d) => DocSearchOps.searchExternalBoost(s, d)),
     "interval_ordered" -> ((s, d) => DocSearchOps.intervalOrdered(s, d)),
     "interval_unordered" -> ((s, d) => DocSearchOps.intervalUnordered(s, d)),
     "interval_containing" -> ((s, d) => DocSearchOps.intervalContaining(s, d)),
@@ -3033,6 +3036,41 @@ object SparkEntry {
          |FROM sm ORDER BY doc_id""".stripMargin,
     "analysis_shingle" -> AnalysisOps.shingleOracleSql,
     "analysis_common_grams" -> AnalysisOps.commonGramsOracleSql,
+    "analysis_ngram" -> AnalysisOps.ngramFilterOracleSql,
+    // SpanMultiTermQueryWrapper(prefix "s*") under SpanNear(key, ·; slop=3,
+    // ordered): the prefix leg matches ANY s-term position
+    "search_span_multiterm" ->
+      s"""WITH $PosCtes,
+         |a AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |b AS (SELECT doc_id, pos FROM pp WHERE term LIKE 's%')
+         |SELECT DISTINCT a.doc_id AS doc_id
+         |FROM a JOIN b ON a.doc_id = b.doc_id
+         |WHERE b.pos > a.pos AND (b.pos - a.pos + 1) - 2 <= 3
+         |ORDER BY doc_id""".stripMargin,
+    // ExternalFileField: BM25 window * (1 + label/10) from the external
+    // embeddings table (label keyed by vec_id == doc id)
+    "search_external_boost" ->
+      s"""WITH $TokCte,
+         |$Bm25Ctes,
+         |dfs AS (SELECT term, count(*) AS df FROM tf
+         |        WHERE term IN ('merge', 'sort') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |       sum(ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / st.avgdl))) AS score
+         |       FROM tf JOIN dfs ON tf.term = dfs.term
+         |            JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN st
+         |       GROUP BY tf.doc_id),
+         |win AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
+         |  FROM sc) WHERE rn <= 100),
+         |b AS (SELECT w.doc_id,
+         |        w.score * (1.0 + coalesce(e.label, 0) / 10.0) AS bs
+         |      FROM win w LEFT JOIN embeddings e ON e.vec_id = w.doc_id)
+         |SELECT rank, doc_id, score FROM (
+         |  SELECT row_number() OVER (ORDER BY round(bs, 9) DESC, doc_id) AS rank,
+         |         doc_id, round(bs, 4) AS score FROM b)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // BlendedInfixSuggester: 3-gram suggestions, weight/(matchpos+1)
     "suggest_blended_infix" ->
       """WITH tk AS (SELECT doc_id,

@@ -237,7 +237,25 @@ object ExplainAudit {
           "against the docMeta scan, and the whole 3-tree ensemble is one " +
           "codegen'd Project of nested CASE WHEN columns — no per-row UDF, " +
           "no second postings pass.",
-        fmt(DocSearchOps.searchLtrTrees(spark, sfDir))))
+        fmt(DocSearchOps.searchLtrTrees(spark, sfDir))),
+      ("Geo polygon (PNPOLY unrolled to one codegen'd filter)",
+        "Expect: one events scan reading ONLY event_id, the 5-edge " +
+          "crossing-test XOR chain as a single codegen'd Filter, then the " +
+          "presentation top-k — map-only, no joins, no aggregate exchanges.",
+        fmt(RelationalOps.geoPolygon(spark, sfDir))),
+      ("Boilerplate strip (frequent-line set broadcast, corpus never shuffles)",
+        "Expect: line frequencies aggregate on (source, line) from the " +
+          "exploded DISTINCT lines; the surviving boilerplate set returns " +
+          "via BroadcastHashJoin and the strip is a codegen'd array filter " +
+          "on each doc's own lines — the corpus rows themselves never hit " +
+          "an exchange.",
+        fmt(PipelineOps.boilerplateStrip(spark, sfDir))),
+      ("Blended-infix suggest lookup (token-keyed model table)",
+        "Expect: one scan of the pre-trained suggestion parquet with " +
+          "EqualTo(token, ...) in PushedFilters — the corpus is NOT in the " +
+          "lookup plan (the table trains once per sfDir, the " +
+          "BlendedInfixSuggester build/lookup split).",
+        fmt(DocSearchOps.suggestBlendedInfix(spark, sfDir))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.apps.ExplainAudit)\n\n")

@@ -239,6 +239,40 @@ object AnalysisOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** NGramTokenFilter(minGram=2, maxGram=3)
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/ngram/NGramTokenFilter.java]:
+    * ALL character n-grams of every token (not just the leading edge),
+    * emitted start-ascending then length-ascending ("abcd" -> ab abc bc
+    * bcd cd), tokens shorter than minGram dropped (preserveOriginal=false,
+    * the default). Map-only codegen'd nested array transform.
+    */
+  def ngramFilter(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokensCol(col("text")))
+      .withColumn("stream", expr(
+        "flatten(transform(filter(toks, t -> length(t) >= 2), t -> " +
+          "flatten(transform(sequence(0, length(t) - 2), s -> " +
+          "transform(sequence(2, least(3, length(t) - s)), " +
+          "g -> substring(t, s + 1, g))))))"))
+      .select(col("doc_id"),
+        size(col("stream")).cast("long").as("n_grams"),
+        md5(array_join(col("stream"), "|").cast("binary")).as("grams_md5"))
+      .orderBy(asc("doc_id"))
+
+  def ngramFilterOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+       |              x -> x <> '') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |  flatten(list_transform(list_filter(toks, t -> length(t) >= 2), t ->
+       |    flatten(list_transform(range(length(t) - 1), s ->
+       |      list_transform(range(2, least(3, length(t) - s) + 1),
+       |                     g -> substring(t, s + 1, g)))))) AS stream
+       |  FROM tk)
+       |SELECT doc_id, len(stream)::BIGINT AS n_grams,
+       |  md5(array_to_string(stream, '|')) AS grams_md5
+       |FROM g ORDER BY doc_id""".stripMargin
+
   // ---- EdgeNGram filter -----------------------------------------------------
 
   /** EdgeNGramTokenFilter(minGram=2, maxGram=4)

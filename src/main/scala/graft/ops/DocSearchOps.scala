@@ -416,6 +416,37 @@ object DocSearchOps {
       Seq(QuerySpec("expunge", should = Seq("merge", "window")))))
   }
 
+  /** ExternalFileField boosting
+    * [B solr/core/src/java/org/apache/solr/schema/ExternalFileField.java,
+    * solr/core/src/java/org/apache/solr/search/function/FileFloatSource.java]:
+    * a per-document float that lives OUTSIDE the index (here the
+    * embeddings table's label column keyed by doc id) feeds a boost
+    * function over the BM25 candidate window — Solr's
+    * `{!boost b=field(ext)}` shape, where the external source can be
+    * refreshed without reindexing. The window (<= 100 rows) joins the
+    * external table broadcast; the corpus and postings are touched only by
+    * the base query.
+    */
+  def searchExternalBoost(spark: SparkSession, sfDir: String,
+      window: Int = 100, k: Int = 10): DataFrame = {
+    val r = reader(spark, sfDir)
+    val base = QueryEngine.search(r,
+      Seq(QuerySpec("extb", should = Seq("merge", "sort"), k = window)))
+      .toDF()
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"), col("score"))
+    val ext = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val w = Window.orderBy(round(col("boosted"), 9).desc, asc("doc_id"))
+    base.join(broadcast(ext), Seq("doc_id"), "left")
+      .withColumn("boosted",
+        col("score") * (lit(1.0) + coalesce(col("label"), lit(0)) / lit(10.0)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), round(col("boosted"), 4).as("score"))
+      .orderBy(asc("rank"))
+  }
+
   /** Disjunctive BM25 top-10 (BooleanQuery SHOULD via block-max WAND). */
   def searchOr(spark: SparkSession, sfDir: String): DataFrame =
     searchDf(spark, sfDir, QuerySpec("or", should = Seq("merge", "sort", "window")))
@@ -626,6 +657,30 @@ object DocSearchOps {
       .join(r.docMeta.select(col("docId"), col("path")), "docId")
       .select(col("path").cast("long").as("doc_id"))
       .orderBy(asc("doc_id"))
+  }
+
+  /** SpanMultiTermQueryWrapper [B lucene/queries/src/java/org/apache/lucene/queries/spans/SpanMultiTermQueryWrapper.java]:
+    * a multi-term query (here PrefixQuery "s*") usable where spans are
+    * required — the wrapper REWRITES the prefix against the term dictionary
+    * into a SpanOr of term spans (SpanRewriteMethod), which then nests
+    * under SpanNear like any span. Expansion is the same bounded slim-dict
+    * scan every multi-term query uses (TooManyClauses above the cap).
+    */
+  def searchSpanMultiTerm(spark: SparkSession, sfDir: String,
+      first: String = "key", prefix: String = "s", slop: Int = 3): DataFrame = {
+    import graft.search.SpanNode._
+    val r = reader(spark, sfDir)
+    val expanded = r.termDict
+      .where(col("term").startsWith(prefix))
+      .select(col("term")).distinct().orderBy(asc("term"))
+      .limit(QueryLowering.MaxExpansions + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (expanded.size > QueryLowering.MaxExpansions) {
+      throw QueryLowering.TooManyClauses(
+        s"span prefix '$prefix*' expands past ${QueryLowering.MaxExpansions}")
+    }
+    spanTreeDocs(spark, sfDir, SNear(
+      Seq(term(first), SOr(expanded.map(term))), slop = slop, ordered = true))
   }
 
   /** SpanOrQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanOrQuery.java]
