@@ -52,6 +52,9 @@ object SparkEntry {
     "search_span_within" -> ((s, d) => DocSearchOps.searchSpanWithin(s, d)),
     "search_span_posrange" -> ((s, d) => DocSearchOps.searchSpanPosRange(s, d)),
     "search_span_multiterm" -> ((s, d) => DocSearchOps.searchSpanMultiTerm(s, d)),
+    "search_surround_qp" -> ((s, d) => DocSearchOps.searchSurround(s, d)),
+    "facet_dynamic_range" -> ((s, d) => RelationalOps.facetDynamicRange(s, d)),
+    "stream_random" -> ((s, d) => RelationalOps.streamRandom(s, d)),
     "analysis_ngram" -> ((s, d) => AnalysisOps.ngramFilter(s, d)),
     "search_external_boost" -> ((s, d) => DocSearchOps.searchExternalBoost(s, d)),
     "interval_ordered" -> ((s, d) => DocSearchOps.intervalOrdered(s, d)),
@@ -3047,6 +3050,38 @@ object SparkEntry {
          |FROM a JOIN b ON a.doc_id = b.doc_id
          |WHERE b.pos > a.pos AND (b.pos - a.pos + 1) - 2 <= 3
          |ORDER BY doc_id""".stripMargin,
+    // surround "((merge 3W window) OR (key W order)) NOT dup":
+    // nW = ordered within n positions (slop n-1); booleans on doc sets
+    // (NOT is surround's infix exclusion operator)
+    "search_surround_qp" ->
+      s"""WITH $PosCtes,
+         |m AS (SELECT doc_id, pos FROM pp WHERE term = 'merge'),
+         |w AS (SELECT doc_id, pos FROM pp WHERE term = 'window'),
+         |near1 AS (SELECT DISTINCT m.doc_id FROM m JOIN w ON w.doc_id = m.doc_id
+         |          WHERE w.pos - m.pos BETWEEN 1 AND 3),
+         |k AS (SELECT doc_id, pos FROM pp WHERE term = 'key'),
+         |o AS (SELECT doc_id, pos FROM pp WHERE term = 'order'),
+         |near2 AS (SELECT DISTINCT k.doc_id FROM k JOIN o ON o.doc_id = k.doc_id
+         |          WHERE o.pos = k.pos + 1),
+         |u AS (SELECT doc_id FROM near1 UNION SELECT doc_id FROM near2)
+         |SELECT doc_id FROM u
+         |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM pp WHERE term = 'dup')
+         |ORDER BY doc_id""".stripMargin,
+    // DynamicRangeUtil: equal-weight (unit weight = equal count) ranges
+    "facet_dynamic_range" ->
+      """WITH v AS (SELECT l_extendedprice,
+        |  l_orderkey * 10000 + l_linenumber AS rid FROM lineitem),
+        |b AS (SELECT l_extendedprice,
+        |  ntile(4) OVER (ORDER BY l_extendedprice, rid) AS bucket FROM v)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi,
+        |  round(avg(l_extendedprice), 4) AS avg_price
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // random(): seeded hash order == reproducible pseudo-random sample
+    "stream_random" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'r4') AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin,
     // ExternalFileField: BM25 window * (1 + label/10) from the external
     // embeddings table (label keyed by vec_id == doc id)
     "search_external_boost" ->

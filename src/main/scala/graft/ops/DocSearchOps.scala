@@ -683,6 +683,31 @@ object DocSearchOps {
       Seq(term(first), SOr(expanded.map(term))), slop = slop, ordered = true))
   }
 
+  /** The surround query language end to end
+    * [B lucene/queryparser/src/java/org/apache/lucene/queryparser/surround/parser/QueryParser.jj]:
+    * `((merge 3W window) OR (key W order)) NOT dup` parses to span
+    * proximity chains (nW ordered / nN unordered, slop = n-1) combined by
+    * boolean set operations over the matching documents — span trees
+    * under a BooleanQuery, the way surround queries execute. The span
+    * legs run the pushed-down positional kernels; AND/OR/NOT are
+    * joins/unions/anti-joins of their (already tiny) doc-id sets.
+    */
+  def searchSurround(spark: SparkSession, sfDir: String,
+      query: String = "((merge 3W window) OR (key W order)) NOT dup"): DataFrame = {
+    import graft.search.SurroundParser._
+    val r = reader(spark, sfDir)
+    def docsOf(n: SNode): DataFrame = n match {
+      case SSpan(sn) => QueryEngine.matchSpanTree(r, sn).toDF("docId")
+      case SAnd(cs) => cs.map(docsOf).reduce((a, b) => a.join(b, "docId"))
+      case SOrB(cs) => cs.map(docsOf).reduce(_ unionByName _).distinct()
+      case SNotB(i, e) => docsOf(i).join(docsOf(e), Seq("docId"), "left_anti")
+    }
+    docsOf(graft.search.SurroundParser.parse(query))
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+  }
+
   /** SpanOrQuery [B lucene/core/src/java/org/apache/lucene/queries/spans/SpanOrQuery.java]
     * at the TOP of the tree: docs matching EITHER SpanNear(merge, sort;
     * slop=4, ordered) OR the exact-phrase span "key order". Exercises the

@@ -108,6 +108,47 @@ object RelationalOps {
         col("avg_chars"), col("min_chars"), col("max_chars"))
       .orderBy(asc("lang"), asc("level"), asc("source"))
 
+  /** Dynamic range facets [B lucene/facet/src/java/org/apache/lucene/facet/range/DynamicRangeUtil.java]:
+    * numeric ranges computed FROM the data so each bucket carries ~equal
+    * weight (unit weights here = equal doc counts), instead of
+    * caller-fixed boundaries — ntile over the value order is exactly the
+    * equal-weight cut with SQL-standard remainder placement. One sort
+    * shuffle; per-bucket (n, min, max, avg) like the reference's
+    * DynamicRangeInfo.
+    */
+  def facetDynamicRange(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4): DataFrame = {
+    // deterministic tiebreak key: (orderkey, linenumber) is the table's PK
+    val w = Window.orderBy(asc("l_extendedprice"), asc("rid"))
+    t(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice"),
+        (col("l_orderkey") * lit(10000L) + col("l_linenumber")).as("rid"))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** random() — Solr's deterministic-seed pseudo-random sample stream
+    * [B solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/RandomStream.java]:
+    * the reference orders by a seeded random value; here the "random"
+    * order is md5(doc_id || seed) — a pure function of the row, so the
+    * sample is reproducible across runs, machines, and partitionings
+    * (same property the engine's hash split relies on). Map-side hash +
+    * a top-k by hash; never a full sort materialization.
+    */
+  def streamRandom(spark: SparkSession, sfDir: String,
+      seed: String = "r4", k: Int = 25): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(seed))).as("h"))
+      .orderBy(asc("h"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("h"))
+
   /** Interval facet [B solr/core/src/java/org/apache/solr/request/IntervalFacets.java]:
     * arbitrary, possibly OVERLAPPING intervals over a numeric field, each
     * counted independently (the semantic difference from range facets,
