@@ -55,6 +55,7 @@ object SparkEntry {
     "search_surround_qp" -> ((s, d) => DocSearchOps.searchSurround(s, d)),
     "facet_dynamic_range" -> ((s, d) => RelationalOps.facetDynamicRange(s, d)),
     "stream_random" -> ((s, d) => RelationalOps.streamRandom(s, d)),
+    "source_json_props" -> ((s, d) => RelationalOps.sourceJsonProps(s, d)),
     "analysis_ngram" -> ((s, d) => AnalysisOps.ngramFilter(s, d)),
     "search_external_boost" -> ((s, d) => DocSearchOps.searchExternalBoost(s, d)),
     "interval_ordered" -> ((s, d) => DocSearchOps.intervalOrdered(s, d)),
@@ -3082,6 +3083,13 @@ object SparkEntry {
     "stream_random" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'r4') AS h
         |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin,
+    // /update/json: schema-on-read parse of the props payload, then agg
+    "source_json_props" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ExternalFileField: BM25 window * (1 + label/10) from the external
     // embeddings table (label keyed by vec_id == doc id)
     "search_external_boost" ->

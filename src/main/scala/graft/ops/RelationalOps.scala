@@ -672,6 +672,25 @@ object RelationalOps {
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
   }
 
+  /** Schema-on-read JSON ingestion — the /update/json request handler
+    * role [B solr/core/src/java/org/apache/solr/handler/loader/JsonLoader.java]:
+    * a free-form JSON payload column parses against a declared schema at
+    * SCAN time (from_json is codegen'd; no UDF), then aggregates like any
+    * typed column. Malformed rows yield NULLs, Solr's lenient-loader
+    * behavior, and the parse is map-only — the JSON never shuffles.
+    */
+  def sourceJsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("cnt"),
+        sum(col("k")).cast("long").as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(asc("event_type"))
+
   /** topic() — Solr's checkpointed pub-sub stream
     * [B solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/TopicStream.java]:
     * each pull returns only tuples with version/timestamp PAST the stored
