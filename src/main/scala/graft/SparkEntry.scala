@@ -54,6 +54,13 @@ object SparkEntry {
     "search_span_multiterm" -> ((s, d) => DocSearchOps.searchSpanMultiTerm(s, d)),
     "search_surround_qp" -> ((s, d) => DocSearchOps.searchSurround(s, d)),
     "facet_dynamic_range" -> ((s, d) => RelationalOps.facetDynamicRange(s, d)),
+    "facet_relatedness" -> ((s, d) => RelationalOps.facetRelatedness(s, d)),
+    "facet_exclude_tags" -> ((s, d) => RelationalOps.facetExcludeTags(s, d)),
+    "facet_range_date" -> ((s, d) => RelationalOps.facetRangeDate(s, d)),
+    "facet_refined_topk" -> ((s, d) => RelationalOps.facetRefinedTopk(s, d)),
+    "transform_child_docs" -> ((s, d) => RelationalOps.transformChildDocs(s, d)),
+    "analysis_stem_override" -> ((s, d) => AnalysisOps.stemOverride(s, d)),
+    "ml_train_logreg" -> ((s, d) => MlOps.trainLogReg(s, d)),
     "stream_random" -> ((s, d) => RelationalOps.streamRandom(s, d)),
     "source_json_props" -> ((s, d) => RelationalOps.sourceJsonProps(s, d)),
     "analysis_ngram" -> ((s, d) => AnalysisOps.ngramFilter(s, d)),
@@ -3079,6 +3086,67 @@ object SparkEntry {
         |  round(max(l_extendedprice), 2) AS hi,
         |  round(avg(l_extendedprice), 4) AS avg_price
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // SKG relatedness: one-proportion z-score of each source bucket's
+    // foreground share vs its background probability (round 5)
+    "facet_relatedness" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |              x -> x <> '') AS toks FROM documents),
+        |d AS (SELECT source, list_contains(toks, 'merge') AS fg FROM tk),
+        |b AS (SELECT source, CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
+        |      count(*) AS bg_count FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_size,
+        |      count(*) AS bg_size FROM d)
+        |SELECT source, fg_count, bg_count,
+        |  round((fg_count - fg_size * (bg_count * 1.0 / bg_size))
+        |        / sqrt(fg_size * (bg_count * 1.0 / bg_size)
+        |               * (1 - bg_count * 1.0 / bg_size)), 5) AS relatedness
+        |FROM b, t ORDER BY relatedness DESC, source LIMIT 10""".stripMargin,
+    // multi-select faceting: each dimension's facet excludes its OWN
+    // tagged filter; the `both` row pins the fully-filtered count
+    "facet_exclude_tags" ->
+      """WITH lf AS (SELECT 'lang' AS dim, lang AS value, count(*) AS cnt
+        |  FROM documents WHERE source IN ('src3', 'src4')
+        |  GROUP BY lang ORDER BY cnt DESC, value LIMIT 5),
+        |sf AS (SELECT 'source' AS dim, source AS value, count(*) AS cnt
+        |  FROM documents WHERE lang = 'en'
+        |  GROUP BY source ORDER BY cnt DESC, value LIMIT 5),
+        |bt AS (SELECT 'both' AS dim, '*' AS value, count(*) AS cnt
+        |  FROM documents WHERE lang = 'en' AND source IN ('src3', 'src4'))
+        |SELECT dim, value, cnt FROM (
+        |  SELECT * FROM lf UNION ALL SELECT * FROM sf UNION ALL SELECT * FROM bt)
+        |ORDER BY dim, cnt DESC, value""".stripMargin,
+    // facet.range over a date field: +7DAY gap anchored at start, with
+    // the before/after other buckets
+    "facet_range_date" ->
+      """SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08' THEN 'before'
+        |            WHEN CAST(ts AS DATE) >= DATE '2024-01-29' THEN 'after'
+        |            ELSE strftime(DATE '2024-01-08' +
+        |              CAST((date_diff('day', DATE '2024-01-08', CAST(ts AS DATE)) // 7) * 7 AS INT),
+        |              '%Y-%m-%d') END AS bucket,
+        |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // two-phase refined top-N over the token vocabulary == exact top-N
+    // (the refinement wager the operator documents)
+    "facet_refined_topk" ->
+      """WITH tok AS (SELECT t.term FROM documents d,
+        |  unnest(list_filter(string_split_regex(lower(d.text), '[^a-z0-9_]+'),
+        |         x -> x <> '')) AS t(term))
+        |SELECT term, count(*) AS cnt FROM tok
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+    // [child] transformer: top parents with childLimit=5 nested ids
+    "transform_child_docs" ->
+      """WITH ch AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |par AS (SELECT source, count(*) AS n_children,
+        |  md5(string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+        |      ',' ORDER BY doc_id)) AS children_md5
+        |  FROM ch GROUP BY source)
+        |SELECT source, n_children, children_md5 FROM par
+        |ORDER BY n_children DESC, source LIMIT 2""".stripMargin,
+    "analysis_stem_override" -> AnalysisOps.stemOverrideOracleSql(stemSql),
+    "ml_train_logreg" -> MlOps.trainLogRegOracleSql(),
     // random(): seeded hash order == reproducible pseudo-random sample
     "stream_random" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'r4') AS h

@@ -524,6 +524,82 @@ object AnalysisOps {
        |  md5(array_to_string(grams, ' ')) AS bigrams_md5
        |FROM bg ORDER BY doc_id""".stripMargin
 
+  // ---- StemmerOverride / KeywordMarker -------------------------------------
+
+  /** Suffix appended to every 3rd doc so the protection/override rules have
+    * material to act on (the corpus word-soup vocabulary has no s-final
+    * tokens — same augmentation idiom as the other analysis entries).
+    */
+  private val StemOvrAugSpark =
+    "concat(text, ' merges windows tables keys')"
+  private val StemOvrAugDuck =
+    "text || ' merges windows tables keys'"
+
+  /** Dictionary stem override: term -> forced stem, marks keyword. */
+  val StemOverrides: Map[String, String] = Map("merges" -> "fusion")
+  /** KeywordMarkerFilter set: protected from ALL downstream stemming. */
+  val StemKeywords: Set[String] = Set("windows")
+
+  /** StemmerOverrideFilter + KeywordMarkerFilter — the dictionary-control
+    * stage of a Lucene analyzer chain
+    * [B lucene/analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/StemmerOverrideFilter.java,
+    * …/miscellaneous/KeywordMarkerFilter.java]: keyword-marked terms pass
+    * every stemmer untouched, override-dictionary terms take their forced
+    * stem (and are keyword-marked so the stemmer skips them too), and the
+    * rest flow into the regular stemmer (the S-stemmer here — the chain
+    * order keyword -> override -> stem is the filter-factory contract).
+    * Output pins the full post-chain token stream per doc (md5) plus the
+    * changed-token count. Pure map stage; the oracle replays the exact
+    * chain with the S-stemmer spelled out in SQL, so none of the three
+    * stages can silently drop out.
+    */
+  def stemOverride(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ovr = StemOverrides
+    val kw = StemKeywords
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, expr(StemOvrAugSpark))
+          .otherwise(col("text")).as("t"))
+      .withColumn("toks", graft.ops.TextOps.tokensCol(col("t")))
+      .select(col("doc_id"), col("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        val out = toks.map { t =>
+          if (kw.contains(t)) t
+          else ovr.getOrElse(t, Analyzer.minimalStem(t))
+        }
+        val changed =
+          toks.iterator.zip(out.iterator).count { case (a, b) => a != b }
+        (id, toks.length.toLong, changed.toLong, out.mkString(" "))
+      }
+      .toDF("doc_id", "n_tokens", "n_changed", "s")
+      .select(col("doc_id"), col("n_tokens"), col("n_changed"),
+        md5(col("s").cast("binary")).as("stream_md5"))
+      .orderBy(asc("doc_id"))
+  }
+
+  /** Oracle for [[stemOverride]]: `stem` is the S-stemmer CASE fragment
+    * (SparkEntry.stemSql) applied after the keyword/override CASEs.
+    */
+  def stemOverrideOracleSql(stem: String => String): String = {
+    val chain = s"""CASE WHEN x IN ('windows') THEN x
+                   |     WHEN x = 'merges' THEN 'fusion'
+                   |     ELSE ${stem("x")} END""".stripMargin
+    s"""WITH rawt AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(
+       |    CASE WHEN doc_id % 3 = 0 THEN $StemOvrAugDuck ELSE text END),
+       |    '[^a-z0-9_]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sm AS (SELECT doc_id, toks,
+       |  list_transform(toks, x -> $chain) AS stemmed FROM rawt)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(range(len(toks)),
+       |       i -> toks[i + 1] <> stemmed[i + 1])) AS BIGINT) AS n_changed,
+       |  md5(array_to_string(stemmed, ' ')) AS stream_md5
+       |FROM sm ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Per-language minimal stemmers (Solr language field types) ----------
 
   /** Language-aware analyzer dispatch — the Solr per-language field-type

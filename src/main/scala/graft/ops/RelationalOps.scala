@@ -10,9 +10,12 @@ import org.apache.spark.sql.expressions.Window
   * equivalent lives in SparkEntry.oracleSql (DuckDB-checked by the driver).
   *
   * Spark-first notes: facet refinement (Solr's distributed two-phase
-  * protocol) disappears — Spark shuffles are exact; every groupBy below is
-  * a hash aggregate with map-side partials; joins pick BroadcastHashJoin
-  * automatically for the small dims (verified via explain in OpsSpec).
+  * protocol) disappears for low-cardinality fields — Spark shuffles are
+  * exact; every groupBy below is a hash aggregate with map-side partials;
+  * joins pick BroadcastHashJoin automatically for the small dims (verified
+  * via explain in OpsSpec). For HIGH-cardinality facet fields the explicit
+  * two-phase protocol still pays at scale — [[facetRefinedTopk]] keeps it
+  * as a first-class operator.
   */
 object RelationalOps {
 
@@ -966,6 +969,161 @@ object RelationalOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("lang"))
+  }
+
+  /** Semantic Knowledge Graph relatedness
+    * [B solr/core/src/java/org/apache/solr/search/facet/RelatednessAgg.java;
+    * Grainger et al., "The Semantic Knowledge Graph" (DSAA 2016)]: score
+    * each facet bucket by how much MORE prevalent it is in a foreground
+    * set than chance predicts from the background. Buckets = `source`
+    * repos, foreground = docs matching the term query, background = the
+    * whole corpus. Per bucket the one-proportion z-score of the paper:
+    * z = (fg_count − fg_size·bg_prob) / sqrt(fg_size·bg_prob·(1−bg_prob)),
+    * rounded to 5 digits like the reference's roundTo5Digits presentation.
+    * ONE conditional hash aggregate over one scan (fg membership is a
+    * column, not a second query), plus two scalar totals broadcast back —
+    * at 100 TB this is a single map-side-combined shuffle of
+    * bucket-cardinality rows.
+    */
+  def facetRelatedness(spark: SparkSession, sfDir: String,
+      term: String = "merge", limit: Int = 10): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+      .select(col("source"),
+        array_contains(TextOps.tokensCol(col("text")), term).as("fg"))
+    val buckets = d.groupBy(col("source"))
+      .agg(sum(when(col("fg"), 1L).otherwise(0L)).as("fg_count"),
+        count(lit(1)).as("bg_count"))
+    val totals = d.agg(
+      sum(when(col("fg"), 1L).otherwise(0L)).as("fg_size"),
+      count(lit(1)).as("bg_size"))
+    buckets.crossJoin(broadcast(totals))
+      .withColumn("bg_prob", col("bg_count").cast("double") / col("bg_size"))
+      .withColumn("relatedness",
+        round((col("fg_count") - col("fg_size") * col("bg_prob")) /
+          sqrt(col("fg_size") * col("bg_prob") * (lit(1.0) - col("bg_prob"))), 5))
+      .select(col("source"), col("fg_count"), col("bg_count"),
+        col("relatedness"))
+      .orderBy(desc("relatedness"), asc("source"))
+      .limit(limit)
+  }
+
+  /** Multi-select faceting — Solr's {!tag}/{!ex} filter exclusion
+    * [B solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    * getFacetTermEnumCounts excludeTags; solr/core/.../search/facet/FacetRequest.java
+    * domain.excludeTags]: with filters fq={!tag=L}lang:en and
+    * fq={!tag=S}source:(src3 src4) active, the `lang` facet EXCLUDES its
+    * own dimension's filter (counts under fq S only) and the `source`
+    * facet excludes S (counts under fq L only) — the UI idiom where
+    * checking a box must not collapse that box's own facet list. Each
+    * excluded-domain facet is its own pushed-down filter + hash aggregate
+    * over the shared scan; a final `both` row pins the fully-filtered
+    * count. No refinement pass — each aggregate is exact in one shuffle.
+    */
+  def facetExcludeTags(spark: SparkSession, sfDir: String,
+      langSel: String = "en", srcSel: Seq[String] = Seq("src3", "src4"),
+      limit: Int = 5): DataFrame = {
+    val d = t(spark, sfDir, "documents")
+    val langFacet = d.where(col("source").isin(srcSel: _*)) // ex=L
+      .groupBy(col("lang").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("lang").as("dim"), col("value"), col("cnt"))
+      .orderBy(desc("cnt"), asc("value")).limit(limit)
+    val srcFacet = d.where(col("lang") === langSel) // ex=S
+      .groupBy(col("source").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("source").as("dim"), col("value"), col("cnt"))
+      .orderBy(desc("cnt"), asc("value")).limit(limit)
+    val both = d.where(col("lang") === langSel && col("source").isin(srcSel: _*))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("both").as("dim"), lit("*").as("value"), col("cnt"))
+    langFacet.unionByName(srcFacet).unionByName(both)
+      .orderBy(asc("dim"), desc("cnt"), asc("value"))
+  }
+
+  /** Date-gap range facet — facet.range on a date field with
+    * gap=+7DAY and other=before/after
+    * [B solr/core/src/java/org/apache/solr/search/facet/FacetRange.java;
+    * solr/core/src/java/org/apache/solr/util/DateMathParser.java]: events
+    * bucketed into week-wide windows anchored at `start`, with the
+    * before/after overflow buckets alongside (facet.range.other=all).
+    * Bucket identity is computed arithmetically from the timestamp (no
+    * calendar table), so the whole facet is ONE conditional hash
+    * aggregate over one scan; bucket labels are emitted as ISO strings to
+    * keep the contract engine-neutral.
+    */
+  def facetRangeDate(spark: SparkSession, sfDir: String,
+      start: String = "2024-01-08", end: String = "2024-01-29"): DataFrame = {
+    val s = lit(start).cast("date")
+    val d = col("ts").cast("date")
+    val bucket = when(d < s, lit("before"))
+      .when(d >= lit(end).cast("date"), lit("after"))
+      .otherwise(date_format(
+        date_add(s, (floor(datediff(d, s) / 7) * 7).cast("int")), "yyyy-MM-dd"))
+    t(spark, sfDir, "events")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** Distributed facet REFINEMENT — Solr's two-phase top-N protocol
+    * [B solr/core/src/java/org/apache/solr/handler/component/FacetComponent.java
+    * (DistribFieldFacet, overrequest); solr/core/.../search/facet/FacetFieldMerger.java]
+    * made explicit for a HIGH-CARDINALITY field (the token vocabulary),
+    * where the module-level "Spark shuffles are exact" shortcut would
+    * shuffle every distinct term: phase 1 aggregates per logical shard and
+    * keeps each shard's top-(limit+overrequest) candidate buckets; phase 2
+    * recounts EXACTLY but only over the tiny candidate union, broadcast
+    * back against the per-shard partials — the full-vocabulary global
+    * shuffle never happens. Shards are a pure hash of doc_id, so the
+    * result is a function of the data alone (same answer at any
+    * parallelism), and with this overrequest every true top-`limit` bucket
+    * is in some shard's candidate list for any remotely web-like term
+    * distribution (Solr makes the same wager; its refine step, like ours,
+    * only guarantees exact COUNTS for surfaced buckets). The oracle is the
+    * unsharded exact top-N, so the wager is verified, not assumed.
+    */
+  def facetRefinedTopk(spark: SparkSession, sfDir: String, shards: Int = 8,
+      limit: Int = 10, overrequest: Int = 20): DataFrame = {
+    val perShard = t(spark, sfDir, "documents")
+      .select(pmod(crc32(col("doc_id").cast("string")), lit(shards)).as("shard"),
+        explode(TextOps.tokensCol(col("text"))).as("term"))
+      .groupBy(col("shard"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val cand = perShard
+      .withColumn("rn", row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(desc("cnt"), asc("term"))))
+      .where(col("rn") <= limit + overrequest)
+      .select(col("term")).distinct()
+    perShard.join(broadcast(cand), "term")
+      .groupBy(col("term"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy(desc("cnt"), asc("term"))
+      .limit(limit)
+  }
+
+  /** [child] doc transformer — Solr's ChildDocTransformer
+    * [B solr/core/src/java/org/apache/solr/response/transform/ChildDocTransformerFactory.java]:
+    * selected parent documents come back with their first `childLimit`
+    * children nested under them. Parents are the `source` blocks; the
+    * child lists are pinned by an md5 over the ordered id list (house
+    * digest convention), alongside the full child count. One window + one
+    * aggregate on the SAME partitioning key — Catalyst reuses the window's
+    * hash exchange for the groupBy, so the corpus shuffles once; the
+    * childLimit cut happens before any list is materialized.
+    */
+  def transformChildDocs(spark: SparkSession, sfDir: String,
+      childLimit: Int = 5, topParents: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(asc("doc_id"))
+    t(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_children"),
+        md5(array_join(
+          sort_array(collect_list(when(col("rn") <= childLimit, col("doc_id"))))
+            .cast("array<string>"), ",").cast("binary")).as("children_md5"))
+      .orderBy(desc("n_children"), asc("source"))
+      .limit(topParents)
   }
 
   /** Grouping totals — Solr group.ngroups / Lucene AllGroupsCollector

@@ -889,6 +889,90 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("facetRefinedTopk: two-phase refinement == exact top-N at any shard count") {
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(TextOps.tokensCol(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("term")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    for (shards <- Seq(4, 8, 16)) {
+      val got = RelationalOps.facetRefinedTopk(spark, sf, shards = shards)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == exact, s"shards=$shards: refined != exact")
+    }
+    // the candidate recount must be a broadcast probe, not a global shuffle
+    val plan = RelationalOps.facetRefinedTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+  }
+
+  test("facetRelatedness: fg counts fold to fg_size; z-scores bounded both ways") {
+    val rows = RelationalOps.facetRelatedness(spark, sf, limit = 100).collect()
+    assert(rows.nonEmpty)
+    // every bucket surfaced: per-bucket fg_counts sum to the global fg_size
+    val fgSum = rows.map(_.getLong(1)).sum
+    val fgSize = spark.read.parquet(s"$sf/documents.parquet")
+      .where(array_contains(TextOps.tokensCol(col("text")), "merge"))
+      .count()
+    assert(fgSum == fgSize, s"fg partition: $fgSum != $fgSize")
+    // z-scores must be finite and the ordering must be by (z desc, source)
+    val zs = rows.map(_.getDouble(3))
+    assert(zs.forall(z => !z.isNaN && !z.isInfinite))
+    assert(zs.sameElements(zs.sortBy(-_)) ||
+      rows.sortBy(r => (-r.getDouble(3), r.getString(0)))
+        .map(_.getString(0)).sameElements(rows.map(_.getString(0))))
+  }
+
+  test("stemOverride: keyword beats override beats stemmer, in chain order") {
+    // the chain is only meaningful if the stemmer WOULD act on the keyword
+    assert(graft.core.Analyzer.minimalStem("windows") == "window")
+    assert(graft.core.Analyzer.minimalStem("merges") == "merge")
+    val rows = AnalysisOps.stemOverride(spark, sf).collect()
+    val byDoc = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // augmented docs carry (merges->fusion, tables->table, keys->key) = 3
+    // changes; 'windows' is keyword-protected so it must NOT count
+    byDoc.foreach { case (id, changed) =>
+      if (id % 3 == 0) assert(changed == 3L, s"doc $id: $changed changed")
+      else assert(changed == 0L, s"doc $id: unexpected stem changes")
+    }
+  }
+
+  test("trainLogReg: three BGD steps reduce training MSE") {
+    val rows = MlOps.trainLogReg(spark, sf).collect()
+    assert(rows.length == 3)
+    val mse = rows.sortBy(_.getInt(0)).map(_.getDouble(4))
+    assert(mse.last < mse.head, s"mse did not improve: ${mse.mkString(",")}")
+    rows.foreach(r => (1 to 3).foreach(i => assert(!r.getDouble(i).isNaN)))
+  }
+
+  test("facetRangeDate: buckets partition the event stream exactly") {
+    val rows = RelationalOps.facetRangeDate(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val labels = rows.map(_.getString(0)).toSet
+    assert(labels.contains("before") && labels.contains("after"))
+    // in-window labels are exactly the 7-day anchors
+    assert((labels - "before" - "after") ==
+      Set("2024-01-08", "2024-01-15", "2024-01-22"))
+  }
+
+  test("transformChildDocs: child digest pins the first childLimit ids") {
+    val rows = RelationalOps.transformChildDocs(spark, sf).collect()
+    assert(rows.length == 2)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ids = docs.where(col("source") === src)
+        .orderBy(asc("doc_id")).limit(5)
+        .collect().map(_.getAs[Long]("doc_id"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(2) == md, s"$src digest mismatch")
+      assert(r.getLong(1) == docs.where(col("source") === src).count())
+    }
+  }
+
   test("clusterAssign: centroid docs assign to themselves at cos 1") {
     val rows = ClassifyOps.clusterAssign(spark, sf).collect()
     assert(rows.nonEmpty)
