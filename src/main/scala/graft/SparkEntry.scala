@@ -61,6 +61,8 @@ object SparkEntry {
     "transform_child_docs" -> ((s, d) => RelationalOps.transformChildDocs(s, d)),
     "analysis_stem_override" -> ((s, d) => AnalysisOps.stemOverride(s, d)),
     "ml_train_logreg" -> ((s, d) => MlOps.trainLogReg(s, d)),
+    "ml_features_ig" -> ((s, d) => MlOps.featuresIg(s, d)),
+    "ml_predict" -> ((s, d) => MlOps.predictLogReg(s, d)),
     "stream_random" -> ((s, d) => RelationalOps.streamRandom(s, d)),
     "source_json_props" -> ((s, d) => RelationalOps.sourceJsonProps(s, d)),
     "analysis_ngram" -> ((s, d) => AnalysisOps.ngramFilter(s, d)),
@@ -3147,6 +3149,8 @@ object SparkEntry {
         |ORDER BY n_children DESC, source LIMIT 2""".stripMargin,
     "analysis_stem_override" -> AnalysisOps.stemOverrideOracleSql(stemSql),
     "ml_train_logreg" -> MlOps.trainLogRegOracleSql(),
+    "ml_features_ig" -> MlOps.featuresIgOracleSql(),
+    "ml_predict" -> MlOps.predictLogRegOracleSql(),
     // random(): seeded hash order == reproducible pseudo-random sample
     "stream_random" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'r4') AS h

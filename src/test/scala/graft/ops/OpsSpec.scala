@@ -945,6 +945,39 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => (1 to 3).foreach(i => assert(!r.getDouble(i).isNaN)))
   }
 
+  test("featuresIg: gains bounded by the label entropy, none negative") {
+    val rows = MlOps.featuresIg(spark, sf, topN = 1000).collect()
+    assert(rows.nonEmpty)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val n = d.count().toDouble
+    val pos = d.where(col("lang") === "en").count().toDouble
+    val p = pos / n
+    val hy = -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    rows.foreach { r =>
+      val ig = r.getDouble(2)
+      assert(!ig.isNaN && ig >= -1e-9 && ig <= hy + 1e-9,
+        s"${r.getString(0)}: ig $ig outside [0, H(y)=$hy]")
+    }
+  }
+
+  test("predictLogReg: probabilities are the trained model's sigmoid") {
+    val w = MlOps.trainLogReg(spark, sf).collect().sortBy(_.getInt(0)).last
+    val top = MlOps.predictLogReg(spark, sf).collect()
+    assert(top.length == 10)
+    val probs = top.map(_.getDouble(1))
+    assert(probs.sameElements(probs.sortBy(-_)))
+    // recompute the top doc's probability from the iter-3 weights
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") === top.head.getLong(0)).head()
+    val x1 = doc.getAs[Long]("n_chars") / 1000.0
+    val x2 = doc.getAs[String]("source").length / 10.0
+    val z = w.getDouble(1) + w.getDouble(2) * x1 + w.getDouble(3) * x2
+    val expected = 1.0 / (1.0 + math.exp(-z))
+    // trainLogReg reports ROUNDED weights; tolerance covers that rounding
+    assert(math.abs(expected - probs.head) < 1e-4,
+      s"prob ${probs.head} vs recomputed $expected")
+  }
+
   test("facetRangeDate: buckets partition the event stream exactly") {
     val rows = RelationalOps.facetRangeDate(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/events.parquet").count()
