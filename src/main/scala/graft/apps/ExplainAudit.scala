@@ -255,7 +255,25 @@ object ExplainAudit {
           "EqualTo(token, ...) in PushedFilters — the corpus is NOT in the " +
           "lookup plan (the table trains once per sfDir, the " +
           "BlendedInfixSuggester build/lookup split).",
-        fmt(DocSearchOps.suggestBlendedInfix(spark, sfDir))))
+        fmt(DocSearchOps.suggestBlendedInfix(spark, sfDir))),
+      ("Two-phase facet refinement (candidate recount as broadcast probe)",
+        "Expect: the per-shard partial aggregate shuffles once on " +
+          "(shard, term); the candidate union comes back through a " +
+          "BroadcastHashJoin and the final recount aggregates only " +
+          "candidate rows — no second full-vocabulary exchange.",
+        fmt(RelationalOps.facetRefinedTopk(spark, sfDir))),
+      ("train() BGD iteration (one scalar aggregate per step)",
+        "Expect: each iteration is a single two-phase HashAggregate over " +
+          "the scan (partial -> final, 4 doubles) with the weight vector " +
+          "inlined as literals — no joins, no window, nothing " +
+          "row-count-sized leaves the executors.",
+        fmt(MlOps.trainIterationPlan(spark, sfDir))),
+      ("[child] doc transformer (window and rollup share one exchange)",
+        "Expect: row_number window partitioned by source followed by the " +
+          "per-source aggregate with NO exchange between them (same hash " +
+          "partitioning reused); the childLimit cut is a filter below the " +
+          "aggregate.",
+        fmt(RelationalOps.transformChildDocs(spark, sfDir))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.apps.ExplainAudit)\n\n")

@@ -59,6 +59,26 @@ object MlOps {
       .orderBy(asc("iter"))
   }
 
+  /** The single-iteration gradient aggregate, unexecuted — what every
+    * train() step runs; exposed for the plan audit (the driver loop in
+    * [[trainLogReg]] collects each step eagerly, so its returned frame is
+    * a LocalTableScan of the weight rows, not this).
+    */
+  def trainIterationPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = docs(spark, sfDir).select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      (col("n_chars") / 1000.0).as("x1"),
+      (length(col("source")) / 10.0).as("x2"))
+    val p = lit(1.0) / (lit(1.0) + exp(-(lit(0.1) * col("x0") +
+      lit(0.1) * col("x1") + lit(0.1) * col("x2"))))
+    f.agg(
+      avg((col("y") - p) * col("x0")),
+      avg((col("y") - p) * col("x1")),
+      avg((col("y") - p) * col("x2")),
+      avg((col("y") - p) * (col("y") - p)))
+  }
+
   /** featuresSelection() — Solr's information-gain term selection
     * [B solr/core/src/java/org/apache/solr/client/solrj/io/stream/FeaturesSelectionStream.java;
     * solr/core/src/java/org/apache/solr/handler/IGainTermsQParserPlugin.java]:
