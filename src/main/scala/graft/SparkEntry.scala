@@ -112,6 +112,9 @@ object SparkEntry {
     "search_mm_spec" -> ((s, d) => DocSearchOps.searchMmSpec(s, d)),
     "search_simple_qp" -> ((s, d) => DocSearchOps.searchSimpleQp(s, d)),
     "search_wildcard" -> ((s, d) => DocSearchOps.searchWildcard(s, d)),
+    "search_wildcard_leading" ->
+      ((s, d) => DocSearchOps.searchWildcardLeading(s, d)),
+    "search_date_math" -> ((s, d) => RelationalOps.searchDateMath(s, d)),
     "match_all_docs" -> (DocSearchOps.matchAllDocs(_, _)),
     "search_classic_tfidf" -> (DocSearchOps.searchClassic(_, _)),
     "search_lm_dirichlet" -> (DocSearchOps.searchLmDirichlet(_, _)),
@@ -770,6 +773,13 @@ object SparkEntry {
       s"""WITH $TokCte
          |SELECT DISTINCT doc_id FROM tok
          |WHERE regexp_matches(term, '^w.ndo.*$$')
+         |ORDER BY doc_id LIMIT 200""".stripMargin,
+    // leading wildcard *er via the suffix-gram table (ReversedWildcardFilter
+    // role): EqualTo(gram) pushdown instead of a dictionary regex scan
+    "search_wildcard_leading" ->
+      s"""WITH $TokCte
+         |SELECT DISTINCT doc_id FROM tok
+         |WHERE term LIKE '%er'
          |ORDER BY doc_id LIMIT 200""".stripMargin,
     "match_all_docs" ->
       "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents ORDER BY doc_id",
@@ -3128,6 +3138,15 @@ object SparkEntry {
         |              '%Y-%m-%d') END AS bucket,
         |       count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // date-math range [NOW/DAY-21DAYS TO NOW/DAY-7DAYS] at pinned
+    // NOW=2024-01-29T13:45:30Z resolves to [2024-01-08, 2024-01-22]
+    // midnights UTC; the grammar itself is pinned by DateMathSpec
+    "search_date_math" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // two-phase refined top-N over the token vocabulary == exact top-N
     // (the refinement wager the operator documents)
     "facet_refined_topk" ->

@@ -1143,6 +1143,29 @@ object DocSearchOps {
       .limit(200)
   }
 
+  /** Leading wildcard (*suffix) — the ReversedWildcardFilter role
+    * [B solr/core/src/java/org/apache/solr/analysis/ReversedWildcardFilter.java]:
+    * Solr reverses indexed terms so a leading wildcard becomes a prefix
+    * scan; ours resolves the suffix against the per-index suffix-gram
+    * table as ONE pushed-down EqualTo(gram, suffix) (row-group pruned),
+    * never a regex scan of the dictionary — see
+    * QueryLowering.expandLeadingWildcard. Constant-score docs of any
+    * matching term, same contract as [[searchWildcard]].
+    */
+  def searchWildcardLeading(spark: SparkSession, sfDir: String,
+      pattern: String = "*er"): DataFrame = {
+    val r = reader(spark, sfDir)
+    val terms = QueryLowering.expandWildcard(r, pattern)
+    val ids =
+      if (terms.isEmpty) spark.range(0).select(col("id").as("docId"))
+      else expandedDocIds(r, col("term").isin(terms: _*))
+    ids
+      .join(r.docMeta.select(col("docId"), col("path")), "docId")
+      .select(col("path").cast("long").as("doc_id"))
+      .orderBy(asc("doc_id"))
+      .limit(200)
+  }
+
   /** MatchAllDocsQuery: every live doc at constant score 1.0
     * [B lucene/core/src/java/org/apache/lucene/search/MatchAllDocsQuery.java]
     * — a docmeta-only scan, postings never touched.

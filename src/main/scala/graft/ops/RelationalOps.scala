@@ -1065,6 +1065,29 @@ object RelationalOps {
       .orderBy(asc("bucket"))
   }
 
+  /** Date-math range query — `ts:[NOW/DAY-21DAYS TO NOW/DAY-7DAYS]`
+    * [B solr/core/src/java/org/apache/solr/util/DateMathParser.java;
+    * solr/core/src/java/org/apache/solr/schema/DatePointField.java]: both
+    * endpoints run through the full date-math grammar (graft.search.DateMath,
+    * rounding + arithmetic, left to right) against a caller-pinned NOW —
+    * Solr's own distributed-consistency trick — then the resolved instants
+    * become ONE range predicate pushed to the parquet scan (min/max
+    * row-group pruning on `ts`), with the per-type rollup on top. Inclusive
+    * brackets, like the Solr `[a TO b]` syntax.
+    */
+  def searchDateMath(spark: SparkSession, sfDir: String,
+      lo: String = "NOW/DAY-21DAYS", hi: String = "NOW/DAY-7DAYS",
+      now: String = "2024-01-29T13:45:30Z"): DataFrame = {
+    val anchor = java.time.Instant.parse(now)
+    val loTs = java.sql.Timestamp.from(graft.search.DateMath.parse(lo, anchor))
+    val hiTs = java.sql.Timestamp.from(graft.search.DateMath.parse(hi, anchor))
+    t(spark, sfDir, "events")
+      .where(col("ts") >= lit(loTs) && col("ts") <= lit(hiTs))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(asc("event_type"))
+  }
+
   /** Distributed facet REFINEMENT — Solr's two-phase top-N protocol
     * [B solr/core/src/java/org/apache/solr/handler/component/FacetComponent.java
     * (DistribFieldFacet, overrequest); solr/core/.../search/facet/FacetFieldMerger.java]

@@ -228,6 +228,12 @@ object QueryLowering {
       field: String = ""): Seq[String] = {
     val fieldPrefix =
       if (field.isEmpty) "" else field + graft.index.FieldOf.Sep
+    if (fieldPrefix.isEmpty) {
+      expandLeadingWildcard(r, pattern) match {
+        case Some(ts) => return ts
+        case None => ()
+      }
+    }
     val starOnlyAtEnd = pattern.endsWith("*") &&
       !pattern.dropRight(1).exists(c => c == '*' || c == '?')
     val pred =
@@ -241,6 +247,43 @@ object QueryLowering {
       }
     expandTerms(r, pred, s"wildcard '$pattern'",
       includePrefixed = fieldPrefix.nonEmpty)
+  }
+
+  /** Leading-wildcard fast path — the ReversedWildcardFilter role
+    * [B solr/core/src/java/org/apache/solr/analysis/ReversedWildcardFilter.java]:
+    * Solr indexes reversed terms so `*suffix` becomes a prefix scan.
+    * Ours reuses the per-index suffix-gram suggest table (gram = every
+    * suffix of every term, truncated to SuggestMaxGram, gram-sorted within
+    * partitions): `*tail` is a pushed-down EqualTo(gram, tail) — a term
+    * ends with `tail` iff one of its full suffixes IS `tail` — and
+    * `*mid*` is StringStartsWith(gram, mid). Both prune at parquet
+    * row-group stats instead of regex-scanning the whole dictionary; a
+    * driver-side residual re-check covers gram truncation at >= maxGram.
+    * Returns None for patterns this shape can't serve (inner '?'/'*',
+    * field-scoped terms — the suggest table excludes prefixed entries).
+    */
+  private def expandLeadingWildcard(r: Index.Reader,
+      pattern: String): Option[Seq[String]] = {
+    if (!pattern.startsWith("*") || pattern.length < 2) return None
+    val rest = pattern.drop(1)
+    val infix = rest.endsWith("*")
+    val body = if (infix) rest.dropRight(1) else rest
+    if (body.isEmpty || body.exists(c => c == '*' || c == '?')) return None
+    import r.spark.implicits._
+    val maxG = graft.index.SnapshotStore.SuggestMaxGram
+    val g = body.take(maxG)
+    val pred =
+      if (infix || body.length >= maxG) col("gram").startsWith(g)
+      else col("gram") === g
+    val cap = MaxExpansions
+    val raw = r.suggestTable.where(pred)
+      .select(col("term")).distinct()
+      .orderBy(asc("term")).limit(cap + 1).as[String].collect()
+    if (raw.length > cap)
+      throw TooManyClauses(
+        s"wildcard '$pattern' expands to > $cap terms (maxClauseCount)")
+    Some(raw.filter(t => if (infix) t.contains(body) else t.endsWith(body))
+      .toSeq)
   }
 
   def wildcardRegex(pattern: String): String =

@@ -240,6 +240,30 @@ class OpsSpec extends AnyFunSuite {
       s"gram prefix not pushed to parquet:\n$plan")
   }
 
+  test("leading wildcard: suffix-gram fast path == dictionary regex scan, EqualTo pushed") {
+    val r = DocSearchOps.reader(spark, sf)
+    // ground truth: the full-dictionary regex scan the fast path replaces
+    def regexScan(pat: String): Seq[String] = {
+      import graft.search.QueryLowering
+      r.termDict
+        .where(!col("term").contains(graft.index.FieldOf.Sep.toString))
+        .where(col("term").rlike(QueryLowering.wildcardRegex(pat)))
+        .select(col("term")).distinct().orderBy(asc("term"))
+        .collect().map(_.getString(0)).toSeq
+    }
+    for (pat <- Seq("*er", "*ow", "*rt", "*a*", "*zzzz"))
+      assert(graft.search.QueryLowering.expandWildcard(r, pat) == regexScan(pat),
+        s"fast path diverged on '$pat'")
+    // non-leading shapes must still take the old paths, unchanged
+    assert(graft.search.QueryLowering.expandWildcard(r, "w?ndo*") ==
+      regexScan("w?ndo*"))
+    // the suffix lookup is a pushed-down EqualTo on the gram table
+    val plan = r.suggestTable.where(col("gram") === "er")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo"),
+      s"gram EqualTo not pushed to parquet:\n$plan")
+  }
+
   test("shortestPath: BFS levels are minimal and edge-consistent") {
     val got = RelationalOps.shortestPath(spark, sf).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
