@@ -273,7 +273,13 @@ object ExplainAudit {
           "per-source aggregate with NO exchange between them (same hash " +
           "partitioning reused); the childLimit cut is a filter below the " +
           "aggregate.",
-        fmt(RelationalOps.transformChildDocs(spark, sfDir))))
+        fmt(RelationalOps.transformChildDocs(spark, sfDir))),
+      ("Date-math range query (resolved endpoints push to the scan)",
+        "Expect: both date-math endpoints resolve driver-side to timestamp " +
+          "literals that appear as GreaterThanOrEqual/LessThanOrEqual on ts " +
+          "in PushedFilters — row-group min/max stats prune the scan, the " +
+          "rollup sits directly on it.",
+        fmt(RelationalOps.searchDateMath(spark, sfDir))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.apps.ExplainAudit)\n\n")
