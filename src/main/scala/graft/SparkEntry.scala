@@ -1983,7 +1983,7 @@ object SparkEntry {
          |        ELSE 24 + (((dl - 24) >> (length(printf('%b', dl - 24)) - 4)) << (length(printf('%b', dl - 24)) - 4))
          |        END AS qdl FROM dl)
          |SELECT d.lang, count(*) AS n_docs,
-         |       sum(dl.dl) AS sum_tokens,
+         |       CAST(sum(dl.dl) AS BIGINT) AS sum_tokens,
          |       round(avg(qdl.qdl), 6) AS avg_qdl
          |FROM documents d JOIN dl ON dl.doc_id = d.doc_id
          |     JOIN qdl ON qdl.doc_id = d.doc_id
@@ -2076,7 +2076,7 @@ object SparkEntry {
       """WITH leaf AS (SELECT lang, source AS src, count(*) AS src_cnt
         |              FROM documents GROUP BY lang, source),
         |wp AS (SELECT lang, src, src_cnt,
-        |              sum(src_cnt) OVER (PARTITION BY lang) AS lang_cnt FROM leaf),
+        |              CAST(sum(src_cnt) OVER (PARTITION BY lang) AS BIGINT) AS lang_cnt FROM leaf),
         |rk AS (SELECT *, dense_rank() OVER (ORDER BY lang_cnt DESC, lang) AS lr,
         |              row_number() OVER (PARTITION BY lang
         |                  ORDER BY src_cnt DESC, src) AS sr FROM wp)
@@ -2740,9 +2740,9 @@ object SparkEntry {
     "range_field" ->
       """WITH r AS (SELECT value AS lo,
         |  value + 1.0 + CAST(event_id % 17 AS DOUBLE) * 2.5 AS hi FROM events)
-        |SELECT sum(CASE WHEN lo <= 60.0 AND hi >= 40.0 THEN 1 ELSE 0 END) AS n_intersects,
-        |       sum(CASE WHEN lo >= 40.0 AND hi <= 60.0 THEN 1 ELSE 0 END) AS n_within,
-        |       sum(CASE WHEN lo <= 40.0 AND hi >= 60.0 THEN 1 ELSE 0 END) AS n_contains
+        |SELECT CAST(sum(CASE WHEN lo <= 60.0 AND hi >= 40.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_intersects,
+        |       CAST(sum(CASE WHEN lo >= 40.0 AND hi <= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+        |       CAST(sum(CASE WHEN lo <= 40.0 AND hi >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contains
         |FROM r""".stripMargin,
     // forceMergeDeletes: every 'dup' doc expunged; n / avgdl / df all
     // recomputed over the SURVIVORS (the post-merge stats contract)
@@ -2788,7 +2788,7 @@ object SparkEntry {
     // pivot facet with per-bucket stats at BOTH levels from one rollup
     "facet_pivot_stats" ->
       """SELECT CASE WHEN source IS NULL THEN 1 ELSE 2 END AS level,
-        |       lang, source, count(*) AS cnt, sum(n_chars) AS sum_chars,
+        |       lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       round(avg(n_chars), 4) AS avg_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
@@ -3266,7 +3266,7 @@ object SparkEntry {
         |       md5(list_aggregate(list_sort(list(doc_id)), 'string_agg', ',')) AS kept_md5
         |FROM k WHERE rn <= 15 GROUP BY source ORDER BY source""".stripMargin,
     "mix_weights" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       round(200000.0 / sum(n_chars), 6) AS weight,
         |       CAST(CASE WHEN round(200000.0 / sum(n_chars), 6) > 1.0
         |            THEN floor(round(200000.0 / sum(n_chars), 6)) ELSE 0 END AS BIGINT) AS epochs

@@ -53,6 +53,21 @@ def main():
             print(f"FAIL ROWS       {name}: got {len(g)} want {len(w)}")
             n_fail += 1
             continue
+        # Driver-faithful type strictness: the driver hashes stringified
+        # values, so Spark BIGINT 5 vs oracle float64 5.0 is a RED even
+        # when numerically equal (the r4 HUGEINT->float64 lesson). Flag
+        # any int-vs-float dtype split before the tolerant value check.
+        dtype_red = [
+            c for c in g.columns
+            if (pd.api.types.is_integer_dtype(g[c]) != pd.api.types.is_integer_dtype(w[c]))
+            and (pd.api.types.is_numeric_dtype(g[c]) and pd.api.types.is_numeric_dtype(w[c]))
+        ]
+        if dtype_red:
+            print(f"FAIL DTYPE      {name}: int/float split on {dtype_red} "
+                  f"(got {[str(g[c].dtype) for c in dtype_red]}, "
+                  f"want {[str(w[c].dtype) for c in dtype_red]}) — driver hash would red this")
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=False, rtol=1e-7, atol=1e-7)
