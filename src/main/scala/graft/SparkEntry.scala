@@ -3098,8 +3098,9 @@ object SparkEntry {
         |  round(max(l_extendedprice), 2) AS hi,
         |  round(avg(l_extendedprice), 4) AS avg_price
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
-    // SKG relatedness: one-proportion z-score of each source bucket's
-    // foreground share vs its background probability (round 5)
+    // SKG relatedness: one-proportion z-score per source bucket, 1e-10
+    // zero-denominator guard, then RelatednessAgg's five-sigmoid blend
+    // into [-1,1], round 5
     "facet_relatedness" ->
       """WITH tk AS (SELECT doc_id, source,
         |  list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
@@ -3108,12 +3109,21 @@ object SparkEntry {
         |b AS (SELECT source, CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
         |      count(*) AS bg_count FROM d GROUP BY source),
         |t AS (SELECT CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_size,
-        |      count(*) AS bg_size FROM d)
+        |      count(*) AS bg_size FROM d),
+        |zc AS (SELECT source, fg_count, bg_count,
+        |  (fg_count - fg_size * (bg_count * 1.0 / bg_size))
+        |  / (CASE WHEN sqrt(fg_size * (bg_count * 1.0 / bg_size)
+        |                    * (1 - bg_count * 1.0 / bg_size)) = 0 THEN 1e-10
+        |     ELSE sqrt(fg_size * (bg_count * 1.0 / bg_size)
+        |               * (1 - bg_count * 1.0 / bg_size)) END) AS z
+        |FROM b, t)
         |SELECT source, fg_count, bg_count,
-        |  round((fg_count - fg_size * (bg_count * 1.0 / bg_size))
-        |        / sqrt(fg_size * (bg_count * 1.0 / bg_size)
-        |               * (1 - bg_count * 1.0 / bg_size)), 5) AS relatedness
-        |FROM b, t ORDER BY relatedness DESC, source LIMIT 10""".stripMargin,
+        |  round(0.2 * ((z - 80) / (50 + abs(z - 80))
+        |             + (z - 30) / (30 + abs(z - 30))
+        |             + z / (30 + abs(z))
+        |             + (z + 30) / (30 + abs(z + 30))
+        |             + (z + 80) / (50 + abs(z + 80))), 5) AS relatedness
+        |FROM zc ORDER BY relatedness DESC, source LIMIT 10""".stripMargin,
     // multi-select faceting: each dimension's facet excludes its OWN
     // tagged filter; the `both` row pins the fully-filtered count
     "facet_exclude_tags" ->

@@ -977,13 +977,18 @@ object RelationalOps {
     * each facet bucket by how much MORE prevalent it is in a foreground
     * set than chance predicts from the background. Buckets = `source`
     * repos, foreground = docs matching the term query, background = the
-    * whole corpus. Per bucket the one-proportion z-score of the paper:
+    * whole corpus. Per bucket the one-proportion z-score of the paper,
     * z = (fg_count − fg_size·bg_prob) / sqrt(fg_size·bg_prob·(1−bg_prob)),
-    * rounded to 5 digits like the reference's roundTo5Digits presentation.
-    * ONE conditional hash aggregate over one scan (fg membership is a
-    * column, not a second query), plus two scalar totals broadcast back —
-    * at 100 TB this is a single map-side-combined shuffle of
-    * bucket-cardinality rows.
+    * with the reference's 1e-10 zero-denominator guard, then mapped
+    * through RelatednessAgg's equal-weight blend of five soft-sign
+    * sigmoids (offsets ±80/±30/0, scales 50/30/30/30/50) into [-1, 1] and
+    * rounded to 5 digits like roundTo5Digits — so a bucket whose term is
+    * corpus-absent (fg_size=0) or corpus-universal (bg_prob=1) emits a
+    * finite score, exactly as Solr does. ONE scan total: fg membership is
+    * a column (not a second query), the buckets are one hash aggregate,
+    * and fg_size/bg_size are derived from the bucket rows themselves
+    * (buckets partition the corpus) via an unpartitioned window over the
+    * bucket-cardinality frame — O(#buckets) rows, never the corpus.
     */
   def facetRelatedness(spark: SparkSession, sfDir: String,
       term: String = "merge", limit: Int = 10): DataFrame = {
@@ -993,14 +998,22 @@ object RelationalOps {
     val buckets = d.groupBy(col("source"))
       .agg(sum(when(col("fg"), 1L).otherwise(0L)).as("fg_count"),
         count(lit(1)).as("bg_count"))
-    val totals = d.agg(
-      sum(when(col("fg"), 1L).otherwise(0L)).as("fg_size"),
-      count(lit(1)).as("bg_size"))
-    buckets.crossJoin(broadcast(totals))
-      .withColumn("bg_prob", col("bg_count").cast("double") / col("bg_size"))
-      .withColumn("relatedness",
-        round((col("fg_count") - col("fg_size") * col("bg_prob")) /
-          sqrt(col("fg_size") * col("bg_prob") * (lit(1.0) - col("bg_prob"))), 5))
+    // totals from the bucket aggregate itself (one corpus scan): the
+    // single-partition window is over #buckets rows only
+    val wAll = Window.partitionBy(lit(1))
+    val bgProb = col("bg_count").cast("double") / col("bg_size")
+    val denomRaw = sqrt(col("fg_size") * bgProb * (lit(1.0) - bgProb))
+    val denom = when(denomRaw === 0.0, lit(1e-10)).otherwise(denomRaw)
+    val z = (col("fg_count") - col("fg_size") * bgProb) / denom
+    def sig(off: Double, scale: Double): org.apache.spark.sql.Column =
+      (col("z") + lit(off)) / (lit(scale) + abs(col("z") + lit(off)))
+    buckets
+      .withColumn("fg_size", sum(col("fg_count")).over(wAll))
+      .withColumn("bg_size", sum(col("bg_count")).over(wAll))
+      .withColumn("z", z)
+      .withColumn("relatedness", round(lit(0.2) *
+        (sig(-80, 50) + sig(-30, 30) + sig(0, 30) +
+          sig(30, 30) + sig(80, 50)), 5))
       .select(col("source"), col("fg_count"), col("bg_count"),
         col("relatedness"))
       .orderBy(desc("relatedness"), asc("source"))
@@ -1099,11 +1112,19 @@ object RelationalOps {
     * back against the per-shard partials — the full-vocabulary global
     * shuffle never happens. Shards are a pure hash of doc_id, so the
     * result is a function of the data alone (same answer at any
-    * parallelism), and with this overrequest every true top-`limit` bucket
-    * is in some shard's candidate list for any remotely web-like term
-    * distribution (Solr makes the same wager; its refine step, like ours,
-    * only guarantees exact COUNTS for surfaced buckets). The oracle is the
-    * unsharded exact top-N, so the wager is verified, not assumed.
+    * parallelism). The overrequest wager — every true top-`limit` bucket
+    * appears in some shard's candidate list — is Solr's own, but unlike
+    * Solr we CERTIFY it (ADVICE r4): any bucket absent from shard s's
+    * candidate list has per-shard count <= that shard's boundary (the
+    * (limit+overrequest)-th) count, so a fully-missed bucket's true total
+    * is <= the sum of per-shard boundary counts. If the refined limit-th
+    * count strictly exceeds that bound the result is provably the exact
+    * top-N; otherwise we fall back to the exact global aggregate (one
+    * full-vocabulary shuffle — exactly what guaranteed exactness costs).
+    * Both paths are exact, so the unsharded oracle pins the contract
+    * rather than the corpus's term distribution. The certificate costs two
+    * scalar jobs; a long-lived deployment would persist `perShard` across
+    * them.
     */
   def facetRefinedTopk(spark: SparkSession, sfDir: String, shards: Int = 8,
       limit: Int = 10, overrequest: Int = 20): DataFrame = {
@@ -1112,17 +1133,37 @@ object RelationalOps {
         explode(TextOps.tokensCol(col("text"))).as("term"))
       .groupBy(col("shard"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val cand = perShard
+    val ranked = perShard
       .withColumn("rn", row_number().over(Window.partitionBy(col("shard"))
         .orderBy(desc("cnt"), asc("term"))))
+    val cand = ranked
       .where(col("rn") <= limit + overrequest)
       .select(col("term")).distinct()
-    perShard.join(broadcast(cand), "term")
+    val refined = perShard.join(broadcast(cand), "term")
       .groupBy(col("term"))
       .agg(sum(col("cnt")).as("cnt"))
       .orderBy(desc("cnt"), asc("term"))
       .limit(limit)
+    // max possible total of a bucket missed by EVERY shard's candidate
+    // list (shards with < limit+overrequest terms miss nothing -> 0)
+    val missedBound = ranked.where(col("rn") === limit + overrequest)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("b"))
+      .first().getLong(0)
+    val topCnts = refined.select(col("cnt")).collect().map(_.getLong(0))
+    val certified = topCnts.length == limit && topCnts.last > missedBound
+    lastRefinedCertified = certified
+    if (certified) refined
+    else perShard.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy(desc("cnt"), asc("term"))
+      .limit(limit)
   }
+
+  /** Whether the most recent facetRefinedTopk call proved its refined
+    * result exact (vs falling back to the global aggregate) — test/audit
+    * observability for the certificate.
+    */
+  @volatile var lastRefinedCertified: Boolean = false
 
   /** [child] doc transformer — Solr's ChildDocTransformer
     * [B solr/core/src/java/org/apache/solr/response/transform/ChildDocTransformerFactory.java]:

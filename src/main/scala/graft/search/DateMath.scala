@@ -21,19 +21,22 @@ import java.time.temporal.ChronoUnit
   */
 object DateMath {
 
-  private val Units: Map[String, ChronoUnit] = {
-    val base = Map(
-      "YEAR" -> ChronoUnit.YEARS,
-      "MONTH" -> ChronoUnit.MONTHS,
-      "DAY" -> ChronoUnit.DAYS,
-      "DATE" -> ChronoUnit.DAYS,
-      "HOUR" -> ChronoUnit.HOURS,
-      "MINUTE" -> ChronoUnit.MINUTES,
-      "SECOND" -> ChronoUnit.SECONDS,
-      "MILLI" -> ChronoUnit.MILLIS,
-      "MILLISECOND" -> ChronoUnit.MILLIS)
-    base ++ base.map { case (k, v) => (k + "S", v) }
-  }
+  /** The EXACT alias set of the reference's CALENDAR_UNITS map — notably
+    * `DATE` has no plural form (`NOW+1DATES` must be rejected), while
+    * every other unit admits one. Enumerated rather than mechanically
+    * pluralized so the grammar is not a silent superset (ADVICE r4).
+    */
+  private val Units: Map[String, ChronoUnit] = Map(
+    "YEAR" -> ChronoUnit.YEARS, "YEARS" -> ChronoUnit.YEARS,
+    "MONTH" -> ChronoUnit.MONTHS, "MONTHS" -> ChronoUnit.MONTHS,
+    "DAY" -> ChronoUnit.DAYS, "DAYS" -> ChronoUnit.DAYS,
+    "DATE" -> ChronoUnit.DAYS,
+    "HOUR" -> ChronoUnit.HOURS, "HOURS" -> ChronoUnit.HOURS,
+    "MINUTE" -> ChronoUnit.MINUTES, "MINUTES" -> ChronoUnit.MINUTES,
+    "SECOND" -> ChronoUnit.SECONDS, "SECONDS" -> ChronoUnit.SECONDS,
+    "MILLI" -> ChronoUnit.MILLIS, "MILLIS" -> ChronoUnit.MILLIS,
+    "MILLISECOND" -> ChronoUnit.MILLIS,
+    "MILLISECONDS" -> ChronoUnit.MILLIS)
 
   final case class DateMathError(msg: String)
     extends IllegalArgumentException(msg)

@@ -276,14 +276,21 @@ object QueryLowering {
       if (infix || body.length >= maxG) col("gram").startsWith(g)
       else col("gram") === g
     val cap = MaxExpansions
-    val raw = r.suggestTable.where(pred)
+    // The gram-truncation residual (endsWith/contains on the FULL term) is
+    // part of the pushed-down predicate, not a post-collect filter, so the
+    // TooManyClauses cap counts ACTUAL matches — a long-suffix pattern
+    // whose gram probe over-gathers but whose true match set is small must
+    // not throw spuriously (mirrors how the trailing-wildcard path counts
+    // matched terms).
+    val residual =
+      if (infix) col("term").contains(body) else col("term").endsWith(body)
+    val raw = r.suggestTable.where(pred && residual)
       .select(col("term")).distinct()
       .orderBy(asc("term")).limit(cap + 1).as[String].collect()
     if (raw.length > cap)
       throw TooManyClauses(
         s"wildcard '$pattern' expands to > $cap terms (maxClauseCount)")
-    Some(raw.filter(t => if (infix) t.contains(body) else t.endsWith(body))
-      .toSeq)
+    Some(raw.toSeq)
   }
 
   def wildcardRegex(pattern: String): String =

@@ -924,10 +924,19 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got == exact, s"shards=$shards: refined != exact")
     }
-    // the candidate recount must be a broadcast probe, not a global shuffle
-    val plan = RelationalOps.facetRefinedTopk(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    // when the exactness certificate holds, the result plan must be the
+    // refined path: a broadcast candidate probe, not a global shuffle
+    val df = RelationalOps.facetRefinedTopk(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    if (RelationalOps.lastRefinedCertified)
+      assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    else // fallback path is the plain exact aggregate — no join at all
+      assert(!plan.contains("Join"), s"fallback should not join:\n$plan")
+    // certificate sanity: a pathological overrequest of 0 with many shards
+    // must still return the exact answer (via certificate or fallback)
+    val tight = RelationalOps.facetRefinedTopk(spark, sf, shards = 16,
+      overrequest = 0).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tight == exact, "overrequest=0 broke exactness")
   }
 
   test("facetRelatedness: fg counts fold to fg_size; z-scores bounded both ways") {
@@ -939,9 +948,11 @@ class OpsSpec extends AnyFunSuite {
       .where(array_contains(TextOps.tokensCol(col("text")), "merge"))
       .count()
     assert(fgSum == fgSize, s"fg partition: $fgSum != $fgSize")
-    // z-scores must be finite and the ordering must be by (z desc, source)
+    // relatedness must be finite, inside the sigmoid-blend range [-1,1],
+    // and ordered by (score desc, source)
     val zs = rows.map(_.getDouble(3))
     assert(zs.forall(z => !z.isNaN && !z.isInfinite))
+    assert(zs.forall(z => z >= -1.0 && z <= 1.0), s"outside [-1,1]: ${zs.toSeq}")
     assert(zs.sameElements(zs.sortBy(-_)) ||
       rows.sortBy(r => (-r.getDouble(3), r.getString(0)))
         .map(_.getString(0)).sameElements(rows.map(_.getString(0))))
@@ -1040,5 +1051,21 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(cos - 1.0) < 1e-3, s"centroid $c self-cos $cos")
     }
     rows.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 2L))
+  }
+
+  test("classifyKnn: driver residency bounded and batch-size invariant") {
+    // one-batch reference run
+    val whole = ClassifyOps.classifyKnn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(whole.nonEmpty)
+    assert(ClassifyOps.lastKnnMaxBatch <= ClassifyOps.KnnSpecBatch)
+    // force many small batches; the boundedness contract is observable:
+    // the driver never held more than specBatch specs at once, and the
+    // predictions are identical (each qid's vote is batch-local)
+    val batched = ClassifyOps.classifyKnn(spark, sf, specBatch = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(ClassifyOps.lastKnnMaxBatch <= 7,
+      s"driver held ${ClassifyOps.lastKnnMaxBatch} specs, cap was 7")
+    assert(batched.sameElements(whole), "batching changed predictions")
   }
 }

@@ -58,5 +58,10 @@ class DateMathSpec extends AnyFunSuite {
     intercept[DateMath.DateMathError](DateMath.parse("NOW*2DAYS", now))
     intercept[DateMath.DateMathError](DateMath.parse("NOW+DAYS", now))
     intercept[DateMath.DateMathError](DateMath.parse("2024-01-01+1DAY", now))
+    // DATE is the one reference unit with no plural alias — NOW+1DATES
+    // must be rejected (the map is enumerated, not mechanically +"S")
+    intercept[DateMath.DateMathError](DateMath.parse("NOW+1DATES", now))
+    assert(p("NOW+1DATE") == p("NOW+1DAY"))
+    assert(p("NOW+1MILLIS") == p("NOW+1MILLISECONDS"))
   }
 }
