@@ -14,6 +14,11 @@ import scala.collection.mutable
   */
 object AnnOps {
 
+  /** Members dropped by dedupEmbedding's per-cell cap in the most recent
+    * action (no-silent-caps observability; 0 == exhaustive within cells).
+    */
+  @volatile var lastCellCapDrops: Option[org.apache.spark.util.LongAccumulator] = None
+
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
@@ -301,7 +306,12 @@ object AnnOps {
           .select(col("cent_id"), col("vec_id"), col("embedding")), 1500)
       }
     val thr = threshold
-    // EXPLICIT repartition on the cell key: the per-row downstream work is
+    // No-silent-caps: count members dropped past cellCap (the recall the
+    // blocking compromise trades away) into an accumulator, mirroring
+    // DedupOps.lastBucketCapDrops — 0 after the action witnesses that the
+    // cap never bit and the result is exhaustive within cells.
+    val dropAcc = spark.sparkContext.longAccumulator("embdedup-cell-cap-drops")
+    lastCellCapDrops = Some(dropAcc)
     // quadratic in the cell size, which AQE's size-based coalescing cannot
     // see (groupByKey alone got coalesced to 2 tasks). The within-partition
     // sort makes each cell a contiguous run, so the task streams ONE cell's
@@ -322,6 +332,7 @@ object AnnOps {
             while (rows.hasNext && rows.head._1 == cell) {
               val r = rows.next()
               if (buf.length < cellCap) buf += r
+              else dropAcc.add(1L)
             }
             buf.toArray
           }

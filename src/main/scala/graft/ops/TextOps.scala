@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Whether the most recent perplexity() call's bigram model hit its
+    * maxModel cap (no-silent-caps observability; also logged).
+    */
+  @volatile var lastPerplexityModelTruncated: Boolean = false
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -123,9 +128,22 @@ object TextOps {
       .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val train = bi.where(col("doc_id") % trainMod === trainRes)
-    val bgModel = train.groupBy(col("w1"), col("w2"))
+    // No-silent-caps (VERDICT r4 next-10): the model rows come to the
+    // driver anyway to be broadcast, so materialize maxModel+1 once —
+    // one train-side aggregate total — and LOG when the cap actually
+    // truncates the LM instead of silently dropping tail bigrams.
+    import spark.implicits._
+    val capped = train.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
-      .orderBy(desc("cb"), asc("w1"), asc("w2")).limit(maxModel)
+      .orderBy(desc("cb"), asc("w1"), asc("w2")).limit(maxModel + 1)
+      .collect()
+    lastPerplexityModelTruncated = capped.length > maxModel
+    if (lastPerplexityModelTruncated)
+      println(s"[graft] perplexity: bigram LM truncated to $maxModel rows " +
+        "(tail bigrams dropped; raise maxModel for full-vocabulary scoring)")
+    val bgModel = capped.take(maxModel)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      .toDF("w1", "w2", "cb")
     val ugModel = train.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val v = train.agg(countDistinct(col("w1")).as("v"))
     bi.groupBy(col("doc_id"), col("w1"), col("w2"))
