@@ -247,6 +247,7 @@ object SparkEntry {
     "analysis_multilang_stem" -> ((s, d) => AnalysisOps.multilangStem(s, d)),
     "analysis_html_strip" -> ((s, d) => AnalysisOps.htmlStrip(s, d)),
     "analysis_cjk_bigram" -> ((s, d) => AnalysisOps.cjkBigram(s, d)),
+    "analysis_uax29" -> ((s, d) => AnalysisOps.uax29(s, d)),
     "sample_hash" -> ((s, d) => PipelineOps.sampleHash(s, d)),
     "sample_stratified" -> ((s, d) => PipelineOps.sampleStratified(s, d)),
     "host_cap" -> ((s, d) => PipelineOps.hostCap(s, d)),
@@ -3255,6 +3256,7 @@ object SparkEntry {
     "analysis_multilang_stem" -> AnalysisOps.multilangStemOracleSql,
     "analysis_html_strip" -> AnalysisOps.htmlStripOracleSql,
     "analysis_cjk_bigram" -> AnalysisOps.cjkBigramOracleSql,
+    "analysis_uax29" -> AnalysisOps.uax29OracleSql,
     "analysis_edge_ngram" -> AnalysisOps.edgeNgramOracleSql,
     "analysis_pattern_replace" -> AnalysisOps.patternReplaceOracleSql,
     "analysis_length_filter" -> AnalysisOps.lengthFilterOracleSql,

@@ -211,6 +211,41 @@ object Analyzer {
     out.toArray
   }
 
+  /** UAX#29 word segmentation over the JDK BreakIterator — the
+    * StandardTokenizer beyond the ASCII-identifier fast path
+    * [B lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizerImpl.java
+    * (generated from UAX#29 word-break rules); …/analysis/th/ThaiTokenizer.java
+    * (BreakIterator dictionary segmentation)]. Segments with no
+    * letter/digit codepoint (punctuation, emoji, whitespace) are dropped —
+    * classic StandardTokenizer behavior — and pure-Han segments are split
+    * to one token per ideograph, Lucene's IDEOGRAPHIC unigram emission
+    * (the CJK bigram filter composes on top, as in Lucene). A `th` locale
+    * dictionary-segments unspaced Thai the way ThaiTokenizer does; every
+    * other script follows the locale-independent UAX#29 default rules.
+    * Tokens are lowercased (ROOT casing, like LowerCaseFilter).
+    */
+  def uax29Tokenize(text: String,
+      locale: java.util.Locale = java.util.Locale.ROOT): Array[String] = {
+    val bi = java.text.BreakIterator.getWordInstance(locale)
+    bi.setText(text)
+    val out = mutable.ArrayBuffer.empty[String]
+    var start = bi.first()
+    var end = bi.next()
+    while (end != java.text.BreakIterator.DONE) {
+      val seg = text.substring(start, end)
+      val cps = seg.codePoints().toArray
+      if (cps.exists(Character.isLetterOrDigit)) {
+        if (cps.forall(cp =>
+          Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN))
+          cps.foreach(cp => out += new String(Character.toChars(cp)))
+        else out += seg.toLowerCase(java.util.Locale.ROOT)
+      }
+      start = end
+      end = bi.next()
+    }
+    out.toArray
+  }
+
   /** Per-language minimal stemmer dispatch — the Solr language-specific
     * field-type composition (one analyzer chain per `lang` value): en uses
     * the S-stemmer, fr/de/es their minimal stemmers above, anything else

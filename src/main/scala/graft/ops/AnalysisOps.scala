@@ -524,6 +524,55 @@ object AnalysisOps {
        |  md5(array_to_string(grams, ' ')) AS bigrams_md5
        |FROM bg ORDER BY doc_id""".stripMargin
 
+  // ---- UAX#29 segmentation lane --------------------------------------------
+
+  /** UAX#29 tokenizer entry (VERDICT r4 next-8 — the documented
+    * ASCII-identifier boundary's non-English lane): every 3rd doc under
+    * doc_id 2000 gets a deterministic multilingual tail — the 12-ideograph
+    * han run (unigram tokens), an UNSPACED Thai compound that only
+    * dictionary segmentation can split (ThaiTokenizer role), an emoji
+    * cluster that must be DROPPED, and a cased accented Latin word — and
+    * the engine runs the real JDK-BreakIterator chain
+    * (Analyzer.uax29Tokenize, th locale) over the FULL augmented text.
+    * The oracle regenerates the expected stream positionally: body
+    * whitespace tokens (the corpus body is pure [a-z0-9 ], so UAX#29 ==
+    * whitespace there) ++ 12 han unigrams ++ the two Thai dictionary words
+    * ++ the lowercased Latin word, with the emoji absent. Map-only.
+    */
+  def uax29(spark: SparkSession, sfDir: String, maxDoc: Long = 2000): DataFrame = {
+    import spark.implicits._
+    val thai = java.util.Locale.forLanguageTag("th")
+    docs(spark, sfDir)
+      .where(col("doc_id") < maxDoc)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" "), expr(cjkAugSpark),
+            lit(" สวัสดีครับ 👍🏽 Café")))
+          .otherwise(col("text")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val toks = Analyzer.uax29Tokenize(t, thai)
+        (id, toks.length.toLong, toks.mkString(" "))
+      }
+      .toDF("doc_id", "n_tokens", "s")
+      .select(col("doc_id"), col("n_tokens"),
+        md5(col("s").cast("binary")).as("tokens_md5"))
+      .orderBy(asc("doc_id"))
+  }
+
+  def uax29OracleSql: String =
+    s"""WITH aug AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 1 THEN
+       |    list_filter(string_split(text, ' '), x -> x <> '')
+       |    || list_transform(range(12), i ->
+       |         ([${cjkArr(c => s"'$c'")}])[CAST((doc_id + i) % 8 AS INT) + 1])
+       |    || ['สวัสดี', 'ครับ', 'café']
+       |  ELSE list_filter(string_split(text, ' '), x -> x <> '') END AS toks
+       |  FROM documents WHERE doc_id < 2000)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks, ' ')) AS tokens_md5
+       |FROM aug ORDER BY doc_id""".stripMargin
+
   // ---- StemmerOverride / KeywordMarker -------------------------------------
 
   /** Suffix appended to every 3rd doc so the protection/override rules have

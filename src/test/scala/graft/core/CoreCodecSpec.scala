@@ -301,6 +301,22 @@ class CoreCodecSpec extends AnyFunSuite {
     assert(cjkBigrams("").toSeq == Seq())
   }
 
+  test("UAX#29 tokenizer: han unigrams, thai dictionary words, emoji dropped") {
+    val th = java.util.Locale.forLanguageTag("th")
+    def t(s: String) = Analyzer.uax29Tokenize(s, th).toSeq
+    // ASCII parity with the whitespace/identifier domain
+    assert(t("batch part x9") == Seq("batch", "part", "x9"))
+    // Lucene IDEOGRAPHIC emission: one token per ideograph
+    assert(t("一二三") == Seq("一", "二", "三"))
+    // ThaiTokenizer role: unspaced compound dictionary-splits
+    assert(t("สวัสดีครับ") == Seq("สวัสดี", "ครับ"))
+    // emoji and punctuation segments carry no letter/digit -> dropped
+    assert(t("hello 👍🏽 world!") == Seq("hello", "world"))
+    // LowerCaseFilter composes, non-ASCII case included
+    assert(t("Café NAÏVE") == Seq("café", "naïve"))
+    assert(t("") == Seq())
+  }
+
   // ---- TermsHash -----------------------------------------------------------
 
   test("TermsHash postings equal Analyzer.termFreqs for random docs") {
