@@ -126,6 +126,7 @@ object SparkEntry {
     "realtime_get" -> (DocSearchOps.realtimeGet(_, _)),
     "function_expression" -> (DocSearchOps.functionExpression(_, _)),
     "highlight_passages" -> (DocSearchOps.highlightPassages(_, _)),
+    "highlight_offsets" -> (DocSearchOps.highlightOffsets(_, _)),
     "spell_collate_query" -> (DocSearchOps.spellCollateQuery(_, _)),
     "group_query" -> (DocSearchOps.groupQuery(_, _)),
     "term_vector_positions" -> (DocSearchOps.termVectorPositions(_, _)),
@@ -1002,6 +1003,31 @@ object SparkEntry {
          |        doc_id, round(score, 4) AS score FROM u)
          |SELECT group_query, matches, rank, doc_id, score FROM r
          |WHERE rank <= 2 ORDER BY group_query, rank""".stripMargin,
+    // offsets-from-postings highlighting: per-occurrence (start, end)
+    // char offsets read from the index's offsets channel; snippet cut
+    // purely by offsets (±10 chars, <b>-bracketed), no re-analysis
+    "highlight_offsets" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |            FROM documents WHERE doc_id < 2000),
+        |ix AS (SELECT doc_id, text, toks,
+        |       CAST(unnest(range(len(toks))) AS INT) AS i FROM tk),
+        |occ AS (SELECT doc_id, text,
+        |        CASE WHEN i = 0 THEN 0
+        |             ELSE length(array_to_string(toks[1:i], ' ')) + 1 END AS s
+        |        FROM ix WHERE toks[i + 1] = 'merge'),
+        |agg AS (SELECT doc_id, any_value(text) AS text,
+        |        CAST(count(*) AS BIGINT) AS n_occ,
+        |        CAST(min(s) AS BIGINT) AS first_start,
+        |        CAST(min(s) + 5 AS BIGINT) AS first_end,
+        |        md5(string_agg(CAST(s AS VARCHAR) || ':' || CAST(s + 5 AS VARCHAR),
+        |                       ' ' ORDER BY s)) AS offs_md5
+        |        FROM occ GROUP BY doc_id)
+        |SELECT doc_id, n_occ, first_start, first_end, offs_md5,
+        |  substr(text, CAST(greatest(first_start - 10, 0) AS INT) + 1,
+        |         CAST(first_start - greatest(first_start - 10, 0) AS INT))
+        |  || '<b>' || substr(text, CAST(first_start AS INT) + 1, 5) || '</b>'
+        |  || substr(text, CAST(first_end AS INT) + 1, 10) AS snippet
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // UnifiedHighlighter maxPassages=2: top-5 BM25 docs -> 16-token
     // windows over RAW (pre-stop) tokens of the stored text, passage
     // score = sum idf(t)*tf_t(window), top-2 passages per doc

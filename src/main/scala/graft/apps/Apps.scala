@@ -130,6 +130,28 @@ object QueryApp {
     val indexDir = args(0)
     val spark = SparkEnv.session("graft-query")
     val reader = Index.reader(spark, indexDir)
+    // "lat" mode: Bench's latency protocol against an EXISTING index —
+    // warm-up, then sequential single-query jobs, 2 passes, per-query min,
+    // p50/p95 printed. For A/B-ing layout changes without a full Bench run.
+    if (args.length > 1 && args(1) == "lat") {
+      QueryEngine.search(reader, ReferenceQueries.all.take(3)).count()
+      val lats = ReferenceQueries.all.map { q =>
+        val runs = (1 to 2).map { _ =>
+          val t = System.nanoTime()
+          QueryEngine.search(reader, Seq(q)).count()
+          (System.nanoTime() - t) / 1e9
+        }
+        q.qid -> runs.min
+      }
+      val sorted = lats.map(_._2).sorted
+      val p50 = sorted(sorted.size / 2)
+      val p95 = sorted(math.min(sorted.size - 1, (sorted.size * 95) / 100))
+      println(f"[graft-lat] {" + s""""docs":${reader.stats.docCount},""" +
+        f""""p50":$p50%.3f,"p95":$p95%.3f,""" +
+        lats.map { case (q, s) => f""""$q":$s%.3f""" }.mkString(",") + "}")
+      spark.stop()
+      return
+    }
     val queries: Seq[QuerySpec] = args.drop(1) match {
       case Array() | Array("all") => ReferenceQueries.all
       case Array(qid) if qid.matches("q\\d\\d") =>

@@ -74,11 +74,13 @@ object PostingBlocks {
     */
   def build(docIds: Array[Long], tfs: Array[Int], norms: Array[Byte],
       blockSize: Int = BlockSize,
-      posDeltas: Array[Int] = null): Seq[PostingBlock] = {
+      posDeltas: Array[Int] = null,
+      offDeltas: Array[Int] = null): Seq[PostingBlock] = {
     require(docIds.length == tfs.length && tfs.length == norms.length)
     val out = Vector.newBuilder[PostingBlock]
     var start = 0
     var posOff = 0
+    var offOff = 0
     while (start < docIds.length) {
       val n = math.min(blockSize, docIds.length - start)
       val gaps = new Array[Int](n)
@@ -110,6 +112,16 @@ object PostingBlocks {
           posOff += nPos
           IntCodec.encode(slice)
         }
+      val offBytes =
+        if (offDeltas == null) IntCodec.encode(Array.empty[Int])
+        else {
+          var nOff = 0
+          var j = 0
+          while (j < n) { nOff += 2 * btf(j); j += 1 }
+          val slice = java.util.Arrays.copyOfRange(offDeltas, offOff, offOff + nOff)
+          offOff += nOff
+          IntCodec.encode(slice)
+        }
       out += PostingBlock(
         firstDocId = docIds(start),
         lastDocId = docIds(start + n - 1),
@@ -120,7 +132,8 @@ object PostingBlocks {
         docIdBytes = IntCodec.encode(gaps),
         tfBytes = IntCodec.encode(btf),
         normBytes = IntCodec.encode(bnorm),
-        posBytes = posBytes)
+        posBytes = posBytes,
+        offBytes = offBytes)
       start += n
     }
     out.result()
@@ -156,6 +169,39 @@ object PostingBlocks {
       }
       out(i) = ps
       o += tfs(i)
+      i += 1
+    }
+    out
+  }
+
+  /** True when a block (or partial) carries character offsets. */
+  @inline def hasOffsets(offBytes: Array[Byte]): Boolean =
+    offBytes != null && offBytes.length > 1
+
+  /** Decode a block's offsets stream to ABSOLUTE (start, end) pairs per
+    * posting: offsets(i) has tfs(i) pairs in occurrence order. Returns
+    * null when the block has no offsets.
+    */
+  def decodeOffsets(b: PostingBlock, tfs: Array[Int]): Array[Array[(Int, Int)]] = {
+    if (!hasOffsets(b.offBytes)) return null
+    var total = 0
+    var i = 0
+    while (i < tfs.length) { total += 2 * tfs(i); i += 1 }
+    val flat = IntCodec.decode(b.offBytes, total)
+    val out = new Array[Array[(Int, Int)]](tfs.length)
+    var o = 0
+    i = 0
+    while (i < tfs.length) {
+      val ps = new Array[(Int, Int)](tfs(i))
+      var t = 0
+      var acc = 0
+      while (t < tfs(i)) {
+        acc += flat(o + 2 * t)
+        ps(t) = (acc, acc + flat(o + 2 * t + 1))
+        t += 1
+      }
+      out(i) = ps
+      o += 2 * tfs(i)
       i += 1
     }
     out

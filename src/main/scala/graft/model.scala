@@ -48,7 +48,13 @@ case class PartialPostings(
       * delta-encoded within each doc and concatenated in docId order.
       * Empty (1-byte codec header) when positions are off.
       */
-    posBytes: Array[Byte] = Array(0.toByte))
+    posBytes: Array[Byte] = Array(0.toByte),
+    /** Optional character offsets (IndexConfig.indexOffsets, Lucene
+      * IndexOptions ..._AND_OFFSETS): per occurrence a (startDelta, len)
+      * int pair — 2*sum(tf) ints — start deltas within each doc,
+      * concatenated in docId order. Empty when offsets are off.
+      */
+    offBytes: Array[Byte] = Array(0.toByte))
 
 /** One compressed 128-doc posting block (SURVEY.md §2.4). Blocks never span
   * corpus partitions, so `firstDocId >> CorpusIds.PartitionShift` identifies
@@ -77,7 +83,11 @@ case class PostingBlock(
     /** Positional postings for this block (see PartialPostings.posBytes):
       * sum(tf) ints, per-doc delta-encoded, empty when positions are off.
       */
-    posBytes: Array[Byte] = Array(0.toByte))
+    posBytes: Array[Byte] = Array(0.toByte),
+    /** Character offsets for this block (see PartialPostings.offBytes):
+      * 2*sum(tf) ints of (startDelta, len), empty when offsets are off.
+      */
+    offBytes: Array[Byte] = Array(0.toByte))
 
 /** Final merged postings row: one (term, salt) slice of the inverted index.
   * Hot terms are split across `salt` slices with docId-disjoint contiguous

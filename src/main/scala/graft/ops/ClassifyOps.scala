@@ -23,7 +23,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object ClassifyOps {
 
-  private val Version = "v1"
+  private val Version = "v2" // v2: offsets-capable posting schema
   private val trainCache =
     new java.util.concurrent.ConcurrentHashMap[String, Index.Reader]()
 

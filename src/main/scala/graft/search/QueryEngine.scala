@@ -157,7 +157,7 @@ object QueryEngine {
 
     // Catalyst/Parquet pushdown: only row groups containing query terms are
     // read (postings are term-sorted within partitions at merge time).
-    val p = reader.postings.where($"term".isin(allTerms: _*))
+    val p = reader.postingsForTerms(allTerms).where($"term".isin(allTerms: _*))
 
     // global per-term stats across salt slices + snapshots == Lucene's
     // TermStatistics gathering at createWeight time — slim-termdict lookup,
@@ -328,7 +328,7 @@ object QueryEngine {
 
     val allTerms = trees.flatMap(t => ClauseNode.terms(t.root)).distinct
     if (allTerms.isEmpty) return spark.emptyDataset[ScoredDoc]
-    val p = reader.postings.where($"term".isin(allTerms: _*))
+    val p = reader.postingsForTerms(allTerms).where($"term".isin(allTerms: _*))
     val termStats: Map[String, (Long, Long)] = reader.termStatsMap(allTerms)
     val stats = reader.stats
     val fieldAvgdl: Map[String, Double] = allTerms.flatMap(fieldOf).distinct
@@ -481,7 +481,7 @@ object QueryEngine {
     // own iterator over the same posting blocks, and the position lists
     // simply repeat at several offsets
 
-    val p = reader.postings.where($"term".isin(terms.distinct: _*))
+    val p = reader.postingsForTerms(terms.distinct).where($"term".isin(terms.distinct: _*))
     val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
       tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
         .map { case (bucket, bs) =>
@@ -565,7 +565,7 @@ object QueryEngine {
       analyzed.map { case (_, off) => off.last - off.head + 1 }.toArray
     val allTerms = analyzed.flatMap(_._1)
 
-    val p = reader.postings.where($"term".isin(allTerms.distinct: _*))
+    val p = reader.postingsForTerms(allTerms.distinct).where($"term".isin(allTerms.distinct: _*))
     val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
       tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
         .map { case (bucket, bs) =>
@@ -705,7 +705,7 @@ object QueryEngine {
     import spark.implicits._
     require(all.nonEmpty, "positional tree references no terms")
 
-    val p = reader.postings.where($"term".isin(all: _*))
+    val p = reader.postingsForTerms(all).where($"term".isin(all: _*))
     val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
       tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
         .map { case (bucket, bs) =>

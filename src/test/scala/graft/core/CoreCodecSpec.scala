@@ -401,6 +401,61 @@ class CoreCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("offsets roundtrip: TermsHash -> PostingBlocks slicing -> decode") {
+    val docs = Seq(
+      "the quick fox key order fox",
+      "key the order key order key_order",
+      "no phrase material here",
+      "order key")
+    val th = new TermsHash(Analyzer.EnglishStopWords,
+      trackPositions = true, trackOffsets = true)
+    docs.zipWithIndex.foreach { case (d, i) =>
+      val total = th.addDoc(d)
+      th.finishDoc(i.toLong, SmallFloatUtil.intToByte4(total))
+    }
+    // expected character (start, end) of each occurrence, from the raw text
+    def expected(term: String): Map[Long, Seq[(Int, Int)]] =
+      docs.zipWithIndex.flatMap { case (d, i) =>
+        val re = "[a-z0-9_]+".r
+        val os = re.findAllMatchIn(d)
+          .filter(_.matched == term).map(m => (m.start, m.end)).toSeq
+        if (os.nonEmpty) Some(i.toLong -> os) else None
+      }.toMap
+    var checked = 0
+    th.termEntryIterator.foreach { e =>
+      assert(e.offDeltas != null, s"offsets missing for ${e.term}")
+      val blocks = PostingBlocks.build(
+        java.util.Arrays.copyOf(e.ids, e.n), java.util.Arrays.copyOf(e.tfs, e.n),
+        java.util.Arrays.copyOf(e.norms, e.n), blockSize = 2,
+        posDeltas = e.posDeltas, offDeltas = e.offDeltas)
+      val exp = expected(e.term)
+      blocks.foreach { b =>
+        val (bids, btfs, _) = PostingBlocks.decode(b)
+        val offs = PostingBlocks.decodeOffsets(b, btfs)
+        assert(offs != null)
+        bids.zip(offs).foreach { case (id, os) =>
+          assert(os.toSeq == exp(id), s"${e.term}@$id: ${os.toSeq} != ${exp(id)}")
+          checked += 1
+        }
+        // positions channel rides along untouched
+        assert(PostingBlocks.decodePositions(b, btfs) != null)
+      }
+    }
+    assert(checked > 6)
+    // offsets off => decodeOffsets is null
+    val th2 = new TermsHash(Analyzer.EnglishStopWords)
+    th2.addDoc(docs.head)
+    th2.finishDoc(0L, 0.toByte)
+    th2.termEntryIterator.foreach { e =>
+      assert(e.offDeltas == null)
+      val blocks = PostingBlocks.build(
+        java.util.Arrays.copyOf(e.ids, e.n), java.util.Arrays.copyOf(e.tfs, e.n),
+        java.util.Arrays.copyOf(e.norms, e.n))
+      blocks.foreach(b => assert(
+        PostingBlocks.decodeOffsets(b, PostingBlocks.decode(b)._2) == null))
+    }
+  }
+
   test("PhraseMatcher exact + sloppy semantics") {
     // exact: 'key order' adjacent
     assert(PhraseMatcher.exactMatch(Array(Array(3), Array(4))))

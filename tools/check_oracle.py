@@ -20,7 +20,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated entry names (lets a wrapper run the
+    # board in bounded chunks — one long-lived process accumulating pandas
+    # frames + duckdb temp state OOMs at 10x table scale)
+    only = None
+    if len(sys.argv) > 3 and sys.argv[3].strip():
+        only = set(x.strip() for x in sys.argv[3].split(",") if x.strip())
     con = duckdb.connect()
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET threads TO 8")
+    tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_oracle_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
@@ -30,6 +41,8 @@ def main():
         if not os.path.isdir(qdir):
             continue
         name = os.path.basename(qdir)
+        if only is not None and name not in only:
+            continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
