@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- the search engine itself (SURVEY.md §2.5/§2.6) --
     "search_term_bm25" -> (DocSearchOps.searchTerm(_, _)),
+    "replication_tail" -> ((s, d) => DocSearchOps.replicationTail(s, d)),
     "search_explain" -> ((s, d) => DocSearchOps.searchExplain(s, d)),
     "search_covering" -> ((s, d) => DocSearchOps.searchCovering(s, d)),
     "search_boolean_sim" -> ((s, d) => DocSearchOps.searchBooleanSim(s, d)),
     "suggest_fuzzy" -> ((s, d) => DocSearchOps.suggestFuzzy(s, d)),
+    "suggest_fuzzy_transpose" -> ((s, d) => DocSearchOps.suggestFuzzyTranspose(s, d)),
     "mlt_interesting_terms" -> ((s, d) =>
       DocSearchOps.mltInterestingTerms(s, d)),
     "chunk_documents" -> ((s, d) => PipelineOps.chunkDocuments(s, d)),
@@ -591,6 +593,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "search_term_bm25" -> bm25Sql(Seq("merge"), Nil),
+    // NRT tailing follower: the follower index (2-stage leader commits,
+    // incremental pulls) must answer exactly like one full-corpus build
+    "replication_tail" -> bm25Sql(Seq("merge"), Nil),
     // BooleanSimilarity: score = sum of matched clauses' boosts, nothing else
     "search_boolean_sim" ->
       s"""WITH $TokCte,
@@ -679,6 +684,18 @@ object SparkEntry {
          |  AND least(levenshtein(substr(term, 1, 4), 'strem'),
          |            levenshtein(substr(term, 1, 5), 'strem'),
          |            levenshtein(substr(term, 1, 6), 'strem')) <= 1
+         |ORDER BY df DESC, term LIMIT 8""".stripMargin,
+    // FuzzySuggester transpositions=true: prefix-Damerau <= 1 completions
+    // of 'srot' ("sort..." is one adjacent swap away; plain Levenshtein
+    // would charge 2 and miss) — first char exact, weight = df
+    "suggest_fuzzy_transpose" ->
+      s"""WITH $TokCte,
+         |d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+         |SELECT term, df FROM d
+         |WHERE term LIKE 's%' AND length(term) >= 3
+         |  AND least(damerau_levenshtein(substr(term, 1, 3), 'srot'),
+         |            damerau_levenshtein(substr(term, 1, 4), 'srot'),
+         |            damerau_levenshtein(substr(term, 1, 5), 'srot')) <= 1
          |ORDER BY df DESC, term LIMIT 8""".stripMargin,
     // MLT interestingTerms=details: seed doc 42's terms ranked by idf
     "mlt_interesting_terms" ->

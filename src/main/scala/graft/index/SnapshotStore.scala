@@ -813,6 +813,23 @@ object Index {
   def backup(indexDir: String, backupDir: String): Seq[SnapshotMeta] =
     cloneCommitPoint(indexDir, backupDir)
 
+  /** Tailing-replica pull — the ReplicationHandler follower role
+    * [B solr/core/src/java/org/apache/solr/handler/ReplicationHandler.java,
+    * IndexFetcher.java]: fetch the leader's commit points the follower
+    * does not yet have. INCREMENTAL by construction (cloneCommitPoint
+    * skips increments already on disk and copies new ones into a temp dir
+    * published by atomic rename), and the follower manifest is rewritten
+    * LAST — a reader of the follower always sees a complete commit point,
+    * exactly the fetchIndex contract. Poll this in a loop (or from a
+    * Structured Streaming foreachBatch) and the follower tails the leader
+    * at commit granularity. Returns (manifest, newly copied increments).
+    */
+  def replicate(leaderDir: String, followerDir: String): (Seq[SnapshotMeta], Int) = {
+    val before = SnapshotStore.read(followerDir).map(_.incrementId).toSet
+    val snaps = cloneCommitPoint(leaderDir, followerDir)
+    (snaps, snaps.count(s => !before.contains(s.incrementId)))
+  }
+
   /** Restore a backup into a FRESH index dir (no snapshots.json yet) —
     * the restore is just the reverse clone: same copy plan, manifest
     * rebased to `destDir` and published last. The restored dir is a fully

@@ -1053,6 +1053,20 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 2L))
   }
 
+  test("replicationTail: second pull copies ONLY the appended increment") {
+    // fresh dirs for this JVM: the entry caches per sfDir, so the pull
+    // counts reflect the staged build done above
+    val rows = DocSearchOps.replicationTail(spark, sf).collect()
+    assert(rows.nonEmpty)
+    if (DocSearchOps.lastReplicationPulls.nonEmpty) {
+      // (only asserted when this JVM did the staged build — cached /tmp
+      // indexes from an earlier process skip it)
+      assert(DocSearchOps.lastReplicationPulls == Seq(1, 1),
+        s"pulls: ${DocSearchOps.lastReplicationPulls} (want 1 then 1 — " +
+          "a full re-copy on pull 2 means the tail is not incremental)")
+    }
+  }
+
   test("classifyKnn: driver residency bounded and batch-size invariant") {
     // one-batch reference run
     val whole = ClassifyOps.classifyKnn(spark, sf)
