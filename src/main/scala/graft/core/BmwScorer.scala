@@ -22,6 +22,50 @@ object BmwScorer {
 
   val NoMoreDocs: Long = Long.MaxValue
 
+  /** Cross-leaf min-competitive score sharing — the MaxScoreAccumulator
+    * role [B lucene/core/src/java/org/apache/lucene/search/
+    * MaxScoreAccumulator.java, TopScoreDocCollector.java]: concurrent
+    * bucket tasks collecting the SAME query publish their kth-best score
+    * into a shared JVM slot, so a task whose local heap is still filling
+    * prunes with the best theta any sibling has reached instead of 0.
+    * Spark scoping: tasks of one executor share the JVM (local[n] = all of
+    * them), so sharing is per-executor — best-effort, like Lucene's, and
+    * exactly the part of the work a cluster can share without an RPC.
+    *
+    * Tie soundness: a remote theta is applied via nextDown (strictly-less
+    * pruning), so a doc scoring EXACTLY theta in another partition — which
+    * could still win the global (score desc, docId asc) tie-break — is
+    * never pruned remotely. Slots are score-bit CAS-max AtomicLongs in a
+    * bounded FIFO-evicted map (stale query keys age out; eviction only
+    * loses the optimization, never correctness).
+    */
+  object ThetaBoard {
+    private val MaxEntries = 4096
+    private val NegInfBits = java.lang.Double.doubleToLongBits(Double.NegativeInfinity)
+    private val map =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    def slot(key: String): java.util.concurrent.atomic.AtomicLong =
+      map.computeIfAbsent(key, _ => {
+        order.add(key)
+        while (map.size > MaxEntries) {
+          val old = order.poll()
+          if (old != null) map.remove(old)
+        }
+        new java.util.concurrent.atomic.AtomicLong(NegInfBits)
+      })
+
+    def publish(s: java.util.concurrent.atomic.AtomicLong, v: Double): Unit = {
+      var cur = s.get
+      while (java.lang.Double.longBitsToDouble(cur) < v &&
+        !s.compareAndSet(cur, java.lang.Double.doubleToLongBits(v))) cur = s.get
+    }
+
+    def read(s: java.util.concurrent.atomic.AtomicLong): Double =
+      java.lang.Double.longBitsToDouble(s.get)
+  }
+
   /** Bounded min-heap of (score, docId), worst = (lowest score, highest
     * docId). Capacity grows lazily toward k, so an "unbounded" collector
     * (k = Int.MaxValue, e.g. phrase-candidate gathering) costs only what it
@@ -55,13 +99,39 @@ object BmwScorer {
 
     def size: Int = n
     def full: Boolean = n == k
+
+    /** Optional ThetaBoard slot for cross-task sharing (set via
+      * shareTheta): read into theta strictly-down, published on every
+      * kth-score improvement.
+      */
+    private var sharedSlot: java.util.concurrent.atomic.AtomicLong = null
+
+    /** Attach this heap to a shared theta slot keyed by (searchEpoch, qid). */
+    def shareTheta(key: String): this.type = {
+      sharedSlot = ThetaBoard.slot(key)
+      this
+    }
+
+    @inline private def publishTheta(): Unit =
+      if (sharedSlot != null && full) ThetaBoard.publish(sharedSlot, scores(0))
+
     /** Current threshold: kth best score, or -inf while not full. (-inf,
       * not 0: LM Dirichlet's clamped model scores exactly 0, and a
       * 0-threshold would prune zero-score docs the collector must still
       * admit while filling — Lucene sets minCompetitiveScore only once
-      * the queue is full for the same reason.)
+      * the queue is full for the same reason.) With a shared slot, a
+      * sibling task's kth score raises the floor STRICTLY (nextDown): an
+      * exact-theta doc here may still win the global docId tie-break.
       */
-    def theta: Double = if (full) scores(0) else Double.NegativeInfinity
+    def theta: Double = {
+      val local = if (full) scores(0) else Double.NegativeInfinity
+      if (sharedSlot == null) local
+      else {
+        val remote = ThetaBoard.read(sharedSlot)
+        if (remote == Double.NegativeInfinity) local
+        else math.max(local, Math.nextDown(remote))
+      }
+    }
 
     @inline private def worse(i: Int, j: Int): Boolean =
       scores(i) < scores(j) || (scores(i) == scores(j) && docs(i) > docs(j))
@@ -94,9 +164,11 @@ object BmwScorer {
           val td = docs(i); docs(i) = docs(p); docs(p) = td
           i = p
         }
+        publishTheta() // just became full -> first shared floor
       } else if (score > scores(0)) {
         scores(0) = score; docs(0) = docId
         siftDown(0)
+        publishTheta()
       }
     }
 
@@ -111,6 +183,7 @@ object BmwScorer {
         (score == scores(0) && docId < docs(0))) {
         scores(0) = score; docs(0) = docId
         siftDown(0)
+        publishTheta()
       }
     }
 

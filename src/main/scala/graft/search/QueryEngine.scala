@@ -170,6 +170,9 @@ object QueryEngine {
       .map(f => f -> reader.fieldStats(f).avgdl).toMap
     val statsB = spark.sparkContext.broadcast(
       (termStats, stats, queries, sim, fieldAvgdl))
+    // unique epoch for this search run: ThetaBoard slots are keyed
+    // (epoch, qid) so concurrent/repeated searches never share floors
+    val thetaEpoch = java.util.UUID.randomUUID().toString
 
     val buckets: Dataset[BucketTermBlocks] = p.as[TermPostings].flatMap { tp =>
       tp.blocks.groupBy(b => CorpusIds.partitionOf(b.firstDocId)).iterator
@@ -238,7 +241,9 @@ object QueryEngine {
                     d => java.util.Arrays.binarySearch(allowed, d) >= 0 &&
                       live(d) && notEx(d)
                 }
-                val heap = heapFor(q)
+                // per-executor theta sharing across this query's buckets
+                // (MaxScoreAccumulator role — see BmwScorer.ThetaBoard)
+                val heap = heapFor(q).shareTheta(s"$thetaEpoch/${q.qid}")
                 val tb = q.dismaxTiebreak.getOrElse(-1.0)
                 if (q.must.nonEmpty)
                   // most-selective-first == highest maxScore (lowest df) first

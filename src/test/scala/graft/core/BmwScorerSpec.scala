@@ -199,6 +199,29 @@ class BmwScorerSpec extends AnyFunSuite {
     }
   }
 
+  test("ThetaBoard sharing: sibling floor raises theta strictly, ties survive") {
+    val key = "spec-epoch/q1"
+    val a = new BmwScorer.TopKHeap(2).shareTheta(key)
+    val b = new BmwScorer.TopKHeap(2).shareTheta(key)
+    assert(b.theta == Double.NegativeInfinity)
+    a.offer(5.0, 10L)
+    assert(b.theta == Double.NegativeInfinity, "floor published before full")
+    a.offer(7.0, 11L) // a full: kth best = 5.0
+    // sibling reads the shared floor STRICTLY below 5.0: a doc scoring
+    // exactly 5.0 elsewhere may still win the global docId tie-break
+    assert(b.theta < 5.0 && b.theta > 4.999999)
+    // ... and exact-theta docs are admissible to b's own heap
+    b.offer(5.0, 3L)
+    b.offer(5.0, 4L)
+    assert(b.drain().toSeq == Seq((3L, 5.0), (4L, 5.0)))
+    // a's improvement propagates
+    a.offer(9.0, 12L) // a = {7, 9}: floor 7
+    val c = new BmwScorer.TopKHeap(2).shareTheta(key)
+    assert(c.theta < 7.0 && c.theta > 6.999999)
+    // unshared heap unaffected
+    assert(new BmwScorer.TopKHeap(2).theta == Double.NegativeInfinity)
+  }
+
   test("boost scales scores linearly, preserves ranks") {
     forAll(corpusGen, n = 20) { c =>
       val terms = c.keys.toSeq.sorted
