@@ -80,6 +80,36 @@ class CoreCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("patched FOR: skewed arrays round-trip AND beat plain FOR") {
+    // Zipf-ish skew: mostly small gaps, a few huge outliers — the shape
+    // that taxed plain FOR 10-25% (VERDICT r4 missing-3)
+    val skewGen: Gen[Array[Int]] = for {
+      n <- Gen.chooseNum(64, 512)
+      base <- Gen.containerOfN[Array, Int](n, Gen.chooseNum(0, 255))
+      nOut <- Gen.chooseNum(1, 5)
+      outPos <- Gen.containerOfN[Array, Int](nOut, Gen.chooseNum(0, n - 1))
+      outVal <- Gen.containerOfN[Array, Int](nOut, Gen.chooseNum(1 << 20, Int.MaxValue))
+    } yield {
+      outPos.zip(outVal).foreach { case (p, v) => base(p) = v }
+      base
+    }
+    forAll(skewGen) { arr =>
+      val enc = IntCodec.encode(arr)
+      assert(IntCodec.decode(enc, arr.length).sameElements(arr))
+      // plain FOR at the outlier width would cost this much:
+      val bits = IntCodec.bitsRequired(arr.max)
+      val plainFor = 1 + 8 * ((arr.length * bits + 63) / 64)
+      assert(enc.length < plainFor,
+        s"patched ${enc.length} >= plain FOR $plainFor (bits=$bits)")
+    }
+    // degenerate inputs still choose a valid encoding
+    assert(IntCodec.decode(IntCodec.encode(Array(0)), 1).sameElements(Array(0)))
+    assert(IntCodec.decode(IntCodec.encode(Array(Int.MaxValue)), 1)
+      .sameElements(Array(Int.MaxValue)))
+    val allSame = Array.fill(128)(7)
+    assert(IntCodec.decode(IntCodec.encode(allSame), 128).sameElements(allSame))
+  }
+
   // ---- Posting blocks ------------------------------------------------------
 
   private val postingsGen: Gen[(Array[Long], Array[Int], Array[Byte])] =
