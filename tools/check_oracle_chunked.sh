@@ -10,7 +10,29 @@ total_pass=0; total_fail=0; fails=""
 batch=""; n=0
 run_batch() {
   [ -z "$batch" ] && return 0
-  out=$(python3 tools/check_oracle.py "$SF" "$OUT" "$batch" 2>&1 | tail -40)
+  # per-chunk wall cap + temp hygiene: a quadratic oracle at scaled tables
+  # must not wedge the whole board or fill the disk (classify_knn at 10x
+  # spilled >50 GB of DuckDB temp). Timeout -> the chunk's entries rerun
+  # ONE AT A TIME so only the intractable oracle is skipped.
+  rm -rf /tmp/duckdb_oracle_tmp
+  out=$(timeout "${CHUNK_TIMEOUT:-900}" python3 tools/check_oracle.py "$SF" "$OUT" "$batch" 2>&1 | tail -40)
+  if [ $? -eq 124 ]; then
+    echo "[chunk] TIMEOUT — retrying entries singly"
+    for one in $(echo "$batch" | tr ',' ' '); do
+      rm -rf /tmp/duckdb_oracle_tmp
+      o1=$(timeout "${ENTRY_TIMEOUT:-300}" python3 tools/check_oracle.py "$SF" "$OUT" "$one" 2>&1 | tail -5)
+      if [ $? -eq 124 ]; then
+        echo "SKIP ORACLE-COST $one: DuckDB oracle intractable at this scale"
+        fails="$fails $one(skip)"
+      else
+        p1=$(echo "$o1" | grep -c "^OK " || true)
+        f1=$(echo "$o1" | grep -c "^FAIL" || true)
+        total_pass=$((total_pass+p1)); total_fail=$((total_fail+f1))
+        [ "$f1" -gt 0 ] && { echo "$o1" | grep "^FAIL"; fails="$fails $one"; }
+      fi
+    done
+    return 0
+  fi
   p=$(echo "$out" | grep -c "^OK " || true)
   f=$(echo "$out" | grep -c "^FAIL" || true)
   total_pass=$((total_pass+p)); total_fail=$((total_fail+f))
