@@ -32,6 +32,10 @@ def main():
     tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_oracle_tmp")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
+    try:  # bound the spill: a quadratic oracle must error out, not fill /
+        con.execute("SET max_temp_directory_size='15GB'")
+    except Exception:
+        pass
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")

@@ -15,12 +15,12 @@ run_batch() {
   # spilled >50 GB of DuckDB temp). Timeout -> the chunk's entries rerun
   # ONE AT A TIME so only the intractable oracle is skipped.
   rm -rf /tmp/duckdb_oracle_tmp
-  out=$(timeout "${CHUNK_TIMEOUT:-900}" python3 tools/check_oracle.py "$SF" "$OUT" "$batch" 2>&1 | tail -40)
+  out=$(timeout "${CHUNK_TIMEOUT:-900}" python3 tools/check_oracle.py "$SF" "$OUT" "$batch" 2>&1 | tail -200)
   if [ $? -eq 124 ]; then
     echo "[chunk] TIMEOUT — retrying entries singly"
     for one in $(echo "$batch" | tr ',' ' '); do
       rm -rf /tmp/duckdb_oracle_tmp
-      o1=$(timeout "${ENTRY_TIMEOUT:-300}" python3 tools/check_oracle.py "$SF" "$OUT" "$one" 2>&1 | tail -5)
+      o1=$(timeout "${ENTRY_TIMEOUT:-300}" python3 tools/check_oracle.py "$SF" "$OUT" "$one" 2>&1 | tail -20)
       if [ $? -eq 124 ]; then
         echo "SKIP ORACLE-COST $one: DuckDB oracle intractable at this scale"
         fails="$fails $one(skip)"
