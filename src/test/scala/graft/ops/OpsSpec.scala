@@ -1053,6 +1053,17 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 2L))
   }
 
+  test("suggestFuzzyTranspose: adjacent swap costs 1 where Levenshtein pays 2") {
+    // 'srot' -> 'sort...' completions: one transposition
+    val trans = DocSearchOps.suggestFuzzyTranspose(spark, sf).collect()
+    assert(trans.nonEmpty, "transposing suggester found nothing for 'srot'")
+    assert(trans.forall(_.getString(0).startsWith("s")))
+    // the PLAIN fuzzy suggester at the same input/maxEdits must miss them
+    val plain = DocSearchOps.suggestFuzzy(spark, sf, input = "srot").collect()
+    assert(plain.isEmpty,
+      s"plain Levenshtein unexpectedly matched: ${plain.map(_.getString(0)).toSeq}")
+  }
+
   test("replicationTail: second pull copies ONLY the appended increment") {
     // fresh dirs for this JVM: the entry caches per sfDir, so the pull
     // counts reflect the staged build done above
