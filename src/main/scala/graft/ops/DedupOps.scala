@@ -250,12 +250,17 @@ object DedupOps {
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("doc_id", "simhash")
 
-    // unsigned shift, NOT div: for negative simhashes, truncating division
-    // does not preserve "identical band bits => identical bucket", which
-    // the pigeonhole recall guarantee needs
+    // unsigned shift + BITWISE mask, never % or div: for band 0 the
+    // unsigned shift is the identity, so `% 65536` on a NEGATIVE simhash
+    // yielded a negative remainder — a pair whose only shared band was
+    // band 0 with mixed-sign hashes bucketed apart and was silently
+    // missed (caught by the 10x scale board, 98/248k pairs; sf0.01 never
+    // exercised the case). `& 65535` preserves "identical band bits =>
+    // identical bucket" for every band and sign, which the pigeonhole
+    // recall guarantee needs.
     val banded = capBuckets(sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
-        "b -> shiftrightunsigned(simhash, b * 16) % 65536)"))
+        "b -> shiftrightunsigned(simhash, b * 16) & 65535)"))
         .as(Seq("band", "bucket"))), bucketCap, "simhash")
 
     banded.as("a").join(banded.as("b"),

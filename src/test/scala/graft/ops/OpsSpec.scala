@@ -1053,6 +1053,23 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 2L))
   }
 
+  test("simhash banding: mixed-sign hashes with equal low bits share band 0") {
+    import spark.implicits._
+    // regression pin for the 10x-board find: band 0's unsigned shift is
+    // the identity, so a % would give a NEGATIVE bucket for the negative
+    // hash and the (only-band-0-shared) pair would be silently missed —
+    // the banding must use a bitwise mask. Values are the real pair the
+    // scale board caught (docs 349/5349 at 10x, hamming 3).
+    val df = Seq((1L, 0x7f59ac98605d1c8fL), (2L, 0xff59ec98625d1c8fL))
+      .toDF("doc_id", "simhash")
+      .select(col("doc_id"), expr("transform(sequence(0, 3), " +
+        "b -> shiftrightunsigned(simhash, b * 16) & 65535)").as("bands"))
+    val bands = df.orderBy("doc_id").collect()
+      .map(_.getSeq[Long](1).toSeq)
+    assert(bands(0)(0) == bands(1)(0), s"band 0 split: $bands")
+    assert(bands.forall(_.forall(b => b >= 0 && b <= 65535)))
+  }
+
   test("suggestFuzzyTranspose: adjacent swap costs 1 where Levenshtein pays 2") {
     // 'srot' -> 'sort...' completions: one transposition
     val trans = DocSearchOps.suggestFuzzyTranspose(spark, sf).collect()
