@@ -1095,19 +1095,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("classifyKnn: driver residency bounded and batch-size invariant") {
-    // one-batch reference run
-    val whole = ClassifyOps.classifyKnn(spark, sf)
+  test("classifyKnn: distributed plan matches the batched-search reference") {
+    // r6: classifyKnn is one distributed join plan with ZERO driver-held
+    // specs; the pre-r6 batched QueryEngine.search formulation is kept as
+    // the equivalence reference and duelled end to end here
+    val distributed = ClassifyOps.classifyKnn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
-    assert(whole.nonEmpty)
-    assert(ClassifyOps.lastKnnMaxBatch <= ClassifyOps.KnnSpecBatch)
-    // force many small batches; the boundedness contract is observable:
-    // the driver never held more than specBatch specs at once, and the
-    // predictions are identical (each qid's vote is batch-local)
-    val batched = ClassifyOps.classifyKnn(spark, sf, specBatch = 7)
+    assert(distributed.nonEmpty)
+    assert(ClassifyOps.lastKnnMaxBatch == 0,
+      s"distributed path held ${ClassifyOps.lastKnnMaxBatch} specs on the driver")
+    val reference = ClassifyOps.classifyKnnViaSearch(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
-    assert(ClassifyOps.lastKnnMaxBatch <= 7,
-      s"driver held ${ClassifyOps.lastKnnMaxBatch} specs, cap was 7")
-    assert(batched.sameElements(whole), "batching changed predictions")
+    assert(distributed.sameElements(reference),
+      "distributed knn diverged from the batched-search reference")
+    // and batch size never mattered to the reference either
+    val smallBatches = ClassifyOps.classifyKnnViaSearch(spark, sf, specBatch = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(smallBatches.sameElements(reference), "batching changed predictions")
   }
 }
