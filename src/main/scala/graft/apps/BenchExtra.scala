@@ -62,8 +62,9 @@ object BenchExtra {
       }
       t
     }
+    val printCold = sys.env.contains("BENCHEXTRA_COLD_JOBS")
     names.foreach { n =>
-      val cold = once(n, print = false)
+      val cold = once(n, print = printCold)
       println(f"[benchextra] $n%-28s cold=$cold%7.3f s")
       val warms = (1 to reps).map { i =>
         val t = once(n, print = i == reps)

@@ -46,15 +46,25 @@ object BmwScorer {
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-    def slot(key: String): java.util.concurrent.atomic.AtomicLong =
-      map.computeIfAbsent(key, _ => {
+    def slot(key: String): java.util.concurrent.atomic.AtomicLong = {
+      // eviction runs AFTER computeIfAbsent returns: ConcurrentHashMap
+      // forbids mutating other mappings inside the mapping function — two
+      // tasks at the cap each holding one bin lock while removing a key in
+      // the other's bin would deadlock the query hot path (ADVICE r5).
+      var created = false
+      val s = map.computeIfAbsent(key, _ => {
+        created = true
+        new java.util.concurrent.atomic.AtomicLong(NegInfBits)
+      })
+      if (created) {
         order.add(key)
         while (map.size > MaxEntries) {
           val old = order.poll()
           if (old != null) map.remove(old)
         }
-        new java.util.concurrent.atomic.AtomicLong(NegInfBits)
-      })
+      }
+      s
+    }
 
     def publish(s: java.util.concurrent.atomic.AtomicLong, v: Double): Unit = {
       var cur = s.get

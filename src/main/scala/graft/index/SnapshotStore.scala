@@ -19,7 +19,13 @@ case class SnapshotMeta(
     sumTotalTermFreq: Long,
     postingsDir: String,
     docMetaDir: String,
-    lineage: Seq[PartitionLineage]) {
+    lineage: Seq[PartitionLineage],
+    /** Largest committed docId in this snapshot, carried in the manifest so
+      * append paths derive their docPartition base from METADATA instead of
+      * an agg job over every snapshot's docmeta. -1 = unknown (pre-r6
+      * manifest or empty increment) — readers fall back to the agg.
+      */
+    maxDocId: Long = -1L) {
   /** Slim term dictionary (term, df, ttf, slices) written next to postings
     * at commit time (SURVEY.md §1.1 D5): serves dictionary-scan queries
     * (prefix/regex/fuzzy/suggest/stats) without ever touching the `blocks`
@@ -124,6 +130,7 @@ object SnapshotStore {
   private def snapshotJson(s: SnapshotMeta): String =
     s"""{"snapshotId":${s.snapshotId},"parentId":${s.parentId},"incrementId":${s.incrementId},""" +
       s""""docCount":${s.docCount},"sumTotalTermFreq":${s.sumTotalTermFreq},""" +
+      s""""maxDocId":${s.maxDocId},""" +
       s""""postingsDir":${jstr(s.postingsDir)},"docMetaDir":${jstr(s.docMetaDir)},""" +
       s""""lineage":[${s.lineage.map(lineageJson).mkString(",")}]}"""
 
@@ -155,6 +162,7 @@ object SnapshotStore {
         incrementId = longField(o, "incrementId").toInt,
         docCount = longField(o, "docCount"),
         sumTotalTermFreq = longField(o, "sumTotalTermFreq"),
+        maxDocId = longFieldOpt(o, "maxDocId", -1L),
         postingsDir = strField(o, "postingsDir"),
         docMetaDir = strField(o, "docMetaDir"),
         lineage = splitObjects(arrField(o, "lineage")).map { l =>
@@ -200,6 +208,14 @@ object SnapshotStore {
     val m = ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(o)
     m.map(_.group(1).toLong).getOrElse(
       throw new IllegalArgumentException(s"missing $name in $o"))
+  }
+
+  /** Like [[longField]] but `default` when absent (fields added after r5 —
+    * pre-existing manifests stay readable).
+    */
+  private def longFieldOpt(o: String, name: String, default: Long): Long = {
+    val m = ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(o)
+    m.map(_.group(1).toLong).getOrElse(default)
   }
 
   private def strField(o: String, name: String): String = {
@@ -314,7 +330,12 @@ object Index {
   private def maxDocPartition(spark: SparkSession,
       snaps: Seq[SnapshotMeta]): Int = {
     import spark.implicits._
-    if (snaps.isEmpty) -1
+    val live = snaps.filter(_.docCount > 0)
+    if (snaps.isEmpty || live.isEmpty) -1
+    // manifest-carried max docId (r6): no Spark job when every non-empty
+    // snapshot recorded one; pre-r6 manifests fall back to the agg
+    else if (live.forall(_.maxDocId >= 0))
+      CorpusIds.partitionOf(live.map(_.maxDocId).max)
     else readDocMeta(spark, snaps.map(_.docMetaDir))
       .agg(max($"docId")).as[Option[Long]].head()
       .map(CorpusIds.partitionOf).getOrElse(-1)
@@ -346,11 +367,11 @@ object Index {
 
     // Fresh flush: ONE job emits the segments (partitioned by kind, so the
     // kind=0 side IS the committed docmeta — no copy job), the collection
-    // stats (Observation riding the write action — exactly-once, unlike a
-    // transformation-side accumulator), and the hot-term CANDIDATE set
-    // (local-df accumulator; see flushSegments). Resume recomputes both
+    // stats + max docId (Observation riding the write action — exactly-once,
+    // unlike a transformation-side accumulator), and the hot-term CANDIDATE
+    // set (local-df accumulator; see flushSegments). Resume recomputes both
     // with small jobs over the existing segments.
-    val flushed: Option[((Long, Long), Set[String])] =
+    val flushed: Option[((Long, Long, Long), Set[String])] =
       if (Files.exists(segDone)) None
       else {
         val t0 = System.nanoTime()
@@ -362,7 +383,8 @@ object Index {
             hotLocalThreshold = math.max(1L, cfg.hotTermDf / math.max(1, scanParts)),
             hotCandidates = Some(candAcc))
           .observe(obs, sum(when($"kind" === 0, 1L).otherwise(0L)).as("n"),
-            coalesce(sum(when($"kind" === 0, $"meta.tokenCount")), lit(0L)).as("ttf"))
+            coalesce(sum(when($"kind" === 0, $"meta.tokenCount")), lit(0L)).as("ttf"),
+            coalesce(max(when($"kind" === 0, $"meta.docId")), lit(-1L)).as("maxd"))
           .write.mode("overwrite").partitionBy("kind")
           // cap the writer's in-memory row-group buffer: at the default
           // 128 MB a flush task holds its ENTIRE partials output buffered
@@ -376,8 +398,8 @@ object Index {
         Files.write(segDone, Array.emptyByteArray)
         logPhase(s"inc=$inc flush+stats+candidates", t0)
         val row = obs.get
-        Some(((row("n").asInstanceOf[Long], row("ttf").asInstanceOf[Long]),
-          candAcc.value.asScala.toSet))
+        Some(((row("n").asInstanceOf[Long], row("ttf").asInstanceOf[Long],
+          row("maxd").asInstanceOf[Long]), candAcc.value.asScala.toSet))
       }
 
     val seg = spark.read.parquet(segDir)
@@ -430,7 +452,7 @@ object Index {
       partials: Dataset[PartialPostings], incDir: String, inc: Int,
       cfg: IndexConfig, prior: Seq[SnapshotMeta],
       numPartsHint: Int, docMetaDir: String,
-      flushed: Option[((Long, Long), Set[String])] = None): SnapshotMeta = {
+      flushed: Option[((Long, Long, Long), Set[String])] = None): SnapshotMeta = {
     val spark = docMeta.sparkSession
     import spark.implicits._
 
@@ -458,12 +480,13 @@ object Index {
         s"(cands=${flushed.map(_._2.size).getOrElse(-1)}, " +
         s"hot=${hot.left.map(_.size).left.getOrElse(-1)})")
 
-    // Collection stats — needed BEFORE the merge so its reduce parallelism
-    // can be sized to the data (free on a fresh build: the flush job's
-    // Observation; one small docmeta agg on resume/compact).
+    // Collection stats + max docId — needed BEFORE the merge so its reduce
+    // parallelism can be sized to the data (free on a fresh build: the
+    // flush job's Observation; one small docmeta agg on resume/compact).
     val statsRow = flushed.map(_._1).getOrElse(
-      docMeta.agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)))
-        .as[(Long, Long)].head())
+      docMeta.agg(count(lit(1)), coalesce(sum($"tokenCount"), lit(0L)),
+          coalesce(max($"docId"), lit(-1L)))
+        .as[(Long, Long, Long)].head())
 
     // Size the merge shuffle to the postings volume, not the session's
     // core-count default: at 12M docs (~3.8B tokens), 2*cores reduce tasks
@@ -504,8 +527,13 @@ object Index {
     // leaves a partitionBy write with zero files — unreadable (no schema).
     // Write one empty schema-bearing file so the index stays openable,
     // the same guard ensureKindDirs provides for segments.
-    if (!Files.list(Paths.get(s"$incDir/postings")).iterator().asScala
-        .exists(_.getFileName.toString.startsWith("bucket="))) {
+    val hasBucketDirs = {
+      val s = Files.list(Paths.get(s"$incDir/postings"))
+      try s.iterator().asScala
+        .exists(_.getFileName.toString.startsWith("bucket="))
+      finally s.close() // ADVICE r5: the unclosed stream leaked an fd per merge
+    }
+    if (!hasBucketDirs) {
       val inner = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.Encoders.product[TermPostings].schema)
       spark.createDataFrame(
@@ -533,7 +561,8 @@ object Index {
       .groupBy(l => (l.stage, l.partitionId)).map(_._2.head).toSeq
       .sortBy(_.partitionId)
     SnapshotMeta(snapshotId, prior.lastOption.map(_.snapshotId).getOrElse(0L),
-      inc, statsRow._1, statsRow._2, s"$incDir/postings", docMetaDir, lin)
+      inc, statsRow._1, statsRow._2, s"$incDir/postings", docMetaDir, lin,
+      maxDocId = statsRow._3)
   }
 
   /** forceMerge/compaction [B lucene/core/src/java/org/apache/lucene/index/IndexWriter.java#forceMerge]:
@@ -711,7 +740,10 @@ object Index {
       s"deleteByTerm expects one analyzable term, got '$rawTerm' -> ${analyzed.toSeq}")
     val term = analyzed.head
     val r = reader(spark, indexDir)
-    val hit = r.postings.where(org.apache.spark.sql.functions.col("term") === term)
+    // bucket-pruned scan: only the term's bucket directory is listed and
+    // scheduled (same manifest pruning every query path uses)
+    val hit = r.postingsForTerms(Seq(term))
+      .where(org.apache.spark.sql.functions.col("term") === term)
       .flatMap(tp => tp.blocks.flatMap(b => graft.core.PostingBlocks.decode(b)._1))
       .distinct()
 
@@ -725,8 +757,15 @@ object Index {
     // (membership is by binary search / anti-join).
     val (base, cur) = tombstoneGens(indexDir)
     val newDir = s"$indexDir/tombstones_v${cur + 1}"
-    hit.toDF("docId").write.mode("overwrite").parquet(newDir)
-    val n = spark.read.parquet(newDir).count()
+    // tombstone count rides the write job as an Observation — the r5 shape
+    // re-read the fresh parquet with a second count job per delete
+    val obs = org.apache.spark.sql.Observation(
+      s"tombstones-$term-${System.nanoTime()}")
+    hit.toDF("docId")
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").parquet(newDir)
+    val n = obs.get("n").asInstanceOf[Long]
     if (n == 0) { // deleting an absent term is a no-op, like IndexWriter
       deleteRecursively(Paths.get(newDir))
       return 0L
@@ -915,7 +954,18 @@ object Index {
         if (Files.isDirectory(p)) Files.createDirectories(t)
         else {
           Files.createDirectories(t.getParent)
-          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          // committed increment files are IMMUTABLE (updates append new
+          // increments, deletes append new tombstone gens), so a same-
+          // filesystem clone can hard-link instead of copying bytes —
+          // backup/restore/replicate become metadata-speed. Deleting a
+          // clone only unlinks; the source is untouched. Cross-device
+          // (or FS without link support) falls back to a byte copy.
+          Files.deleteIfExists(t)
+          try Files.createLink(t, p)
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          }
         }
       }
     } finally walk.close()
@@ -954,7 +1004,11 @@ object Index {
       snapshots.map { m =>
         val df = spark.read.parquet(m.postingsDir)
         val withBucket =
-          if (df.schema.fieldNames.contains("bucket")) df
+          if (df.schema.fieldNames.contains("bucket"))
+            // pin the inferred partition-column type: an all-digit-bucket
+            // index infers IntegerType and the string isin()/unionByName
+            // downstream would lean on implicit widening (ADVICE r5)
+            df.withColumn("bucket", col("bucket").cast("string"))
           else df.withColumn("bucket", SnapshotStore.bucketCol(col("term")))
         SnapshotStore.withBlockOffBytes(withBucket)
       }

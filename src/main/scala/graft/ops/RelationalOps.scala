@@ -545,10 +545,19 @@ object RelationalOps {
       source: String = "C1", maxDepth: Int = 3): DataFrame = {
     val li = t(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    // BFS runs on LONG node ids (suppliers offset into a disjoint range);
+    // the "C<id>"/"S<id>" labels are reconstructed only at output time —
+    // the r5 shape shuffled 1.2M concat'd STRINGS through every level's
+    // join, paying string hashing and 3-4x the bytes for keys the BFS
+    // never shows anyone (guide §2.3: narrower types, project early).
+    val SuppBase = 1L << 40
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(concat(lit("C"), col("o_custkey")).as("c"),
-        concat(lit("S"), col("l_suppkey")).as("s"))
-      .distinct()
+      .select(col("o_custkey").cast("long").as("c"),
+        (col("l_suppkey").cast("long") + SuppBase).as("s"))
+    // NOT distinct'd: the pair relation is ~98% unique already (measured),
+    // duplicate edges cannot change reachability or hop distance (each
+    // level's frontier is distinct'd), and the dedup shuffle cost more
+    // than the duplicates it removed.
     // persist PRE-PARTITIONED on the join key: the cached relation's
     // outputPartitioning survives into every level's join, so the (big)
     // edge side shuffles ONCE here instead of once per BFS level — only
@@ -557,9 +566,12 @@ object RelationalOps {
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
       .repartition(col("src"))
       .persist()
+    val srcId =
+      if (source.startsWith("S")) SuppBase + source.drop(1).toLong
+      else source.drop(1).toLong
     try {
       import spark.implicits._
-      var visited = Seq((source, 0)).toDF("node", "dist")
+      var visited = Seq((srcId, 0)).toDF("node", "dist")
       var frontier = visited
       for (d <- 1 to maxDepth) {
         frontier = frontier.join(edges, frontier("node") === edges("src"))
@@ -572,7 +584,13 @@ object RelationalOps {
         frontier.count()
         visited = visited.unionByName(frontier)
       }
-      visited.orderBy(asc("dist"), asc("node"))
+      visited
+        .select(concat(
+            when(col("node") >= SuppBase, lit("S")).otherwise(lit("C")),
+            when(col("node") >= SuppBase, col("node") - SuppBase)
+              .otherwise(col("node")).cast("string")).as("node"),
+          col("dist"))
+        .orderBy(asc("dist"), asc("node"))
     } finally edges.unpersist(false)
   }
 
