@@ -119,30 +119,35 @@ object AnnOps {
     val e = emb(spark, sfDir)
     val perBand = nbits / bands
     val pB = spark.sparkContext.broadcast(lshPlanes(nbits, 64))
-    val sigs = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .flatMap { case (id, v) =>
-        val ps = pB.value
-        val bits = new Array[Int](ps.length)
-        var i = 0
-        while (i < ps.length) {
-          val h = ps(i)
-          var s = 0.0
-          var d = 0
-          while (d < h.length && d < v.length) { s += v(d).toDouble * h(d); d += 1 }
-          bits(i) = if (s >= 0) 1 else 0
-          i += 1
-        }
-        (0 until bands).iterator.map { b =>
-          var code = 0
-          var j = 0
-          while (j < perBand) { code = (code << 1) | bits(b * perBand + j); j += 1 }
-          (id, b, code)
-        }
-      }.toDF("vec_id", "band", "bucket")
-    // query-side probe expansion: every bucket within Hamming <= probes
+    def sketch(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .flatMap { case (id, v) =>
+          val ps = pB.value
+          val bits = new Array[Int](ps.length)
+          var i = 0
+          while (i < ps.length) {
+            val h = ps(i)
+            var s = 0.0
+            var d = 0
+            while (d < h.length && d < v.length) { s += v(d).toDouble * h(d); d += 1 }
+            bits(i) = if (s >= 0) 1 else 0
+            i += 1
+          }
+          (0 until bands).iterator.map { b =>
+            var code = 0
+            var j = 0
+            while (j < perBand) { code = (code << 1) | bits(b * perBand + j); j += 1 }
+            (id, b, code)
+          }
+        }.toDF("vec_id", "band", "bucket")
+    val sigs = sketch(e)
+    // query-side probe expansion: every bucket within Hamming <= probes.
+    // Sketched from the 3 query rows directly — a vec_id filter cannot push
+    // through the corpus sketch's flatMap, so deriving it from `sigs` ran
+    // the WHOLE corpus sketch twice (measured: half the entry's job time).
     val probesLocal = probes
     val perBandLocal = perBand
-    val qsigs = sigs.where(col("vec_id").isin(QueryVecIds: _*))
+    val qsigs = sketch(e.where(col("vec_id").isin(QueryVecIds: _*)))
       .as[(Long, Int, Int)]
       .flatMap { case (qid, band, code) =>
         def expand(c: Int, fromBit: Int, left: Int): Iterator[Int] =

@@ -314,14 +314,23 @@ object ClassifyOps {
       maxDoc: Long = 500): DataFrame = {
     val vocab = ClusterVocab
     val stop = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+    // row count from parquet metadata — the r5 shape counted the TOKENIZED
+    // frame, paying a full tokenize pass for a number the footers know
+    // (tokensCol never drops rows)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      // single file split at bench scale: spread the tokenize (guide §2.5)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         filter(TextOps.tokensCol(col("text")), t => !t.isin(stop: _*)).as("toks"))
-    val nDocs = toks.count()
+    // persisted: df lookup, centroid seed rows, and the cosine pass all
+    // re-read this vocab-matched frame — uncached it re-tokenized the
+    // corpus once per consumer (3x at bench; tiny frame, vocab x docs max)
     val tf = toks
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .where(col("term").isin(vocab: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfMap = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idfWhens = vocab.filter(dfMap.contains).map { t =>

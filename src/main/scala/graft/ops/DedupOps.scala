@@ -24,6 +24,10 @@ object DedupOps {
     val copies = d.where(col("doc_id") < 5)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" graft_near_dup_marker")).as("text"))
+    // NOT spread: unlike the shingle ops, the signature subtree here feeds
+    // BOTH sides of the LSH self-join and AQE's runtime stage reuse dedups
+    // the identical shuffle stage — an extra repartition exchange broke
+    // that reuse and measured ~0.3 s SLOWER across the minhash family.
     d.unionByName(copies)
   }
 
@@ -304,12 +308,25 @@ object DedupOps {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
+      // no distinct: duplicate edges cannot change a min-label propagation
+      // (min over a multiset == min over its set), and the dedup shuffle
+      // was pure overhead on the per-iteration hot path
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // LAZY local checkpoints throughout the iteration: the label-sum
+    // fixpoint action right after each round materializes the checkpoint
+    // as a side effect — eager checkpoints paid a second job per round.
+    // Initial labels come with the FIRST hop already folded in (min of
+    // self and direct neighbours — every node appears as a dst, so one
+    // aggregate yields the node set and its hop-1 label): identity-label
+    // init spent a whole round reaching this state, and star-shaped
+    // near-dup components (the common case) are already at fixpoint here,
+    // so they converge in one confirming round instead of two.
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("nbr"))
+      .select(col("dst").as("node"),
+        least(col("dst"), col("nbr")).as("label"))
+      .localCheckpoint(false)
     // decimal(38,0): component labels are doc ids (pid<<40 | row at scale);
     // a long sum over billions of such labels would overflow
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
@@ -328,7 +345,7 @@ object DedupOps {
       val byNode = hop.select(col("node").as("jn"), col("label").as("jl"))
       val jumped = hop.join(byNode, hop("label") === byNode("jn"), "left")
         .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(jumped)
       done = s == prevSum
       prevSum = s

@@ -2581,7 +2581,11 @@ object DocSearchOps {
       terms: Seq[String] = Seq("merge", "window"), titleLen: Int = 8,
       wTitle: Double = 2.0, k: Int = 10): DataFrame = {
     val stop = graft.core.Analyzer.EnglishStopWords.toSeq.sorted
+    // spread (single file split at bench scale) + persist: the collection
+    // stats, the df aggregate and the scoring pass all consume this frame —
+    // uncached, each re-ran the tokenize + title/body split (3 passes)
     val fielded = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         filter(TextOps.tokensCol(col("text")), t => !t.isin(stop: _*)).as("toks"))
       .select(col("doc_id"),
@@ -2590,6 +2594,7 @@ object DocSearchOps {
           .as("body"))
       .withColumn("dl",
         lit(wTitle) * expr(qlenSql("size(title)")) + expr(qlenSql("size(body)")))
+      .persist()
     val (nDocs, sumDl) = {
       val r = fielded.agg(count(lit(1)), sum(col("dl"))).head
       (r.getLong(0), r.getDouble(1))

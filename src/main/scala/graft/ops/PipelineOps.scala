@@ -21,6 +21,17 @@ object PipelineOps {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** `documents` spread over the session's cores before token/shingle-heavy
+    * projections: the raw table is a single file split at bench scale
+    * (4 MB splits >> file size), so md5-shingle explodes would otherwise
+    * run in ONE task while every other core idles (guide §2.5 input skew —
+    * repartition right after the read). The shuffle moves only the raw
+    * rows; hashing on doc_id keeps the placement deterministic.
+    */
+  private def docsSpread(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Deterministic hash split (train/holdout): the sample is a pure
     * function of doc_id via md5, so it is stable across runs, machines,
     * and re-partitionings — the property that makes held-out splits
@@ -148,7 +159,11 @@ object PipelineOps {
     // materialize the token array in its own projection BEFORE the shingle
     // transform: an inlined tokensCol would re-evaluate the whole
     // split/filter chain for EVERY lambda element (measured 10x at sf0.1)
+    // spread first: the train scan is one file split at bench scale and the
+    // shingle explode would run single-task (see docsSpread)
     val tr = train
+      .repartition(train.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingleDigests(col("toks"), n)).as("sh"))
     val be = bench
@@ -174,7 +189,7 @@ object PipelineOps {
     */
   def dedupSpanCoverage(spark: SparkSession, sfDir: String,
       n: Int = 16): DataFrame = {
-    val shingled = docs(spark, sfDir)
+    val shingled = docsSpread(spark, sfDir)
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
@@ -184,14 +199,21 @@ object PipelineOps {
           .as("s"))
       .select(col("doc_id"), col("len"), col("s.off").as("off"),
         col("s.sh").as("sh"))
-    // distinct-doc sharers per digest as an AGGREGATE (never a collected
-    // id set: a shingle shared by a million docs costs a count, not a row
-    // of a million ids), then joined back on the digest key
-    val dupDigests = shingled.select(col("doc_id"), col("sh")).distinct()
-      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    // distinct-doc sharers per digest as WINDOW AGGREGATES over ONE
+    // digest-keyed shuffle (never a collected id set, and never a second
+    // scan: the r5 shape re-derived the whole scan+shingle subtree for a
+    // dupDigests self-join — Spark does not share common subplans, so the
+    // corpus was tokenized twice). first_in_doc marks one row per
+    // (digest, doc); summing it over the digest partition IS the
+    // distinct-doc sharer count.
+    val wDoc = Window.partitionBy(col("sh"), col("doc_id"))
+      .orderBy(asc("off"))
+    val wSh = Window.partitionBy(col("sh"))
+    val covered = shingled
+      .withColumn("first_in_doc",
+        when(row_number().over(wDoc) === 1, 1L).otherwise(0L))
+      .withColumn("n_docs", sum(col("first_in_doc")).over(wSh))
       .where(col("n_docs") >= 2)
-      .select(col("sh"))
-    val covered = shingled.join(dupDigests, "sh")
       .select(col("doc_id"), col("len"),
         explode(expr(s"sequence(off, off + ${n - 1})")).as("pos"))
       .distinct() // overlapping shared shingles cover a position once
@@ -224,6 +246,7 @@ object PipelineOps {
     // not inferred on, and size(shs) inside the lambda is an O(1) lookup
     // on the materialized array
     val tr = d.where(col("doc_id") % benchMod =!= 0)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(shingleDigests(col("toks"), n)).as("shs"))
@@ -292,7 +315,7 @@ object PipelineOps {
     * shared by a million docs costs a count, not 10^12 pairs.
     */
   def dedupSpans(spark: SparkSession, sfDir: String, n: Int = 16): DataFrame = {
-    val shingled = docs(spark, sfDir)
+    val shingled = docsSpread(spark, sfDir)
       .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingleDigests(col("toks"), n)).as("sh"))
       .distinct()

@@ -1146,11 +1146,19 @@ object RelationalOps {
     */
   def facetRefinedTopk(spark: SparkSession, sfDir: String, shards: Int = 8,
       limit: Int = 10, overrequest: Int = 20): DataFrame = {
+    // spread (single file split at bench scale, guide §2.5) and PERSIST:
+    // the candidate ranking, the certificate bound, the refined total and
+    // the final action all re-read this frame — uncached, each re-ran the
+    // full tokenize + explode + aggregate (3 corpus passes; the r5 verdict
+    // flagged the certificate's extra aggregates, and caching the shared
+    // frame is what actually removes the repeated work)
     val perShard = t(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(pmod(crc32(col("doc_id").cast("string")), lit(shards)).as("shard"),
         explode(TextOps.tokensCol(col("text"))).as("term"))
       .groupBy(col("shard"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val ranked = perShard
       .withColumn("rn", row_number().over(Window.partitionBy(col("shard"))
         .orderBy(desc("cnt"), asc("term"))))

@@ -121,12 +121,18 @@ object TextOps {
       trainRes: Int = 3, maxModel: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val d = docs(spark, sfDir)
+      // single file split at bench scale: spread the tokenize (guide §2.5)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokensCol(col("text")))
       .where(size(col("toks")) >= 2)
+    // persisted: the LM cap collect, unigram model, vocabulary count and
+    // the per-doc scoring pass all consume this frame — uncached, each
+    // re-ran the tokenize + bigram explode (4 corpus passes at bench)
     val bi = d.select(col("doc_id"), explode(expr(
       "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
       .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
     val train = bi.where(col("doc_id") % trainMod === trainRes)
     // No-silent-caps (VERDICT r4 next-10): the model rows come to the
     // driver anyway to be broadcast, so materialize maxModel+1 once —
