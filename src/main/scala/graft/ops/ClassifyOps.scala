@@ -252,6 +252,11 @@ object ClassifyOps {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("text"))
+    // NOT cached/spread: six consumers re-run this flatMap, but each pass
+    // is ~0.1 s over the (tiny, page-cached) raw table and an r6 experiment
+    // measured persist + repartition 3x SLOWER (cache write + exchange
+    // overhead dominate at this row count) — revisit only if the corpus
+    // side ever dwarfs the pass cost
     val toks = docs.as[(Long, String, String)].flatMap { case (id, lang, text) =>
       graft.core.Analyzer.analyze(text).iterator.map(t => (id, lang, t))
     }.toDF("doc_id", "lang", "term")

@@ -2505,12 +2505,17 @@ object DocSearchOps {
       queryTerm: String = "merge", minFgDf: Long = 5, k: Int = 20): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val r = reader(spark, sfDir)
+    // persist the (id-only) domain: the fg size and the fg term pass both
+    // need it, and uncached each re-ran the whole postings match + joins;
+    // matchAllTerms emits unique docIds, and every indexed doc joins its
+    // meta row 1:1, so |fgIds| IS the fg doc count — no second corpus pass
     val fgIds = QueryEngine.matchAllTerms(r, Seq(queryTerm)).toDF("docId")
+      .persist()
+    val fgN = fgIds.count()
     val fgDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .join(r.docMeta.select(col("path").cast("long").as("doc_id"),
         col("docId")), "doc_id")
       .join(fgIds, Seq("docId"), "left_semi")
-    val fgN = fgDocs.count()
     val n = r.stats.docCount
     val fgTerm = fgDocs
       .select(explode(array_distinct(expr("graft_tokenize(text)"))).as("term"))

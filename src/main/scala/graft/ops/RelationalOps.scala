@@ -121,12 +121,44 @@ object RelationalOps {
     */
   def facetDynamicRange(spark: SparkSession, sfDir: String,
       nBuckets: Int = 4): DataFrame = {
-    // deterministic tiebreak key: (orderkey, linenumber) is the table's PK
-    val w = Window.orderBy(asc("l_extendedprice"), asc("rid"))
-    t(spark, sfDir, "lineitem")
+    // deterministic tiebreak key: (orderkey, linenumber) is the table's PK.
+    // ntile needs the GLOBAL rank; an unpartitioned window moved the whole
+    // table into one task (Spark even warns). Two-level instead: range-
+    // partition on the sort key, local row_number, cumulative partition
+    // offsets (partition-count-sized driver collect), then Spark's exact
+    // ntile bucketing law — first N%n buckets get the extra row — applied
+    // to the global rank. Bit-identical buckets, no single-task sort.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = t(spark, sfDir, "lineitem")
       .select(col("l_extendedprice"),
         (col("l_orderkey") * lit(10000L) + col("l_linenumber")).as("rid"))
-      .withColumn("bucket", ntile(nBuckets).over(w))
+      .repartitionByRange(parts, asc("l_extendedprice"), asc("rid"))
+      .sortWithinPartitions(asc("l_extendedprice"), asc("rid"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val cnts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = cnts.map(_._2).sum
+    val offsets = cnts.scanLeft(0L)(_ + _._2).dropRight(1)
+    val offByPid = cnts.map(_._1).zip(offsets).toMap
+    val offExpr =
+      if (cnts.isEmpty) lit(0L)
+      else coalesce(cnts.map { case (pid, _) =>
+        when(col("pid") === pid, lit(offByPid(pid))) } :+ lit(0L): _*)
+    val q = n / nBuckets
+    val r = n % nBuckets
+    val thresh = r * (q + 1)
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(asc("l_extendedprice"), asc("rid"))
+    ranged
+      .withColumn("i", offExpr + row_number().over(wLocal))
+      // integer `div`, not `/`: SQL division on longs is double-valued and
+      // loses exactness past 2^53 global ranks
+      .withColumn("bucket",
+        when(lit(r) > 0 && col("i") <= thresh,
+          expr(s"(i - 1) div ${q + 1}") + 1)
+          .otherwise(lit(r) + expr(s"(i - ${thresh} - 1) div ${math.max(q, 1L)}") + 1)
+          .cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         round(min(col("l_extendedprice")), 2).as("lo"),
@@ -636,14 +668,18 @@ object RelationalOps {
     val ord = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("l_suppkey"), col("o_custkey"))
-    val gathered = pairs
-      .join(broadcast(roots), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_suppkey").as("node"))
-      .agg(count(lit(1)).as("n_edges"))
-    val df = pairs.groupBy(col("l_suppkey").as("node"))
-      .agg(countDistinct(col("o_custkey")).as("doc_freq"))
+    // ONE pass over the pair relation: the root-edge count and the global
+    // docFreq fold into a single aggregate behind a LEFT broadcast join
+    // against the root set (the r5 shape ran the 600k-row lineitem x
+    // orders join twice — once per side — and joined the two aggregates).
+    // n_edges > 0 keeps exactly the suppliers the old inner gather kept.
     val numDocs = t(spark, sfDir, "customer").count()
-    gathered.join(df, "node")
+    pairs
+      .join(broadcast(roots), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("l_suppkey").as("node"))
+      .agg(count(col("c_custkey")).as("n_edges"),
+        countDistinct(col("o_custkey")).as("doc_freq"))
+      .where(col("n_edges") > 0)
       .withColumn("score", round(col("n_edges") *
         log((lit(numDocs) + 1.0) / (col("doc_freq") + 1.0)), 4))
       .select(col("node"), col("n_edges"), col("doc_freq"), col("score"))
