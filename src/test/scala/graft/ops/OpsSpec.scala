@@ -201,8 +201,15 @@ class OpsSpec extends AnyFunSuite {
       s"bench shingle set should broadcast:\n$decoPlan")
 
     // production shape: benchmark as its own table — training side must go
-    // scan -> explode -> broadcast join with NO shuffle before the join
-    // (per-doc dedupe happens in the final aggregate, not a pre-join distinct)
+    // scan -> [raw-row spread] -> explode -> broadcast join with no
+    // DATA-DEPENDENT shuffle before the join (per-doc dedupe happens in the
+    // final aggregate, not a pre-join distinct). r6 added a deliberate
+    // REPARTITION_BY_NUM of the raw rows right after the scan (the bench
+    // table is one file split, guide §2.5) — that exchange moves KB-sized
+    // raw rows, not the shingle explosion, and is allowed; what must NOT
+    // appear on the train side is an ENSURE_REQUIREMENTS hash exchange
+    // (a join-key shuffle would mean the broadcast degraded to a shuffle
+    // join or a pre-join distinct crept back in).
     import spark.implicits._
     val train = Seq((1L, "a b c d e f g h i"), (2L, "x y z q w e r t y u"))
       .toDF("doc_id", "text")
@@ -211,12 +218,16 @@ class OpsSpec extends AnyFunSuite {
     val prodPlan = prod.queryExecution.executedPlan.toString
     val joinAt = prodPlan.indexOf("BroadcastHashJoin")
     assert(joinAt >= 0, s"expected broadcast join:\n$prodPlan")
-    // below the join, the probe (training) side must contain no Exchange —
-    // i.e. shingles stream straight from the scan into the join
     val below = prodPlan.substring(joinAt)
     val trainSide = below.split("BroadcastExchange")(0)
-    assert(!trainSide.contains("Exchange hashpartitioning"),
-      s"training side should not shuffle before the join:\n$prodPlan")
+    assert(!trainSide.contains("ENSURE_REQUIREMENTS"),
+      s"training side should not hit a join-key shuffle before the join:\n$prodPlan")
+    // and the explode must sit ABOVE the spread exchange (shingles are
+    // never shuffled — only raw rows are)
+    val sprAt = trainSide.indexOf("REPARTITION_BY_NUM")
+    val genAt = trainSide.indexOf("Generate explode")
+    assert(genAt >= 0 && (sprAt < 0 || genAt < sprAt),
+      s"shingle explode must stream into the join above the raw-row spread:\n$prodPlan")
     assert(prod.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 1L)), "doc 1 shares its a..h 8-shingle with the bench doc")
   }
