@@ -266,14 +266,24 @@ object ClassifyOps {
 
     // per-class token mass + doc counts, |V| over the train vocabulary
     // (.toDF() on each intermediate severs the shared `toks` lineage —
-    // these reconverge in multi-way joins below)
+    // these reconverge in multi-way joins below). An r6 experiment derived
+    // every statistic from per-(lang,doc,term) count frames so the tokenize
+    // would run once per split under a reused exchange: measured 0.91 ->
+    // 1.19 s warm — the added groupBy exchanges cost more than the ~0.1 s
+    // flatMap re-runs they saved at this row count. Reverted; only the
+    // n_train + |V| fusion below (one pass saved, zero added exchanges)
+    // survived measurement.
     val cstat = train.groupBy("lang")
       .agg(count(lit(1)).as("f_c"),
         countDistinct(col("doc_id")).as("n_c"))
       .toDF("lang", "f_c", "n_c")
-    val nTrain = train.select(countDistinct(col("doc_id")).as("n_train"))
-    val vocab = train.select(countDistinct(col("term")).as("v"))
-    val classes = broadcast(cstat.crossJoin(nTrain).crossJoin(vocab))
+    // n_train and |V| fused into ONE aggregate pass (two exact
+    // count-distincts expand in a single job; both are integers, so every
+    // downstream score is bit-identical)
+    val corpusStat = train.select(
+      countDistinct(col("doc_id")).as("n_train"),
+      countDistinct(col("term")).as("v"))
+    val classes = broadcast(cstat.crossJoin(corpusStat))
 
     val tc = train.groupBy("term", "lang").agg(count(lit(1)).as("tf"))
       .toDF("term", "lang", "tf")

@@ -1124,4 +1124,41 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(smallBatches.sameElements(reference), "batching changed predictions")
   }
+
+  test("classifyNaiveBayes matches an independent driver-side model") {
+    // r6: n_train and |V| are fused into one aggregate pass — duel the
+    // whole operator (statistics + scoring + argmax) against a from-scratch
+    // driver-side multinomial NB over the same corpus and formula
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, text) =>
+      (id, lang, graft.core.Analyzer.analyze(text))
+    }.filter(_._3.nonEmpty) // zero-token docs emit no rows in the operator
+    val train = toks.filter(_._1 % 10 != 0)
+    val testDocs = toks.filter(_._1 % 10 == 0)
+    val nTrain = train.map(_._1).distinct.size
+    val vocabSize = train.flatMap(_._3).distinct.size
+    val fC = train.groupBy(_._2).map { case (l, ds) => l -> ds.map(_._3.size).sum }
+    val nC = train.groupBy(_._2).map { case (l, ds) => l -> ds.map(_._1).distinct.size }
+    val tf = train.flatMap { case (_, l, ts) => ts.map(t => (t, l)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = testDocs.map { case (id, _, ts) =>
+      val best = fC.keys.toSeq.map { c =>
+        val s1 = ts.map(t => tf.get((t, c))
+          .map(f => math.log(f + 1.0)).getOrElse(0.0)).sum
+        val score = s1 - ts.size * math.log(fC(c) + vocabSize.toDouble) +
+          math.log(nC(c).toDouble / nTrain)
+        val rounded = BigDecimal(score)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        (c, rounded)
+      }.minBy { case (c, r) => (-r, c) }._1
+      (id, best)
+    }.sortBy(_._1)
+    val got = ClassifyOps.classifyNaiveBayes(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected.toSeq,
+      s"operator diverged from the driver-side model: got ${got.take(5)}... " +
+        s"want ${expected.take(5)}...")
+  }
 }
