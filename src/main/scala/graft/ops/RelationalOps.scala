@@ -605,16 +605,31 @@ object RelationalOps {
       import spark.implicits._
       var visited = Seq((srcId, 0)).toDF("node", "dist")
       var frontier = visited
+      var prevNodes = visited.select(col("node"))
       for (d <- 1 to maxDepth) {
-        frontier = frontier.join(edges, frontier("node") === edges("src"))
+        // anti-join against the PREVIOUS frontier only, not the whole
+        // visited union: the graph is strictly bipartite (customer ids
+        // < 2^40, suppliers offset above; every edge crosses sides), so a
+        // neighbour x of a frontier_d node that was visited at any level
+        // l <= d-1 forces dist(that frontier node) <= l+1, which for
+        // l <= d-3 contradicts it being at distance d — any already-visited
+        // neighbour sits at EXACTLY d-1. This keeps every level's plan the
+        // same constant shape (join cached-frontier x cached-edges ->
+        // distinct -> anti-join ONE cached frame) instead of a plan that
+        // grows a union per level: the first-run planning/codegen cost —
+        // the dominant cost of this entry in a fresh session — stops
+        // scaling with depth, and levels >= 2 hit the codegen cache.
+        val next = frontier.join(edges, frontier("node") === edges("src"))
           .select(col("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
+          .join(prevNodes, Seq("node"), "left_anti")
           .withColumn("dist", lit(d))
           // materialize each level: keeps the iterative plan linear and the
           // anti-join reading a computed set, not a growing lineage tree
           .persist()
-        frontier.count()
-        visited = visited.unionByName(frontier)
+        next.count()
+        visited = visited.unionByName(next)
+        prevNodes = frontier.select(col("node"))
+        frontier = next
       }
       visited
         .select(concat(

@@ -276,8 +276,14 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("shortestPath: BFS levels are minimal and edge-consistent") {
-    val got = RelationalOps.shortestPath(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val rows = RelationalOps.shortestPath(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    // every node exactly once: the r6 prev-frontier-only anti-join (valid
+    // because the graph is bipartite) would show its failure mode — a
+    // level-(d-1) node re-admitted at level d+1 — as a duplicate here
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "a node was emitted at more than one BFS level")
+    val got = rows.toMap
     assert(got("C1") == 0)
     // level-1 == exactly C1's suppliers, computed independently
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
