@@ -1131,6 +1131,27 @@ class OpsSpec extends AnyFunSuite {
     assert(smallBatches.sameElements(reference), "batching changed predictions")
   }
 
+  test("facetDynamicRange: two-level global rank equals single-window ntile") {
+    // r6: the entry computes exact ntile buckets without an unpartitioned
+    // window (range partition + local ordinals + offset join); this pins it
+    // against Spark's own ntile over one window, which is the semantic spec
+    import org.apache.spark.sql.expressions.Window
+    val got = RelationalOps.facetDynamicRange(spark, sf).collect().toSeq
+    val w = Window.orderBy(asc("l_extendedprice"), asc("rid"))
+    val ref = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice"),
+        (col("l_orderkey") * lit(10000L) + col("l_linenumber")).as("rid"))
+      .withColumn("bucket", ntile(4).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(asc("bucket"))
+      .collect().toSeq
+    assert(got == ref, s"two-level rank diverged from ntile: $got vs $ref")
+  }
+
   test("classifyNaiveBayes matches an independent driver-side model") {
     // r6: n_train and |V| are fused into one aggregate pass — duel the
     // whole operator (statistics + scoring + argmax) against a from-scratch
